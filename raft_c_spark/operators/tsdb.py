@@ -1,0 +1,254 @@
+"""Core time-series query operators — the reference's full SELECT
+surface (SURVEY.md §2.3-§2.7), Spark-first.
+
+Input contract: a *points* DataFrame with the canonical schema
+``(series: string, timestamp: long /*ns*/, value: double)``
+(reference record_t, src/timeseries.h:50-55). Every operator is a pure
+DataFrame→DataFrame function: Catalyst handles predicate pushdown,
+partition pruning and aggregate planning — the reference hand-codes the
+same strategies against its chunk/partition layout
+(ts_range src/timeseries.c:905-979, index src/index.c:65-109).
+
+Scale notes (100 TB design):
+- range/scan filters are plain comparisons on a long column → pushed to
+  the parquet scan (row-group min/max stats ≙ the reference's sparse
+  index, src/partition.c:47-60);
+- min/max/latest/earliest compile to a single partial+final aggregate
+  (map-side combine), no global sort;
+- sample_by is one hash-aggregate shuffle keyed (series, bucket) —
+  parallel in both dimensions, no window function needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from raft_c_spark.functions.timefn import bucket_end
+
+POINT_COLUMNS = ("series", "timestamp", "value")
+
+
+class InvalidRangeError(ValueError):
+    """start > end — reference TS_E_INVALID_RANGE (src/timeseries.c:911-913)."""
+
+
+def _series_filter(df: DataFrame, series: str | None) -> DataFrame:
+    return df.filter(F.col("series") == series) if series is not None else df
+
+
+def ts_scan(df: DataFrame, series: str | None = None) -> DataFrame:
+    """Full scan, timestamp-ascending.
+
+    Reference: ts_scan/ts_stream walk partitions oldest→newest then
+    prev then head (src/timeseries.c:981-1023); order is an invariant
+    of its store. Spark: explicit final orderBy (range-partitioned
+    sort, scales out).
+    """
+    return _series_filter(df, series).select(*POINT_COLUMNS).orderBy("timestamp")
+
+
+def ts_range(
+    df: DataFrame, t0: int, t1: int, series: str | None = None
+) -> DataFrame:
+    """Inclusive time-range scan — BETWEEN t0 AND t1.
+
+    Reference: ts_range (src/timeseries.c:905-979), bounds inclusive
+    (tests/timeseries_test.c:270-308 asserts end-start+1 rows);
+    t0 > t1 errors (src/timeseries.c:911-913).
+    """
+    if t0 > t1:
+        raise InvalidRangeError(f"invalid range: {t0} > {t1}")
+    out = _series_filter(df, series).filter(
+        (F.col("timestamp") >= F.lit(t0)) & (F.col("timestamp") <= F.lit(t1))
+    )
+    return out.select(*POINT_COLUMNS).orderBy("timestamp")
+
+
+def ts_find(df: DataFrame, t: int, series: str | None = None) -> DataFrame:
+    """Exact-nanosecond point lookup.
+
+    Reference: ts_find (src/timeseries.c:729-780) — adaptive
+    linear/binary search in chunks, sparse index on disk. Spark: an
+    equality predicate the parquet reader answers from row-group stats.
+    Duplicate-ns points are legal (DP_INSERT, src/timeseries.c:363-385)
+    so this may return >1 row.
+    """
+    return (
+        _series_filter(df, series)
+        .filter(F.col("timestamp") == F.lit(t))
+        .select(*POINT_COLUMNS)
+        .orderBy("timestamp", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# WHERE predicate chains (parse_where, src/statement_parse.c:649-679)
+# ---------------------------------------------------------------------------
+
+_OPS = {
+    "=": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+}
+
+
+def where_chain(df: DataFrame, conditions: list[tuple[str, str, float]]) -> DataFrame:
+    """AND-chained comparison predicates on ``value`` or ``timestamp``.
+
+    The reference parses ``WHERE value > 12.2 AND value < 16.2``
+    (comparators src/statement_parse.h:150-158, AND-only chain —
+    expect_boolean accepts only AND, src/statement_parse.c:633-638) but
+    never executes it (declared-undefined eval helper,
+    src/statement_execute.h:49-50); we implement the parsed surface.
+    Keys other than ``timestamp`` refer to the single value column
+    (identifiers are free-form and ignored in the reference, SURVEY
+    §1.3).
+    """
+    out = df
+    for key, op, operand in conditions:
+        col = F.col("timestamp") if key == "timestamp" else F.col("value")
+        if op not in _OPS:
+            raise ValueError(f"unknown comparator {op!r}")
+        out = out.filter(_OPS[op](col, F.lit(operand)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Aggregates (§2.5) — record-returning, reference-shaped
+# ---------------------------------------------------------------------------
+
+
+def _agg_record(
+    df: DataFrame, order: list[Column], group_by_series: bool
+) -> DataFrame:
+    """One (timestamp, value) record per series (or overall) chosen by
+    a lexicographic struct min over ``order`` keys — single
+    partial+final aggregate, no sort, no window; deterministic
+    tie-breaks. The real record rides along after the order keys."""
+    keyed = F.struct(
+        *[c.alias(f"k{i}") for i, c in enumerate(order)],
+        F.col("timestamp").alias("r_ts"),
+        F.col("value").alias("r_val"),
+    )
+    rec = F.min(keyed).alias("rec")
+    if group_by_series:
+        return (
+            df.groupBy("series")
+            .agg(rec)
+            .select(
+                "series",
+                F.col("rec.r_ts").alias("timestamp"),
+                F.col("rec.r_val").alias("value"),
+            )
+            .orderBy("series")
+        )
+    return df.agg(rec).select(
+        F.col("rec.r_ts").alias("timestamp"), F.col("rec.r_val").alias("value")
+    )
+
+
+def ts_min(df: DataFrame, group_by_series: bool = True) -> DataFrame:
+    """Record (timestamp, value) holding the minimum value.
+
+    Reference ts_min (src/timeseries.c:1217-1239) returns the full
+    record; ties → first encountered in its ascending scan, i.e.
+    earliest timestamp — replicated with a (value, timestamp) struct
+    min.
+    """
+    return _agg_record(df, [F.col("value"), F.col("timestamp")], group_by_series)
+
+
+def ts_max(df: DataFrame, group_by_series: bool = True) -> DataFrame:
+    """Symmetric to ts_min (reference ts_max src/timeseries.c:1241-1263);
+    ties → earliest timestamp (first encountered)."""
+    return _agg_record(df, [-F.col("value"), F.col("timestamp")], group_by_series)
+
+
+def ts_avg(df: DataFrame, group_by_series: bool = True) -> DataFrame:
+    """avg(value) — parsed-but-unexecuted in the reference (bare TODO,
+    src/statement_execute.c:235-238); implemented fully per SURVEY §2.5."""
+    if group_by_series:
+        return (
+            df.groupBy("series")
+            .agg(F.avg("value").alias("avg_value"))
+            .orderBy("series")
+        )
+    return df.agg(F.avg("value").alias("avg_value"))
+
+
+def ts_latest(df: DataFrame, group_by_series: bool = True) -> DataFrame:
+    """Most recent record. Reference ts_last (src/timeseries.c:1180-1215);
+    its executor ignores the BETWEEN range (src/statement_execute.c:261-271)
+    — a bug-shaped shortcut; we are range-respecting (apply ts_range
+    first), documented divergence per SURVEY §7.3. Tie at identical ns
+    → max value (deterministic)."""
+    return _agg_record(
+        df, [-F.col("timestamp"), -F.col("value")], group_by_series
+    )
+
+
+def ts_earliest(df: DataFrame, group_by_series: bool = True) -> DataFrame:
+    """Oldest record (reference ts_first src/timeseries.c:1139-1178;
+    ``earliest`` is grammar-doc-only, src/statement_parse.h:103).
+    Tie → min value."""
+    return _agg_record(df, [F.col("timestamp"), F.col("value")], group_by_series)
+
+
+# ---------------------------------------------------------------------------
+# SAMPLE BY — tumbling-window average (§2.6)
+# ---------------------------------------------------------------------------
+
+
+def sample_by(
+    df: DataFrame,
+    interval_ns: int,
+    t0: int | None = None,
+    t1: int | None = None,
+    group_by_series: bool = True,
+) -> DataFrame:
+    """Tumbling-window average with the reference's exact semantics
+    (ts_avg_sample, src/timeseries.c:1265-1308):
+
+    - t0 is normalized down to an interval multiple;
+    - bucket of point p is ``(end-interval, end)`` **exclusive both
+      ends** → boundary points (p % interval == 0) fall in no bucket;
+    - emitted label is the bucket *end*;
+    - empty buckets are skipped (NaN check in the reference);
+    - the loop condition ``current < t1`` drops any bucket whose end
+      is >= t1 (tail-bucket loss — replicated when t1 is given).
+
+    Spark shape: one hash aggregate keyed (series, bucket_end) — the
+    all-integer bucket label keeps the computation inside whole-stage
+    codegen and exact at epoch-ns magnitudes.
+    """
+    if interval_ns <= 0:
+        raise ValueError("interval must be positive")
+    out = df
+    if t0 is not None:
+        t0n = t0 - t0 % interval_ns  # normalize (src/timeseries.c:1273)
+        if t1 is not None and t0n > t1:
+            raise InvalidRangeError(f"invalid range: {t0} > {t1}")
+        out = out.filter(F.col("timestamp") >= F.lit(t0n))
+    if t1 is not None:
+        out = out.filter(F.col("timestamp") <= F.lit(t1))
+    out = out.filter(F.col("timestamp") % F.lit(interval_ns) != 0)
+    out = out.withColumn("bucket_ts", bucket_end(F.col("timestamp"), interval_ns))
+    if t1 is not None:
+        out = out.filter(F.col("bucket_ts") < F.lit(t1))
+    keys = ["series", "bucket_ts"] if group_by_series else ["bucket_ts"]
+    return (
+        out.groupBy(*keys)
+        .agg(F.avg("value").alias("avg_value"))
+        .orderBy(*keys)
+    )
+
+
+def ts_limit(df: DataFrame, n: int) -> DataFrame:
+    """LIMIT n — parsed but never applied by the reference executor
+    (src/statement_parse.c:1116-1128, no QF_LIMT handling); implemented
+    per SURVEY §2.7. Deterministic: callers pass an ordered frame."""
+    return df.limit(n)

@@ -1,0 +1,86 @@
+"""SparkSession bootstrap for the engine.
+
+Single place for the configs that make the engine correct and fast:
+
+- ``spark.sql.legacy.parquet.nanosAsLong``: the reference's timestamps
+  are uint64 *nanoseconds* (src/timeseries.h:52); Spark's TimestampType
+  is microsecond-resolution, so nanosecond parquet columns are read as
+  plain longs and the long stays the source of truth. NOTE: ns epoch
+  values (~1.7e18) exceed double's 53-bit exact-integer range — all
+  timestamp arithmetic in this package uses integer ``div``/``%``,
+  never float division.
+- AQE on: runtime coalescing + skew-join handling, the scale story for
+  shuffles on skewed series/join keys.
+- UTC session timezone: required for DuckDB-oracle comparison (duckdb
+  timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs — safe to apply to an externally created
+#: session (e.g. the verification driver's); everything the engine
+#: needs that does not require JVM restart.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # parquet scans: keep filter pushdown + row-group pruning on
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session.
+
+    Used by ``__spark_entry__`` because the verification driver creates
+    its own SparkSession; every conf in RUNTIME_CONFS is settable after
+    session creation.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-fatal: a locked conf just keeps its value
+    return spark
+
+
+def get_spark(
+    app_name: str = "raft_c_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or get) the engine's SparkSession.
+
+    Local-mode defaults are tuned for the test container (local[N]
+    single-JVM); on a real cluster the same confs apply, with
+    shuffle_partitions sized to ~2-3x total cores by the deployer.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.maxResultSize", "8g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # getOrCreate can return a pre-existing session whose static confs
+    # won; re-assert the runtime ones.
+    return ensure_runtime_confs(spark)
