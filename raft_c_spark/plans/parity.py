@@ -1,0 +1,222 @@
+"""Driver-facing TSDB parity queries (SURVEY.md §2.3-§2.7).
+
+Each entry pairs a Spark plan (on the canonical points frame derived
+from the ``events`` table) with the equivalent DuckDB oracle SQL over
+the same parquet. Names and aliases match on both sides — the driver
+sorts columns by name before value-hashing.
+
+Timestamps: epoch-ns longs, µs-truncated on both sides (DuckDB reads
+parquet TIMESTAMP(NANOS) at µs resolution; the Spark adapter truncates
+identically — see sources/testdata.events_as_points).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from raft_c_spark.operators import tsdb
+from raft_c_spark.plans.exact import exact_avg, sql_avg
+from raft_c_spark.sources.testdata import events_as_points
+
+# Fixed window constants (events span 2024-01-01 .. 2024-01-31)
+T0 = 1_704_844_800_000_000_000  # 2024-01-10T00:00:00Z in ns
+T1 = 1_705_708_800_000_000_000  # 2024-01-20T00:00:00Z in ns
+HOUR_NS = 3_600_000_000_000
+DAY_NS = 86_400_000_000_000
+
+#: DuckDB view of the canonical points frame (events → points).
+POINTS_SQL = (
+    "SELECT event_type AS series, epoch_ns(ts) AS timestamp, value FROM events"
+)
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_as_points(spark, sf_dir)
+
+
+# --- scans / filters (§2.3) -------------------------------------------------
+
+
+def q_range_scan(spark, sf_dir):
+    """BETWEEN range scan, inclusive bounds (ts_range,
+    src/timeseries.c:905-979)."""
+    return tsdb.ts_range(_points(spark, sf_dir), T0, T1)
+
+
+def q_point_lookup(spark, sf_dir):
+    """Exact-ns point lookup (ts_find, src/timeseries.c:729-780) at a
+    data-derived timestamp (the earliest 'click' point)."""
+    pts = _points(spark, sf_dir)
+    t = (
+        pts.filter(F.col("series") == "click")
+        .agg(F.min("timestamp"))
+        .collect()[0][0]
+    )
+    return tsdb.ts_find(pts, t, series="click")
+
+
+def q_where_chain(spark, sf_dir):
+    """AND-chained value+timestamp predicates (parse_where,
+    src/statement_parse.c:649-679; executed surface per SURVEY §2.3)."""
+    pts = _points(spark, sf_dir)
+    return tsdb.ts_scan(
+        tsdb.where_chain(
+            pts,
+            [("value", ">", 10.0), ("value", "<", 100.0), ("timestamp", ">=", T0)],
+        )
+    )
+
+
+# --- aggregates (§2.5) ------------------------------------------------------
+
+
+def q_min(spark, sf_dir):
+    return tsdb.ts_min(tsdb.ts_range(_points(spark, sf_dir), T0, T1))
+
+
+def q_max(spark, sf_dir):
+    return tsdb.ts_max(tsdb.ts_range(_points(spark, sf_dir), T0, T1))
+
+
+def q_latest(spark, sf_dir):
+    """Range-respecting latest (documented divergence from the
+    reference executor's range-ignoring ts_last shortcut,
+    src/statement_execute.c:261-271)."""
+    return tsdb.ts_latest(tsdb.ts_range(_points(spark, sf_dir), T0, T1))
+
+
+def q_earliest(spark, sf_dir):
+    return tsdb.ts_earliest(tsdb.ts_range(_points(spark, sf_dir), T0, T1))
+
+
+def q_avg(spark, sf_dir):
+    """avg(value) per series — exact-decimal sum for engine-independent
+    determinism."""
+    pts = _points(spark, sf_dir)
+    return (
+        pts.groupBy("series")
+        .agg(exact_avg("value").alias("avg_value"))
+        .orderBy("series")
+    )
+
+
+# --- SAMPLE BY (§2.6) -------------------------------------------------------
+
+
+def _sample_exact(df, interval_ns, t0=None, t1=None):
+    """sample_by with exact-decimal bucket averages (same semantics as
+    operators.tsdb.sample_by; see its docstring for the exclusive-bound
+    rules from ts_avg_sample, src/timeseries.c:1265-1308)."""
+    out = df
+    if t0 is not None:
+        t0n = t0 - t0 % interval_ns
+        out = out.filter(F.col("timestamp") >= F.lit(t0n))
+    if t1 is not None:
+        out = out.filter(F.col("timestamp") <= F.lit(t1))
+    out = out.filter(F.col("timestamp") % F.lit(interval_ns) != 0)
+    t = F.col("timestamp")
+    out = out.withColumn(
+        "bucket_ts", t - (t % F.lit(interval_ns)) + F.lit(interval_ns)
+    )
+    if t1 is not None:
+        out = out.filter(F.col("bucket_ts") < F.lit(t1))
+    return (
+        out.groupBy("series", "bucket_ts")
+        .agg(exact_avg("value").alias("avg_value"))
+        .orderBy("series", "bucket_ts")
+    )
+
+
+def q_sample_1h(spark, sf_dir):
+    return _sample_exact(_points(spark, sf_dir), HOUR_NS, t0=T0, t1=T1)
+
+
+def q_sample_1d(spark, sf_dir):
+    return _sample_exact(_points(spark, sf_dir), DAY_NS)
+
+
+# --- order/limit (§2.7) -----------------------------------------------------
+
+
+def q_latest_k(spark, sf_dir):
+    """LIMIT over the newest records (deterministic tie-breaks) —
+    the reference parses LIMIT but never applies it
+    (src/statement_parse.c:1116-1128); implemented per SURVEY §2.7."""
+    pts = _points(spark, sf_dir)
+    return pts.orderBy(
+        F.desc("timestamp"), F.desc("value"), F.asc("series")
+    ).limit(100)
+
+
+def _sample_sql(interval_ns: int, t0: int | None, t1: int | None) -> str:
+    conds = [f"timestamp % {interval_ns} <> 0"]
+    if t0 is not None:
+        t0n = t0 - t0 % interval_ns
+        conds.append(f"timestamp >= {t0n}")
+    if t1 is not None:
+        conds.append(f"timestamp <= {t1}")
+    having = f"HAVING bucket_ts < {t1}" if t1 is not None else ""
+    return f"""
+        SELECT series,
+               timestamp - (timestamp % {interval_ns}) + {interval_ns} AS bucket_ts,
+               {sql_avg('value')} AS avg_value
+        FROM ({POINTS_SQL})
+        WHERE {' AND '.join(conds)}
+        GROUP BY series, bucket_ts {having}
+    """
+
+
+def _record_sql(order: str, where: str = "") -> str:
+    return f"""
+        SELECT series, timestamp, value FROM (
+            SELECT series, timestamp, value,
+                   row_number() OVER (PARTITION BY series ORDER BY {order}) rn
+            FROM ({POINTS_SQL}) {where}
+        ) WHERE rn = 1
+    """
+
+
+_RANGE = f"WHERE timestamp BETWEEN {T0} AND {T1}"
+
+QUERIES = {
+    "ts_range_scan": q_range_scan,
+    "ts_point_lookup": q_point_lookup,
+    "ts_where_chain": q_where_chain,
+    "ts_min": q_min,
+    "ts_max": q_max,
+    "ts_latest": q_latest,
+    "ts_earliest": q_earliest,
+    "ts_avg": q_avg,
+    "ts_sample_1h": q_sample_1h,
+    "ts_sample_1d": q_sample_1d,
+    "ts_latest_k": q_latest_k,
+}
+
+ORACLES = {
+    "ts_range_scan": f"SELECT * FROM ({POINTS_SQL}) {_RANGE}",
+    "ts_point_lookup": f"""
+        SELECT series, timestamp, value FROM ({POINTS_SQL})
+        WHERE series = 'click'
+          AND timestamp = (SELECT min(timestamp) FROM ({POINTS_SQL})
+                           WHERE series = 'click')
+    """,
+    "ts_where_chain": f"""
+        SELECT * FROM ({POINTS_SQL})
+        WHERE value > 10.0 AND value < 100.0 AND timestamp >= {T0}
+    """,
+    "ts_min": _record_sql("value, timestamp", _RANGE),
+    "ts_max": _record_sql("value DESC, timestamp", _RANGE),
+    "ts_latest": _record_sql("timestamp DESC, value DESC", _RANGE),
+    "ts_earliest": _record_sql("timestamp, value", _RANGE),
+    "ts_avg": f"""
+        SELECT series, {sql_avg('value')} AS avg_value
+        FROM ({POINTS_SQL}) GROUP BY series
+    """,
+    "ts_sample_1h": _sample_sql(HOUR_NS, T0, T1),
+    "ts_sample_1d": _sample_sql(DAY_NS, None, None),
+    "ts_latest_k": f"""
+        SELECT series, timestamp, value FROM ({POINTS_SQL})
+        ORDER BY timestamp DESC, value DESC, series ASC LIMIT 100
+    """,
+}

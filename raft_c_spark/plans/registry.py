@@ -1,0 +1,44 @@
+"""Central registry of driver-facing queries and their DuckDB oracles.
+
+``__spark_entry__.queries()`` / ``oracle_sql()`` read from here; each
+plans module contributes its QUERIES/ORACLES dicts. A query without an
+oracle entry is checked rows-only by the driver (reserved for
+genuinely non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _modules():
+    from raft_c_spark.plans import parity, tpch
+
+    mods = [parity, tpch]
+    for name in ("dedup", "text", "similarity", "events_analytics"):
+        try:
+            mods.append(
+                __import__(f"raft_c_spark.plans.{name}", fromlist=[name])
+            )
+        except ImportError:
+            pass
+    return mods
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable] = {}
+    for mod in _modules():
+        overlap = out.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {sorted(overlap)}")
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _modules():
+        out.update(getattr(mod, "ORACLES", {}))
+    return out

@@ -1,0 +1,56 @@
+"""Mimic the driver: run every __spark_entry__ query against its DuckDB
+oracle on the same parquet tables and compare row multisets.
+
+Runs at sf0.001 by default (fast); set ORACLE_SF_DIR=/root/testdata/sf0.01
+to replicate the driver's exact scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from raft_c_spark.sources.testdata import TABLES
+from tests.harness import assert_matches_oracle
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert df.schema is not None
+
+
+def test_every_query_has_callable_and_name_parity():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert qs, "queries() must not be empty"
+    stray = set(oracles) - set(qs)
+    assert not stray, f"oracle_sql keys without queries: {stray}"
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, oracle_con, name):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    df = qs[name](spark, SF_DIR)
+    if name not in oracles:
+        assert df.count() >= 0  # rows-only check, like the driver
+        return
+    assert_matches_oracle(df, oracle_con, oracles[name], name)
