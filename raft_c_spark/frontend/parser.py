@@ -1,0 +1,261 @@
+"""Recursive-descent parser: token stream → dataclass AST.
+
+Mirrors the reference's parser structure (parse_select / parse_insert /
+parse_create / parse_delete / parse_where / parse_timeunit,
+src/statement_parse.c:455-1197) including its grammar quirks:
+
+- WHERE chains are AND-only, right-leaning (expect_boolean accepts only
+  AND, src/statement_parse.c:633-638); we additionally *reject* OR with
+  a clear error instead of silently stopping;
+- time expressions: int | 'date' | timespan | now() | binary +-* chain,
+  left-associative (src/statement_parse.c:821-877);
+- INSERT VALUES tuple list; bare ``VALUE <float>`` stamps now() at
+  parse time (src/statement_parse.c:983-996);
+- CREATE options: retention timespan, duplication 'ignore'|'insert'
+  (src/statement_parse.c:879-922);
+- SELECT clause order: FROM, then optional BETWEEN / WHERE / SAMPLE BY
+  / LIMIT (src/statement_parse.c:1130-1154);
+- ``earliest(value, n)`` accepted per the grammar doc
+  (src/statement_parse.h:103) though the reference never lexes it.
+"""
+
+from __future__ import annotations
+
+from raft_c_spark.frontend import ast
+from raft_c_spark.frontend.ast import Fn, ParseError, QueryFlags
+from raft_c_spark.frontend.lexer import T, Token, tokenize
+from raft_c_spark.functions.timefn import now_ns
+
+
+class _Parser:
+    def __init__(self, tokens: list[Token]):
+        self.toks = tokens
+        self.i = 0
+
+    # -- token plumbing ----------------------------------------------------
+
+    def peek(self) -> Token:
+        return self.toks[self.i]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        if t.type is not T.EOF:
+            self.i += 1
+        return t
+
+    def expect(self, ttype: T) -> Token:
+        t = self.next()
+        if t.type is not ttype:
+            raise ParseError(
+                f"expected {ttype.name}, got {t.type.name} {t.value!r}", t.pos
+            )
+        return t
+
+    def accept(self, ttype: T) -> Token | None:
+        if self.peek().type is ttype:
+            return self.next()
+        return None
+
+    # -- time-unit expressions --------------------------------------------
+
+    def parse_timeunit(self) -> ast.TimeUnit:
+        left = self._parse_tu_atom()
+        while self.peek().type is T.BINOP:
+            op = ast.BinOp(self.next().value)
+            right = self._parse_tu_atom()
+            left = ast.TuOps(left, op, right)
+        return left
+
+    def _parse_tu_atom(self) -> ast.TimeUnit:
+        t = self.peek()
+        if t.type is T.NUMBER:
+            self.next()
+            if "." in t.value or "e" in t.value.lower():
+                raise ParseError(f"expected integer timestamp, got {t.value}", t.pos)
+            return ast.TuValue(int(t.value))
+        if t.type is T.LITERAL:
+            self.next()
+            return ast.TuDate(t.value)
+        if t.type is T.TIMESPAN:
+            self.next()
+            num = "".join(ch for ch in t.value if ch.isdigit())
+            unit = t.value[len(num) :]
+            return ast.TuSpan(int(num), unit)
+        if t.type is T.FUNC and t.value == "now":
+            self.next()
+            self.expect(T.LPAREN)
+            self.expect(T.RPAREN)
+            return ast.TuFunc(Fn.NOW)
+        raise ParseError(f"expected time expression, got {t.value!r}", t.pos)
+
+    def _parse_number(self) -> float:
+        t = self.next()
+        if t.type is not T.NUMBER:
+            raise ParseError(f"expected number, got {t.value!r}", t.pos)
+        return float(t.value)
+
+    # -- statements --------------------------------------------------------
+
+    def parse(self) -> ast.Statement:
+        t = self.next()
+        if t.type is T.CREATEDB:
+            return ast.CreateDb(self.expect(T.IDENTIFIER).value)
+        if t.type is T.USE:
+            return ast.Use(self.expect(T.IDENTIFIER).value)
+        if t.type is T.CREATE:
+            return self._parse_create()
+        if t.type is T.DELETE:
+            return self._parse_delete()
+        if t.type is T.INSERT:
+            return self._parse_insert()
+        if t.type is T.SELECT:
+            return self._parse_select()
+        if t.type is T.META:
+            return ast.Meta(t.value)
+        raise ParseError(f"unknown statement start {t.value!r}", t.pos)
+
+    def _parse_create(self) -> ast.Create:
+        name = self.expect(T.IDENTIFIER).value
+        retention = None
+        duplication = None
+        if self.peek().type in (T.TIMESPAN, T.NUMBER):
+            retention = self.parse_timeunit()
+        lit = self.accept(T.LITERAL)
+        if lit:
+            if lit.value not in ("ignore", "insert"):
+                raise ParseError(
+                    f"duplication policy must be 'ignore' or 'insert', "
+                    f"got {lit.value!r}",
+                    lit.pos,
+                )
+            duplication = lit.value
+        self._expect_end()
+        return ast.Create(ts_name=name, retention=retention, duplication=duplication)
+
+    def _parse_delete(self) -> ast.Delete:
+        name = self.expect(T.IDENTIFIER).value
+        if self.accept(T.FROM):
+            db = self.expect(T.IDENTIFIER).value
+            self._expect_end()
+            return ast.Delete(name=name, db_name=db, single=False)
+        self._expect_end()
+        return ast.Delete(name=name, single=True)
+
+    def _parse_insert(self) -> ast.Insert:
+        self.expect(T.INTO)
+        name = self.expect(T.IDENTIFIER).value
+        records: list[ast.InsertRecord] = []
+        if self.accept(T.VALUES):
+            while True:
+                self.expect(T.LPAREN)
+                tu = self.parse_timeunit()
+                self.expect(T.COMMA)
+                val = self._parse_number()
+                self.expect(T.RPAREN)
+                records.append(ast.InsertRecord(tu, val))
+                if not self.accept(T.COMMA):
+                    break
+        elif self.accept(T.VALUE):
+            # auto-timestamp: the reference stamps current_nanos() at
+            # *parse* time (src/statement_parse.c:990-991) — replicated.
+            val = self._parse_number()
+            records.append(ast.InsertRecord(ast.TuValue(now_ns()), val))
+        else:
+            t = self.peek()
+            raise ParseError("expected VALUES or VALUE", t.pos)
+        self._expect_end()
+        return ast.Insert(ts_name=name, records=tuple(records))
+
+    def _parse_select(self) -> ast.Select:
+        flags = QueryFlags.BASE
+        function = Fn.NONE
+        fn_arg = None
+        t = self.peek()
+        if t.type is T.FUNC:
+            self.next()
+            if t.value == "now":
+                raise ParseError("now() is not a projection", t.pos)
+            function = Fn(t.value)
+            flags |= QueryFlags.FUNC
+            self.expect(T.LPAREN)
+            # projected identifier parsed and discarded — single value
+            # column (src/statement_parse.c:1034-1043)
+            if self.peek().type in (T.IDENTIFIER, T.VALUE):
+                self.next()
+            if function is Fn.EARLIEST and self.accept(T.COMMA):
+                fn_arg = int(self._parse_number())
+            self.expect(T.RPAREN)
+        elif t.type in (T.IDENTIFIER, T.VALUE):
+            self.next()  # SELECT value — identifier discarded
+        else:
+            raise ParseError(f"expected projection, got {t.value!r}", t.pos)
+
+        self.expect(T.FROM)
+        ts_name = self.expect(T.IDENTIFIER).value
+
+        selector: ast.Interval | None = None
+        where: tuple[ast.WhereCond, ...] = ()
+        sampling = None
+        limit = None
+
+        if self.accept(T.BETWEEN):
+            start = self.parse_timeunit()
+            self.expect(T.AND)
+            end = self.parse_timeunit()
+            selector = ast.Interval(start, end)
+            flags |= QueryFlags.RNGE
+        if self.accept(T.WHERE):
+            where = self._parse_where()
+            flags |= QueryFlags.COND
+        if self.accept(T.SAMPLE):
+            self.expect(T.BY)
+            sampling = self.parse_timeunit()
+            flags |= QueryFlags.SMPL
+        if self.accept(T.LIMIT):
+            limit = int(self._parse_number())
+            flags |= QueryFlags.LIMT
+        self._expect_end()
+        return ast.Select(
+            ts_name=ts_name,
+            selector=selector,
+            where=where,
+            function=function,
+            fn_arg=fn_arg,
+            sampling=sampling,
+            limit=limit,
+            flags=flags,
+        )
+
+    def _parse_where(self) -> tuple[ast.WhereCond, ...]:
+        conds: list[ast.WhereCond] = []
+        while True:
+            key_tok = self.peek()
+            if key_tok.type not in (T.IDENTIFIER, T.VALUE):
+                # `value` lexes as a keyword; as a WHERE key it is an
+                # identifier (reference skips keyword-matching after
+                # WHERE, src/statement_parse.c:283-284)
+                raise ParseError(f"expected WHERE key, got {key_tok.value!r}",
+                                 key_tok.pos)
+            key = self.next().value
+            op_tok = self.expect(T.OPERATOR)
+            val = self._parse_number()
+            conds.append(ast.WhereCond(key=key, op=op_tok.value, value=val))
+            if self.peek().type is T.OR:
+                # the reference's enum has OR but its grammar never
+                # parses it (src/statement_parse.h:161,
+                # src/statement_parse.c:633-638) — explicit error
+                raise ParseError("OR is not supported in WHERE chains",
+                                 self.peek().pos)
+            if not self.accept(T.AND):
+                break
+        return tuple(conds)
+
+    def _expect_end(self) -> None:
+        t = self.peek()
+        if t.type is not T.EOF:
+            raise ParseError(f"unexpected trailing input {t.value!r}", t.pos)
+
+
+def parse(query: str) -> ast.Statement:
+    """Parse one statement (stmt_parse, src/statement_parse.c:1156-1197)."""
+    return _Parser(tokenize(query)).parse()

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from raft_c_spark.functions.exact import exact_avg
 from raft_c_spark.functions.timefn import bucket_end
 
 POINT_COLUMNS = ("series", "timestamp", "value")
@@ -146,8 +147,15 @@ def _agg_record(
             )
             .orderBy("series")
         )
-    return df.agg(rec).select(
-        F.col("rec.r_ts").alias("timestamp"), F.col("rec.r_val").alias("value")
+    # empty input → agg yields one all-NULL row; the reference returns
+    # an empty result set instead (empty record_array_t) — drop it
+    return (
+        df.agg(rec)
+        .where(F.col("rec").isNotNull())
+        .select(
+            F.col("rec.r_ts").alias("timestamp"),
+            F.col("rec.r_val").alias("value"),
+        )
     )
 
 
@@ -170,14 +178,17 @@ def ts_max(df: DataFrame, group_by_series: bool = True) -> DataFrame:
 
 def ts_avg(df: DataFrame, group_by_series: bool = True) -> DataFrame:
     """avg(value) — parsed-but-unexecuted in the reference (bare TODO,
-    src/statement_execute.c:235-238); implemented fully per SURVEY §2.5."""
+    src/statement_execute.c:235-238); implemented fully per SURVEY §2.5.
+
+    Decimal-exact sum (functions/exact.py): results are identical under
+    any partitioning/AQE plan — double summation is order-dependent."""
     if group_by_series:
         return (
             df.groupBy("series")
-            .agg(F.avg("value").alias("avg_value"))
+            .agg(exact_avg("value").alias("avg_value"))
             .orderBy("series")
         )
-    return df.agg(F.avg("value").alias("avg_value"))
+    return df.agg(exact_avg("value").alias("avg_value"))
 
 
 def ts_latest(df: DataFrame, group_by_series: bool = True) -> DataFrame:
@@ -242,7 +253,7 @@ def sample_by(
     keys = ["series", "bucket_ts"] if group_by_series else ["bucket_ts"]
     return (
         out.groupBy(*keys)
-        .agg(F.avg("value").alias("avg_value"))
+        .agg(exact_avg("value").alias("avg_value"))
         .orderBy(*keys)
     )
 

@@ -1,0 +1,94 @@
+"""Driver-facing queries that exercise the FULL query-language stack:
+query string → lexer → parser → AST → time-expr folding → Engine →
+TimeSeriesStore (partitioned parquet) → DataFrame result.
+
+This is the end-to-end parity proof for SURVEY §3.1's lifecycle: the
+oracle recomputes the same semantics in DuckDB directly from the
+events parquet, while the Spark side goes through CREATEDB/USE/CREATE/
+bulk ingest/SELECT on its own warehouse.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from raft_c_spark.engine import Engine
+from raft_c_spark.functions.exact import sql_avg
+from raft_c_spark.plans.parity import POINTS_SQL
+from raft_c_spark.sources.testdata import events_as_points
+
+DAY_NS = 86_400_000_000_000
+_T0 = "'2024-01-05'"
+_T1 = "'2024-01-25'"
+T0_NS = 1_704_412_800_000_000_000  # 2024-01-05 UTC
+T1_NS = 1_706_140_800_000_000_000  # 2024-01-25 UTC
+
+
+def _engine_with_click_series(spark, sf_dir: str) -> Engine:
+    """Fresh warehouse with the 'click' series bulk-ingested from the
+    events table (store path: series+day partitioned parquet,
+    sort-on-write)."""
+    wh = os.path.join(
+        tempfile.gettempdir(), f"raft_c_spark_lang_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    eng = Engine(spark, warehouse=wh)
+    eng.execute("CREATEDB metrics")
+    eng.execute("USE metrics")
+    eng.execute("CREATE click")
+    pts = events_as_points(spark, sf_dir).filter(F.col("series") == "click")
+    eng.store.insert_df("metrics", pts)
+    return eng
+
+
+def q_language_sample_by(spark, sf_dir):
+    """SELECT avg(value) ... BETWEEN date literals SAMPLE BY 1d —
+    through the parser; result (timestamp, value) per the reference's
+    row shape (src/encoding.c:125-159)."""
+    eng = _engine_with_click_series(spark, sf_dir)
+    return eng.execute(
+        f"SELECT avg(value) FROM click BETWEEN {_T0} AND {_T1} SAMPLE BY 1d"
+    )
+
+
+def q_language_where_limit(spark, sf_dir):
+    """SELECT with WHERE chain + LIMIT through the parser (top-50 by
+    timestamp order of the filtered scan — LIMIT applies to the
+    timestamp-ascending result, deterministic because event
+    timestamps are unique at µs resolution)."""
+    eng = _engine_with_click_series(spark, sf_dir)
+    return eng.execute(
+        "SELECT value FROM click WHERE value > 50 AND value < 200 LIMIT 50"
+    )
+
+
+QUERIES = {
+    "lang_sample_by": q_language_sample_by,
+    "lang_where_limit": q_language_where_limit,
+}
+
+_CLICK = f"SELECT timestamp, value FROM ({POINTS_SQL}) WHERE series = 'click'"
+
+ORACLES = {
+    "lang_sample_by": f"""
+        SELECT bucket_ts AS timestamp, {sql_avg('value')} AS value
+        FROM (
+            SELECT timestamp - (timestamp % {DAY_NS}) + {DAY_NS} AS bucket_ts,
+                   value
+            FROM ({_CLICK})
+            WHERE timestamp % {DAY_NS} <> 0
+              AND timestamp >= {T0_NS} AND timestamp <= {T1_NS}
+        )
+        WHERE bucket_ts < {T1_NS}
+        GROUP BY bucket_ts
+    """,
+    "lang_where_limit": f"""
+        SELECT timestamp, value FROM ({_CLICK})
+        WHERE value > 50 AND value < 200
+        ORDER BY timestamp LIMIT 50
+    """,
+}

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from raft_c_spark.operators import tsdb
-from raft_c_spark.plans.exact import exact_avg, sql_avg
+from raft_c_spark.functions.exact import exact_avg, sql_avg
 from raft_c_spark.sources.testdata import events_as_points
 
 # Fixed window constants (events span 2024-01-01 .. 2024-01-31)

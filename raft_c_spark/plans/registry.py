@@ -17,7 +17,7 @@ def _modules():
     from raft_c_spark.plans import parity, tpch
 
     mods = [parity, tpch]
-    for name in ("dedup", "text", "similarity", "events_analytics"):
+    for name in ("language", "dedup", "text", "similarity", "events_analytics"):
         try:
             mods.append(
                 __import__(f"raft_c_spark.plans.{name}", fromlist=[name])

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from raft_c_spark.plans.exact import (
+from raft_c_spark.functions.exact import (
     dec,
     exact_avg,
     exact_sum,

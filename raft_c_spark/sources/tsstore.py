@@ -1,0 +1,153 @@
+"""TimeSeriesStore — the engine's data plane.
+
+Replaces the reference's chunk/WAL/commitlog/sparse-index machinery
+(src/timeseries.c, src/partition.c, src/wal.c — per BASELINE.json the
+storage layer is "not Sparkable") with series+day partitioned parquet:
+
+- directory layout ``{warehouse}/{db}/points/series=<s>/day=<d>/*.parquet``
+  ≙ the reference's per-series directories + time partitions
+  (partition_t, src/partition.h:9-15);
+- ``day`` (timestamp div 86400e9) gives partition *directory* pruning
+  for range queries ≙ find_starting_partition (src/timeseries.c:882-891);
+- parquet row-group min/max stats on the physical ``timestamp`` column
+  ≙ the sparse index (one entry per 64-record batch,
+  src/partition.c:47-60);
+- sort-on-write within partitions ≙ the flush draining buckets in
+  timestamp order (src/partition.c:78-97).
+
+Scale notes: appends are partitioned writes (no global shuffle unless
+requested); range reads prune by directory then row-group; a series is
+spread over its days, so one hot series parallelizes across time — the
+reference's 16-partition-per-series bound (TS_MAX_PARTITIONS,
+src/timeseries.h:14) has no analog here.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+
+DAY_NS = 86_400_000_000_000
+
+POINT_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("series", Ty.StringType(), False),
+        Ty.StructField("timestamp", Ty.LongType(), False),
+        Ty.StructField("value", Ty.DoubleType(), False),
+    ]
+)
+
+
+class TimeSeriesStore:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+
+    def _points_path(self, db: str) -> str:
+        return os.path.join(self.warehouse, db, "points")
+
+    # -- write -------------------------------------------------------------
+
+    def insert_rows(
+        self,
+        db: str,
+        series: str,
+        rows: list[tuple[int, float]],
+        duplication: str = "insert",
+    ) -> int:
+        df = self.spark.createDataFrame(
+            [(series, int(t), float(v)) for t, v in rows], POINT_SCHEMA
+        )
+        return self.insert_df(db, df, duplication)
+
+    def insert_df(self, db: str, df: DataFrame, duplication: str = "insert") -> int:
+        """Append canonical-schema points. ``duplication='ignore'``
+        drops in-batch duplicate timestamps and timestamps already
+        present in the store (DP_IGNORE, src/timeseries.h:43);
+        'insert' lets identical-ns points coexist (DP_INSERT,
+        src/timeseries.c:363-385)."""
+        out = df.select(
+            F.col("series").cast("string"),
+            F.col("timestamp").cast("long"),
+            F.col("value").cast("double"),
+        )
+        if duplication == "ignore":
+            out = out.dropDuplicates(["series", "timestamp"])
+            existing = self._read_raw(db)
+            if existing is not None:
+                out = out.join(
+                    existing.select("series", "timestamp"),
+                    ["series", "timestamp"],
+                    "left_anti",
+                )
+        # integer `div` — float division would lose precision at
+        # epoch-ns magnitudes (> 2^53)
+        out = out.withColumn("day", F.expr(f"timestamp div {DAY_NS}L"))
+        n = out.count()
+        (
+            out.repartition("series", "day")
+            .sortWithinPartitions("timestamp")
+            .write.mode("append")
+            .partitionBy("series", "day")
+            .parquet(self._points_path(db))
+        )
+        return n
+
+    # -- read --------------------------------------------------------------
+
+    def _read_raw(self, db: str) -> DataFrame | None:
+        path = self._points_path(db)
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def read(
+        self,
+        db: str,
+        series: str | None = None,
+        retention_ns: int | None = None,
+        now: int | None = None,
+    ) -> DataFrame:
+        """Canonical points frame; ``series``/range filters prune
+        partition directories and row groups. Retention honored at
+        read time (the reference parses-but-ignores it — SURVEY §1.3)."""
+        raw = self._read_raw(db)
+        if raw is None:
+            return self.spark.createDataFrame([], POINT_SCHEMA)
+        out = raw
+        if series is not None:
+            out = out.filter(F.col("series") == series)
+        if retention_ns is not None:
+            import time as _time
+
+            cutoff = (now if now is not None else _time.time_ns()) - retention_ns
+            out = out.filter(F.col("timestamp") >= F.lit(cutoff))
+        return out.select("series", "timestamp", "value")
+
+    # -- maintenance -------------------------------------------------------
+
+    def drop_series(self, db: str, series: str) -> None:
+        path = os.path.join(self._points_path(db), f"series={series}")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+
+    def drop_db(self, db: str) -> None:
+        path = os.path.join(self.warehouse, db)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+
+    def vacuum(self, db: str, series: str, retention_ns: int, now: int) -> None:
+        """Physically drop whole day-partitions older than retention —
+        O(directories), no data rewrite (day granularity; read-time
+        filtering handles the partial boundary day)."""
+        cutoff_day = (now - retention_ns) // DAY_NS
+        base = os.path.join(self._points_path(db), f"series={series}")
+        if not os.path.exists(base):
+            return
+        for d in os.listdir(base):
+            if d.startswith("day=") and int(d.split("=", 1)[1]) < cutoff_day:
+                shutil.rmtree(os.path.join(base, d))

@@ -1,0 +1,221 @@
+"""End-to-end query-language tests — the Spark analog of the
+reference's storage suite (tests/timeseries_test.c:402-455): build a
+real on-disk series via the language, query it back."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from raft_c_spark.catalog import CatalogError
+from raft_c_spark.engine import Engine, ExecutionError
+from raft_c_spark.operators.tsdb import InvalidRangeError
+
+BASE = 1_700_000_000 * 10**9  # pinned epoch ns
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"))
+
+
+@pytest.fixture()
+def fixture_engine(spark, tmp_path):
+    """90 points at randomized ≤115ms spacing, value = index
+    (tests/timeseries_test.c:420-429, srand-like fixed seed)."""
+    e = Engine(spark, warehouse=str(tmp_path / "whf"))
+    e.execute("CREATEDB testdb")
+    e.execute("USE testdb")
+    e.execute("CREATE temperatures")
+    rng = random.Random(47)
+    ts = []
+    t = BASE
+    for i in range(90):
+        t += rng.randint(1, 115_000) * 1_000  # ≤115ms in ns
+        ts.append(t)
+    vals = ",".join(f"({ts[i]}, {float(i)})" for i in range(90))
+    e.execute(f"INSERT INTO temperatures VALUES {vals}")
+    return e, ts
+
+
+def _rows(df):
+    return [(r["timestamp"], r["value"]) for r in df.collect()]
+
+
+def test_ddl_meta_roundtrip(engine):
+    engine.execute("CREATEDB db-one")
+    engine.execute("CREATEDB db-two")
+    dbs = [r["database"] for r in engine.execute(".databases").collect()]
+    assert dbs == ["db-one", "db-two"]
+    engine.execute("USE db-two")
+    engine.execute("CREATE cpu")
+    engine.execute("CREATE mem 7d 'ignore'")
+    series = [r["series"] for r in engine.execute(".timeseries").collect()]
+    assert series == ["cpu", "mem"]
+    engine.execute("DELETE cpu")
+    series = [r["series"] for r in engine.execute(".timeseries").collect()]
+    assert series == ["mem"]
+    engine.execute("DELETE db-one")
+    dbs = [r["database"] for r in engine.execute(".databases").collect()]
+    assert dbs == ["db-two"]
+
+
+def test_use_missing_db(engine):
+    with pytest.raises(ExecutionError):
+        engine.execute("USE nope")
+
+
+def test_insert_requires_series(engine):
+    engine.execute("CREATEDB d")
+    engine.execute("USE d")
+    with pytest.raises(ExecutionError):
+        engine.execute("INSERT INTO ghost VALUES (1, 1.0)")
+
+
+def test_full_scan_count_and_order(fixture_engine):
+    e, ts = fixture_engine
+    rows = _rows(e.execute("SELECT value FROM temperatures"))
+    assert len(rows) == 90  # timeseries_test.c:132-153
+    assert [r[0] for r in rows] == sorted(ts)
+    assert [r[1] for r in rows] == [float(i) for i in range(90)]
+
+
+def test_first_last_min_max(fixture_engine):
+    e, ts = fixture_engine
+    # first/last → rows 0 and 89 (timeseries_test.c:50-82)
+    assert _rows(e.execute("SELECT earliest(value) FROM temperatures")) == [
+        (ts[0], 0.0)
+    ]
+    assert _rows(e.execute("SELECT latest(value) FROM temperatures")) == [
+        (ts[89], 89.0)
+    ]
+    # min/max over [ts[10], ts[80]] → records at index 10/80, inclusive
+    q = f"FROM temperatures BETWEEN {ts[10]} AND {ts[80]}"
+    assert _rows(e.execute(f"SELECT min(value) {q}")) == [(ts[10], 10.0)]
+    assert _rows(e.execute(f"SELECT max(value) {q}")) == [(ts[80], 80.0)]
+
+
+def test_randomized_range_queries(fixture_engine):
+    e, ts = fixture_engine
+    rng = random.Random(13)
+    for _ in range(20):  # timeseries_test.c:270-308 (100 there)
+        a, b = sorted(rng.sample(range(90), 2))
+        rows = _rows(
+            e.execute(f"SELECT value FROM temperatures BETWEEN {ts[a]} AND {ts[b]}")
+        )
+        assert len(rows) == b - a + 1  # inclusive bounds
+        assert [r[0] for r in rows] == ts[a : b + 1]
+
+
+def test_randomized_point_lookups(fixture_engine):
+    e, ts = fixture_engine
+    rng = random.Random(7)
+    for _ in range(10):
+        i = rng.randrange(90)
+        rows = _rows(
+            e.execute(
+                f"SELECT value FROM temperatures BETWEEN {ts[i]} AND {ts[i]}"
+            )
+        )
+        assert rows == [(ts[i], float(i))]
+
+
+def test_invalid_range_errors(fixture_engine):
+    e, ts = fixture_engine
+    with pytest.raises(InvalidRangeError):
+        e.execute(f"SELECT value FROM temperatures BETWEEN {ts[5]} AND {ts[1]}")
+
+
+def test_sample_by_alignment(fixture_engine):
+    # timeseries_test.c:84-130: every output timestamp ≡ 0 mod interval
+    e, ts = fixture_engine
+    for span, iv in [("1s", 10**9), ("2s", 2 * 10**9)]:
+        rows = _rows(e.execute(f"SELECT avg(value) FROM temperatures SAMPLE BY {span}"))
+        assert rows, span
+        assert all(t % iv == 0 for t, _ in rows)
+        # exclusive-bound check: manual replication
+        buckets = {}
+        for i, t in enumerate(ts):
+            if t % iv == 0:
+                continue  # boundary point in no bucket
+            end = t - t % iv + iv
+            buckets.setdefault(end, []).append(float(i))
+        expect = sorted((k, sum(v) / len(v)) for k, v in buckets.items())
+        assert [(t, pytest.approx(v)) for t, v in rows] == expect
+
+
+def test_where_chain_and_limit(fixture_engine):
+    e, ts = fixture_engine
+    rows = _rows(
+        e.execute("SELECT value FROM temperatures WHERE value > 12 AND value < 16")
+    )
+    assert [r[1] for r in rows] == [13.0, 14.0, 15.0]
+    rows = _rows(e.execute("SELECT value FROM temperatures LIMIT 7"))
+    assert len(rows) == 7
+
+
+def test_ooo_and_duplicate_inserts(fixture_engine):
+    """OOO + duplicate-ns inserts (timeseries_test.c:310-400; DP_INSERT
+    lets identical-ns points coexist, src/timeseries.c:363-385)."""
+    e, ts = fixture_engine
+    # late point 30µs after ts[10], plus an exact duplicate of ts[20]
+    late = ts[10] + 30_000
+    e.execute(f"INSERT INTO temperatures VALUES ({late}, 999.0)")
+    e.execute(f"INSERT INTO temperatures VALUES ({ts[20]}, 888.0)")
+    rows = _rows(e.execute("SELECT value FROM temperatures"))
+    assert len(rows) == 92
+    assert [r[0] for r in rows] == sorted(ts + [late, ts[20]])
+    # late point findable by exact lookup
+    found = _rows(
+        e.execute(f"SELECT value FROM temperatures BETWEEN {late} AND {late}")
+    )
+    assert found == [(late, 999.0)]
+    # duplicate ns: both coexist
+    dup = _rows(
+        e.execute(f"SELECT value FROM temperatures BETWEEN {ts[20]} AND {ts[20]}")
+    )
+    assert sorted(v for _, v in dup) == [20.0, 888.0]
+
+
+def test_duplication_ignore_policy(engine):
+    engine.execute("CREATEDB d")
+    engine.execute("USE d")
+    engine.execute("CREATE s 'ignore'")
+    engine.execute(f"INSERT INTO s VALUES ({BASE}, 1.0), ({BASE}, 2.0)")
+    rows = _rows(engine.execute("SELECT value FROM s"))
+    assert len(rows) == 1  # in-batch duplicate dropped
+    engine.execute(f"INSERT INTO s VALUES ({BASE}, 3.0), ({BASE + 1}, 4.0)")
+    rows = _rows(engine.execute("SELECT value FROM s"))
+    assert [(t, v) for t, v in rows] == [(BASE, 1.0), (BASE + 1, 4.0)]
+
+
+def test_retention_read_filter(engine):
+    engine.execute("CREATEDB d")
+    engine.execute("USE d")
+    engine.execute("CREATE s 1d")
+    now = BASE + 3 * 86_400 * 10**9
+    old = BASE  # 3 days before `now` → beyond 1d retention
+    fresh = now - 3600 * 10**9
+    engine.execute(f"INSERT INTO s VALUES ({old}, 1.0), ({fresh}, 2.0)")
+    rows = _rows(engine.execute("SELECT value FROM s", now=now))
+    assert rows == [(fresh, 2.0)]
+
+
+def test_insert_now_and_relative_select(engine):
+    engine.execute("CREATEDB d")
+    engine.execute("USE d")
+    engine.execute("CREATE s")
+    now = BASE
+    engine.execute("INSERT INTO s VALUES (now(), 5.5)", now=now)
+    rows = _rows(
+        engine.execute("SELECT value FROM s BETWEEN now() - 1h AND now()", now=now)
+    )
+    assert rows == [(now, 5.5)]
+
+
+def test_delete_missing_raises(engine):
+    engine.execute("CREATEDB d")
+    engine.execute("USE d")
+    with pytest.raises(CatalogError):
+        engine.execute("DELETE ghost-series FROM d")
