@@ -1,0 +1,68 @@
+"""Driver-facing similarity-search queries over ``embeddings``.
+
+The query vector is the stored embedding of vec_id=0 (data-derived on
+both sides, so Spark and the oracle rank the identical vector set).
+Exact top-k has a full oracle; the LSH variant is hash-seeded →
+rows-only driver check, recall-verified in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raft_c_spark.operators import similarity
+from raft_c_spark.sources.testdata import load_table
+
+TOP_K = 20
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+
+
+def q_sim_topk_exact(spark, sf_dir):
+    """Brute-force cosine top-20 against vec 0 — single scan,
+    per-partition top-k merge (TakeOrderedAndProject), no full sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=TOP_K)
+
+
+def q_sim_topk_lsh(spark, sf_dir):
+    """Multi-table hyperplane-LSH approximate top-20 — the bucket-
+    pruned scale path. Rows-only driver check (seeded hyperplanes);
+    recall vs exact verified in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_topk(
+        emb, _query_vec(spark, sf_dir), k=TOP_K, bits=8, tables=16
+    )
+
+
+QUERIES = {
+    "sim_topk_exact": q_sim_topk_exact,
+    "sim_topk_lsh": q_sim_topk_lsh,
+}
+
+_Q = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+_DOT = (
+    f"list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)"
+    f" FOR i IN range(1, len(e.embedding) + 1)])"
+)
+_NORM_E = (
+    "sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)"
+    " FOR i IN range(1, len(e.embedding) + 1)]))"
+)
+_NORM_Q = (
+    "sqrt(list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)"
+    " FOR i IN range(1, len(q.qv) + 1)]))"
+)
+
+ORACLES = {
+    "sim_topk_exact": f"""
+        SELECT e.vec_id AS doc,
+               {_DOT} / ({_NORM_E} * {_NORM_Q}) AS cosine
+        FROM embeddings e, (SELECT {_Q} AS qv) q
+        ORDER BY cosine DESC, doc ASC
+        LIMIT {TOP_K}
+    """,
+}

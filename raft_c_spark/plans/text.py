@@ -1,0 +1,113 @@
+"""Driver-facing text-analysis queries over ``documents``, each with a
+formula-mirrored DuckDB oracle (ASCII regex classes behave identically
+in Java regex and RE2; counts are ints; doubles are derived from ints
+with the same operand order — bit-identical across engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raft_c_spark.functions.exact import dec, sql_dec
+from raft_c_spark.operators import text
+from raft_c_spark.operators.text import STOPWORDS
+from raft_c_spark.sources.testdata import load_table
+
+
+def q_text_analyze(spark, sf_dir):
+    """Full one-pass text enrichment (token counts, ratios, lang id,
+    quality, fingerprint) — no shuffle, scan-speed at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.analyze(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        "punct_ratio",
+        "non_ascii_ratio",
+        "pred_lang",
+        "quality",
+        "fingerprint",
+    )
+
+
+def q_text_lang_profile(spark, sf_dir):
+    """Aggregate profile per predicted language; quality averaged via
+    round→decimal→exact-sum (plans/exact.py pattern for computed
+    doubles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ana = text.analyze(docs)
+    q4 = dec(F.round(F.col("quality"), 4), "8,4")
+    return (
+        ana.groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum(q4).cast("double") / F.count(F.lit(1))).alias("avg_quality"),
+        )
+        .orderBy("pred_lang")
+    )
+
+
+QUERIES = {
+    "text_analyze": q_text_analyze,
+    "text_lang_profile": q_text_lang_profile,
+}
+
+
+def _sw_sql(lang: str) -> str:
+    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+_N_TOKENS = r"len(regexp_extract_all(text, '\S+'))"
+_N_BPE = r"len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))"
+_PUNCT = (
+    r"CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)"
+    r" / greatest(length(text), 1)"
+)
+_NON_ASCII = (
+    "CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS DOUBLE)"
+    " / greatest(length(text), 1)"
+)
+_BEST = (
+    f"greatest({_sw_sql('en')}, {_sw_sql('de')}, {_sw_sql('es')}, {_sw_sql('fr')})"
+)
+_PRED_LANG = f"""
+    CASE WHEN {_NON_ASCII} > 0.3 THEN 'zh'
+         WHEN {_BEST} = 0 THEN 'unknown'
+         WHEN {_sw_sql('en')} = {_BEST} THEN 'en'
+         WHEN {_sw_sql('de')} = {_BEST} THEN 'de'
+         WHEN {_sw_sql('es')} = {_BEST} THEN 'es'
+         ELSE 'fr' END
+"""
+_TOTAL_SW = " + ".join(_sw_sql(lang) for lang in STOPWORDS)
+_QUALITY = f"""
+    0.4 * least(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
+    + 0.3 * (1.0 - least(({_PUNCT}) * 5.0, 1.0))
+    + 0.3 * least(CAST({_TOTAL_SW} AS DOUBLE) * 8.0 / greatest({_N_TOKENS}, 1), 1.0)
+"""
+_FINGERPRINT = r"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
+
+_ANALYZE_SQL = f"""
+    SELECT doc_id,
+           {_N_TOKENS} AS n_tokens,
+           {_N_BPE} AS n_bpe_tokens,
+           {_PUNCT} AS punct_ratio,
+           {_NON_ASCII} AS non_ascii_ratio,
+           {_PRED_LANG} AS pred_lang,
+           {_QUALITY} AS quality,
+           {_FINGERPRINT} AS fingerprint
+    FROM documents
+"""
+
+ORACLES = {
+    "text_analyze": _ANALYZE_SQL,
+    "text_lang_profile": f"""
+        SELECT pred_lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM({sql_dec('round(quality, 4)', '8,4')}) AS DOUBLE)
+                   / COUNT(*) AS avg_quality
+        FROM ({_ANALYZE_SQL})
+        GROUP BY pred_lang
+    """,
+}

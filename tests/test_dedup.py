@@ -1,0 +1,110 @@
+"""Dedup operator quality tests: the hash-based scale paths (MinHash
+LSH, SimHash) are verified against the exact n-gram Jaccard baseline;
+exact dedup is verified on planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from raft_c_spark.operators import dedup
+from raft_c_spark.sources.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def _pairs(df):
+    return {(r["a"], r["b"]) for r in df.collect()}
+
+
+def test_exact_dedup_planted(spark):
+    rows = [
+        (1, "The quick brown fox"),
+        (2, "the  quick   brown fox"),  # same after normalization
+        (3, "something else entirely"),
+        (4, "The Quick Brown Fox"),  # case-insensitive dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = dedup.exact_duplicates(df, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 3
+    assert groups[0]["keep_id"] == 1
+    kept = dedup.dedup_exact(df, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_minhash_recall_vs_exact(docs):
+    """LSH candidates at est≥0.7 must recover ≥90% of true ≥0.8
+    Jaccard pairs (16 bands × 4 rows: collision prob ≈ 1.0 at j=0.8)."""
+    truth = _pairs(
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    )
+    assert truth, "fixture should contain planted near-dup pairs"
+    found = _pairs(
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.7)
+    )
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} over {len(truth)} pairs"
+
+
+def test_minhash_signature_shape(docs):
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", num_perm=32)
+    row = sig.limit(1).collect()[0]
+    assert len(row["signature"]) == 32
+    assert sig.count() == docs.count()
+
+
+def test_simhash_finds_near_dups(docs):
+    """Near-identical docs (jaccard ≥ 0.9) should sit within small
+    hamming distance of each other."""
+    truth = _pairs(
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.9)
+    )
+    if not truth:
+        pytest.skip("no ≥0.9 pairs at this sf")
+    found = _pairs(dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=10))
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.8, f"simhash recall {recall:.2f} over {len(truth)} pairs"
+
+
+def test_simhash_deterministic(docs):
+    a = {r["doc"]: r["simhash"] for r in dedup.simhash64(docs, "doc_id", "text").collect()}
+    b = {r["doc"]: r["simhash"] for r in dedup.simhash64(docs, "doc_id", "text").collect()}
+    assert a == b
+
+
+def test_join_path_matches_bitmap_path(docs):
+    """The two exact physical strategies must agree (max_bitmap_shingles=0
+    forces the shingle-join path)."""
+    bitmap = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    join = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8, max_bitmap_shingles=0
+    )
+    assert _pairs(bitmap) == _pairs(join)
+
+
+def test_shingle_df_cap_is_usable(docs):
+    capped = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8, max_shingle_df=100,
+        max_bitmap_shingles=0,
+    )
+    uncapped = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    # the cap is an approximation: it must still find most planted pairs
+    t, c = _pairs(uncapped), _pairs(capped)
+    assert len(t & c) / len(t) >= 0.8
+
+
+def test_embedding_neardup_planted(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    clone = spark.createDataFrame(
+        [(90001, [v * 1.001 for v in base], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = dedup.embedding_neardup_pairs(
+        emb.unionByName(clone), "vec_id", "embedding", threshold=0.99
+    ).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(7, 90001)}

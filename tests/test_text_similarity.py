@@ -1,0 +1,103 @@
+"""Text-analysis and similarity-search operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from raft_c_spark.operators import similarity, text
+from raft_c_spark.sources.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_token_counts_edge_cases(spark):
+    rows = [(1, ""), (2, "   "), (3, "one"), (4, "a b  c"), (5, "x, y!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["n_bpe_tokens"]) for r in
+           text.analyze(df).collect()}
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 0)
+    assert out[3] == (1, 1)
+    assert out[4] == (3, 3)
+    assert out[5] == (2, 4)  # x , y !
+
+
+def test_lang_id_on_clear_samples(spark):
+    rows = [
+        (1, "the cat and the dog went to the house in the garden"),
+        (2, "der Hund und die Katze sind nicht ein Problem"),
+        (3, "el perro y la casa de los gatos que viven"),
+        (4, "le chien et les chats sont une famille est belle"),
+        (5, "你好世界这是一个测试文档没有空格"),
+        (6, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["pred_lang"] for r in text.analyze(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "zh", 6: "unknown"}
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.analyze(docs).agg(
+        F.min("quality"), F.max("quality")
+    ).collect()[0]
+    assert 0.0 <= stats[0] <= stats[1] <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    rows = [(1, "Hello   World"), (2, "hello world"), (3, "hello world!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.analyze(df).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_cosine_topk_self_first(emb):
+    q = emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    rows = similarity.cosine_topk(emb, q, k=5).collect()
+    assert rows[0]["doc"] == 3
+    assert rows[0]["cosine"] == pytest.approx(1.0)
+    sims = [r["cosine"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_recall_on_near_dups(spark, emb):
+    """Planted near-duplicates must be recovered by the multi-table
+    LSH probe (collision prob ≈ 1 at cosine ≥ 0.99)."""
+    import random
+
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    rng = random.Random(11)
+    planted = spark.createDataFrame(
+        [
+            (80000 + i, [v + rng.uniform(-0.02, 0.02) for v in q], 0)
+            for i in range(5)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    allv = emb.unionByName(planted)
+    got = {r["doc"] for r in similarity.lsh_bucketed_topk(allv, q, k=6).collect()}
+    assert {80000 + i for i in range(5)} <= got
+    assert 0 in got
+
+
+def test_lsh_prunes_candidates(emb):
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    dim = len(q)
+    sigs = F.array(
+        *[
+            similarity.lsh_signature("embedding", dim, 8, seed=1000 + t)
+            for t in range(16)
+        ]
+    )
+    qsigs = [similarity.query_signature(q, 8, seed=1000 + t) for t in range(16)]
+    qlit = F.array(*[F.lit(s) for s in qsigs])
+    n_cand = emb.filter(
+        F.exists(F.zip_with(sigs, qlit, lambda s, x: s == x), lambda b: b)
+    ).count()
+    n = emb.count()
+    assert n_cand < n, "LSH probe must prune the corpus"
