@@ -1,0 +1,137 @@
+"""Window-function operators: sessionization, per-group top-k, running
+aggregates, and a scalable as-of join.
+
+The reference has no window surface beyond SAMPLE BY (SURVEY §2.6-2.7)
+— these are the engine's capability extensions, built on Spark's
+native window machinery (one shuffle per partitioning key, then
+in-partition sorted evaluation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column], k: int
+) -> DataFrame:
+    """Top-k rows per group via row_number (deterministic iff
+    order_cols are a total order). Physical shape: single hash shuffle
+    on the group keys + in-partition sort — no global sort."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .withColumnRenamed("_rn", "rank")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_ns: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap from the
+    previous event of the same key exceeds ``gap_ns``. Classic
+    lag + cumulative-sum-of-boundaries; one shuffle on the key."""
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    gap = F.col(ts_col) - F.lag(ts_col).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > F.lit(gap_ns)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "timestamp",
+    right_ts: str = "timestamp",
+    right_cols: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right.ts <= left.ts`` (or ``<`` when strict) on the same key.
+
+    Spark lacks a native as-of join; the scalable composition is the
+    union-and-carry trick: tag both sides, union, sort within key by
+    (ts, side), and carry the right side's values forward with
+    last_value(ignoreNulls). One shuffle on the key, linear in
+    |L|+|R| — no range-join explosion (a naive join + filter + max is
+    O(|L|·|R|) per key).
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    # side 0 sorts before side 1 at equal ts → with strict=False the
+    # right row at ts == left ts is visible to the left row
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
+    )
+    l2 = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(r_tag.schema["_r"].dataType).alias("_r"),
+    )
+    r2 = r_tag.select(
+        "_k",
+        "_ts",
+        "_side",
+        F.lit(None).cast(l2.schema["_l"].dataType).alias("_l"),
+        "_r",
+    )
+    # strict: right rows at equal ts must NOT be visible → they sort
+    # after left rows (side 2)
+    if strict:
+        r2 = r2.withColumn("_side", F.lit(2))
+    u = l2.unionByName(r2)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        "_r_carry", F.last("_r", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_r_carry.{c}").alias(f"right_{c}") for c in right_cols],
+    )
+    return out
+
+
+def running_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: Column,
+    agg: str = "sum",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Running aggregate (sum/min/max/count/avg) per key in time
+    order."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fn = getattr(F, agg)
+    return df.withColumn(f"running_{agg}", fn(value_col).over(w))

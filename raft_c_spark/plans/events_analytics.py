@@ -1,0 +1,220 @@
+"""Driver-facing analytics over the ``events`` stream table: per-group
+top-k, sessionization, running aggregates, as-of join, pivoted
+profiles — the window-function capability layer (SURVEY §2.7 notes the
+reference has none; Spark provides it natively, and the DuckDB oracle
+replicates each window spec exactly).
+
+Determinism: every window order includes event_id as a tiebreak
+(timestamps could collide), so Spark and DuckDB evaluate identical
+orders; money-free doubles go through the exact-decimal pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raft_c_spark.functions.exact import dec, sql_dec
+from raft_c_spark.operators.window import (
+    asof_join,
+    running_agg,
+    sessionize,
+    topk_per_group,
+)
+from raft_c_spark.sources.testdata import load_table
+
+GAP_NS = 1_800_000_000_000  # 30 min session gap
+
+
+def _events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    t = F.col("ts").cast("long")
+    return ev.select(
+        "event_id",
+        (t - t % F.lit(1000)).alias("timestamp"),  # µs-truncated ns
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def q_ev_topk_per_user(spark, sf_dir):
+    """Top-3 events by value per user (row_number window)."""
+    ev = _events(spark, sf_dir)
+    return topk_per_group(
+        ev,
+        ["user_id"],
+        [F.desc("value"), F.asc("event_id")],
+        k=3,
+    ).select("user_id", "event_id", "value", "rank")
+
+
+def q_ev_sessionize(spark, sf_dir):
+    """30-min-gap sessionization per user → per-session stats."""
+    ev = _events(spark, sf_dir)
+    s = sessionize(ev, "user_id", "timestamp", GAP_NS, tiebreak_col="event_id")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("timestamp").alias("session_start"),
+            F.max("timestamp").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def q_ev_running_value(spark, sf_dir):
+    """Running (cumulative) value per user in time order — decimal
+    window sum for cross-engine determinism."""
+    ev = _events(spark, sf_dir)
+    out = running_agg(
+        ev,
+        "user_id",
+        "timestamp",
+        dec("value", "9,2"),
+        agg="sum",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "timestamp",
+        F.col("running_sum").cast("double").alias("running_value"),
+    )
+
+
+def q_ev_asof_purchase_click(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    click at-or-before it (union-and-carry composition — one shuffle,
+    no range explosion)."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "timestamp", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "timestamp",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", left_ts="timestamp", right_ts="timestamp",
+        right_cols=["click_id", "click_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "timestamp",
+        "value",
+        F.col("right_click_id").alias("click_id"),
+        F.col("right_click_value").alias("click_value"),
+    )
+
+
+def q_ev_type_pivot(spark, sf_dir):
+    """Per-user event-type profile (pivot → conditional aggregation)."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "user_id", *[F.col(t).alias(f"n_{t}") for t in types]
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_ev_distinct_users(spark, sf_dir):
+    """Exact distinct users + event count per type (partial+final
+    distinct aggregate)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "ev_topk_per_user": q_ev_topk_per_user,
+    "ev_sessionize": q_ev_sessionize,
+    "ev_running_value": q_ev_running_value,
+    "ev_asof_purchase_click": q_ev_asof_purchase_click,
+    "ev_type_pivot": q_ev_type_pivot,
+    "ev_distinct_users": q_ev_distinct_users,
+}
+
+_EV = (
+    "SELECT event_id, epoch_ns(ts) AS timestamp, user_id, event_type, value "
+    "FROM events"
+)
+
+ORACLES = {
+    "ev_topk_per_user": f"""
+        SELECT user_id, event_id, value, rank FROM (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rank
+            FROM ({_EV})
+        ) WHERE rank <= 3
+    """,
+    "ev_sessionize": f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, timestamp,
+                   CASE WHEN timestamp - lag(timestamp) OVER w > {GAP_NS}
+                             OR lag(timestamp) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM ({_EV})
+            WINDOW w AS (PARTITION BY user_id ORDER BY timestamp, event_id)
+        ), sessions AS (
+            SELECT user_id, timestamp,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY timestamp, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               COUNT(*) AS n_events,
+               MIN(timestamp) AS session_start,
+               MAX(timestamp) AS session_end
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    "ev_running_value": f"""
+        SELECT user_id, event_id, timestamp,
+               CAST(SUM({sql_dec('value', '9,2')})
+                    OVER (PARTITION BY user_id ORDER BY timestamp, event_id
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        FROM ({_EV})
+    """,
+    "ev_asof_purchase_click": f"""
+        SELECT p.event_id, p.user_id, p.timestamp, p.value,
+               c.event_id AS click_id, c.value AS click_value
+        FROM (SELECT * FROM ({_EV}) WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM ({_EV}) WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.timestamp <= p.timestamp
+    """,
+    "ev_type_pivot": f"""
+        SELECT user_id,
+               COUNT(*) FILTER (event_type = 'click') AS n_click,
+               COUNT(*) FILTER (event_type = 'view') AS n_view,
+               COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+               COUNT(*) FILTER (event_type = 'error') AS n_error
+        FROM ({_EV})
+        GROUP BY user_id
+    """,
+    "ev_distinct_users": f"""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM ({_EV})
+        GROUP BY event_type
+    """,
+}

@@ -17,7 +17,15 @@ def _modules():
     from raft_c_spark.plans import parity, tpch
 
     mods = [parity, tpch]
-    for name in ("language", "dedup", "text", "similarity", "events_analytics"):
+    for name in (
+        "tpch2",
+        "language",
+        "dedup",
+        "text",
+        "similarity",
+        "streaming",
+        "events_analytics",
+    ):
         try:
             mods.append(
                 __import__(f"raft_c_spark.plans.{name}", fromlist=[name])

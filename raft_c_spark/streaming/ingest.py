@@ -1,0 +1,160 @@
+"""Structured Streaming ingest — the Spark mapping of the reference's
+write path (SURVEY §2.9):
+
+| reference                                   | here                        |
+|---------------------------------------------|-----------------------------|
+| head chunk absorbing in-order inserts       | current micro-batch         |
+| prev chunk absorbing ≤15-min-late points    | ``withWatermark(15 min)``   |
+| older-than-prev forced flush (undefined     | watermark drop (bounded     |
+|   corners, src/timeseries.c:660-663)        |   lateness, well-defined)   |
+| WAL durability (src/wal.c:70-83)            | checkpoint + idempotent     |
+|                                             |   foreachBatch sink         |
+| chunk rotation every 900 s                  | tumbling window state       |
+
+The 15-minute watermark is exactly the reference's one-chunk lateness
+window (TS_CHUNK_SIZE=900 s, src/timeseries.h:13).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: schema of the events stream (TESTDATA.md), ts as TimestampType for
+#: watermarking (µs precision is sufficient for window bounds; the
+#: store keeps ns longs)
+EVENT_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("event_id", Ty.LongType()),
+        Ty.StructField("ts", Ty.TimestampType()),
+        Ty.StructField("user_id", Ty.LongType()),
+        Ty.StructField("event_type", Ty.StringType()),
+        Ty.StructField("value", Ty.DoubleType()),
+        Ty.StructField("props", Ty.StringType()),
+    ]
+)
+
+WATERMARK = "15 minutes"  # ≙ prev-chunk lateness window (900 s)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based micro-batch source over a directory of parquet drops
+    (one file per arrival batch — the test harness's replay mechanism;
+    production would be Kafka with the same downstream graph)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def stream_ingest_to_store(
+    stream: DataFrame, store, db: str, checkpoint: str
+):
+    """Exactly-once-ish ingest: watermark bounds state, foreachBatch
+    appends each micro-batch to the partitioned store (idempotent per
+    epoch via overwrite-free append + checkpoint tracking — the
+    WAL/flush story of the reference, storage-layer durability)."""
+    pts = stream.select(
+        F.col("event_type").alias("series"),
+        (F.unix_micros("ts") * 1000).alias("timestamp"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        store.insert_df(db, batch_df)
+
+    return (
+        pts.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def stream_tumbling_avg(
+    stream: DataFrame, window: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window average per series — the streaming
+    SAMPLE BY (§2.6). Late data beyond 15 min is dropped (bounded
+    lateness ≙ the prev-chunk mechanism); append mode emits each
+    window once its watermark passes."""
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window("ts", window).alias("win"),
+            F.col("event_type").alias("series"),
+        )
+        .agg(
+            F.avg("value").alias("avg_value"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .select(
+            "series",
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "avg_value",
+            "n_points",
+        )
+    )
+
+
+_STATE_SCHEMA = "last_ts long, n_points long, n_ooo long"
+_OUT_SCHEMA = (
+    "series string, last_ts long, n_points long, n_ooo long"
+)
+
+
+def _series_state_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: per-series ingest accounting — last
+    timestamp seen, total points, out-of-order arrivals (points older
+    than the running max). This is the reference's head/prev chunk
+    bookkeeping (src/timeseries.c:621-682) as an explicit state
+    machine."""
+    import numpy as np
+
+    if state.exists:
+        last_ts, n_points, n_ooo = state.get
+    else:
+        last_ts, n_points, n_ooo = 0, 0, 0
+    for pdf in pdfs:
+        ts = pdf["timestamp"].to_numpy()
+        if len(ts):
+            # a point is OOO if older than the running max (incl. the
+            # carried state) — the reference's prev-chunk routing test
+            # (sec < head.base_offset, src/timeseries.c:663)
+            running_max = np.maximum.accumulate(
+                np.concatenate(([last_ts], ts))
+            )[:-1]
+            n_ooo += int((ts < running_max).sum())
+            n_points += len(ts)
+            last_ts = max(last_ts, int(ts.max()))
+    state.update((last_ts, n_points, n_ooo))
+    yield pd.DataFrame(
+        [[key[0], last_ts, n_points, n_ooo]],
+        columns=["series", "last_ts", "n_points", "n_ooo"],
+    )
+
+
+def stream_series_state(stream: DataFrame) -> DataFrame:
+    """applyInPandasWithState over the point stream: per-series
+    (last_ts, n_points, n_ooo) — the custom-stateful-operator surface
+    (§2.10 / SURVEY §7 M4)."""
+    pts = stream.select(
+        F.col("event_type").alias("series"),
+        (F.unix_micros("ts") * 1000).alias("timestamp"),
+    )
+    return pts.groupBy("series").applyInPandasWithState(
+        _series_state_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

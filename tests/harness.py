@@ -20,10 +20,16 @@ def _norm_cell(x: Any) -> Any:
     return x
 
 
+def _row_key(row: tuple) -> tuple:
+    # type-stable total order: rows may contain NULLs and mixed types
+    return tuple((repr(type(c)), repr(c)) for c in row)
+
+
 def df_rows(df) -> list[tuple]:
     cols = sorted(df.columns)
     return sorted(
-        tuple(_norm_cell(r[c]) for c in cols) for r in df.collect()
+        (tuple(_norm_cell(r[c]) for c in cols) for r in df.collect()),
+        key=_row_key,
     )
 
 
@@ -32,7 +38,8 @@ def duck_rows(con, sql: str) -> list[tuple]:
     names = [d[0] for d in cur.description]
     order = sorted(range(len(names)), key=lambda i: names[i])
     return sorted(
-        tuple(_norm_cell(row[i]) for i in order) for row in cur.fetchall()
+        (tuple(_norm_cell(row[i]) for i in order) for row in cur.fetchall()),
+        key=_row_key,
     )
 
 

@@ -1,0 +1,177 @@
+"""Structured Streaming tests (SURVEY §2.9 / M4): micro-batch replay
+of the events table through file drops, watermark late-data semantics
+(≙ the reference's prev-chunk bounded lateness), the custom stateful
+operator, store ingest, and batched result streaming."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from raft_c_spark.sources.tsstore import TimeSeriesStore
+from raft_c_spark.streaming import (
+    read_event_stream,
+    stream_ingest_to_store,
+    stream_results,
+    stream_series_state,
+    stream_tumbling_avg,
+)
+
+UTC = dt.timezone.utc
+
+
+def _mk_events(spark, rows):
+    """rows: (event_id, ts_iso, event_type, value)"""
+    data = [
+        (i, dt.datetime.fromisoformat(t).replace(tzinfo=None), 1, et, v, "{}")
+        for (i, t, et, v) in rows
+    ]
+    from raft_c_spark.streaming.ingest import EVENT_SCHEMA
+
+    return spark.createDataFrame(data, EVENT_SCHEMA)
+
+
+def _drop(df, path, name):
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, f"_stage_{name}"))
+    # move the part file in as a single atomic-ish arrival
+    import glob
+    import shutil
+
+    part = glob.glob(os.path.join(path, f"_stage_{name}", "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(path, f"{name}.parquet"))
+    shutil.rmtree(os.path.join(path, f"_stage_{name}"))
+
+
+def test_tumbling_avg_and_late_data_drop(spark, tmp_path):
+    """Batch 1 establishes the watermark; batch 2 contains one row
+    ~2 h older than the watermark (dropped — bounded lateness, like
+    the reference's beyond-prev-chunk corner) and one in-window row
+    (kept)."""
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    b1 = _mk_events(
+        spark,
+        [
+            (1, "2024-01-01 10:05:00", "click", 10.0),
+            (2, "2024-01-01 10:20:00", "click", 20.0),
+            (3, "2024-01-01 12:00:00", "click", 40.0),  # advances watermark
+        ],
+    )
+    _drop(b1, src, "b1")
+
+    stream = read_event_stream(spark, src)
+    agg = stream_tumbling_avg(stream, "1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tumbling")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2 = _mk_events(
+            spark,
+            [
+                (4, "2024-01-01 10:07:00", "click", 99.0),  # ~2h late → dropped
+                (5, "2024-01-01 12:10:00", "click", 60.0),  # in window → kept
+                (6, "2024-01-01 14:00:00", "click", 1.0),  # closes 12:00 window
+            ],
+        )
+        _drop(b2, src, "b2")
+        q.processAllAvailable()
+        rows = {
+            (r["window_start"].isoformat(), r["avg_value"], r["n_points"])
+            for r in spark.sql("SELECT * FROM tumbling").collect()
+        }
+    finally:
+        q.stop()
+    # 10:00 window: closed after batch1's watermark advance; the late
+    # row 99.0 from batch2 must NOT appear (avg stays 15.0)
+    assert ("2024-01-01T10:00:00", 15.0, 2) in rows
+    # 12:00 window closed by batch2's 14:00 row: includes the in-window
+    # late row 60.0 → avg(40, 60) = 50
+    assert ("2024-01-01T12:00:00", 50.0, 2) in rows
+
+
+def test_stream_series_state_ooo_accounting(spark, tmp_path):
+    src = str(tmp_path / "state_src")
+    os.makedirs(src)
+    b1 = _mk_events(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", "click", 1.0),
+            (2, "2024-01-01 10:05:00", "click", 1.0),
+            (3, "2024-01-01 10:03:00", "click", 1.0),  # in-batch OOO
+            (4, "2024-01-01 09:00:00", "view", 1.0),
+        ],
+    )
+    _drop(b1, src, "b1")
+    stream = read_event_stream(spark, src)
+    out = stream_series_state(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("series_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2 = _mk_events(
+            spark,
+            [(5, "2024-01-01 09:30:00", "click", 1.0)],  # cross-batch OOO
+        )
+        _drop(b2, src, "b2")
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM series_state"
+        ).collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:  # update mode: take the last emission per series
+        latest[r["series"]] = (r["n_points"], r["n_ooo"])
+    assert latest["click"] == (4, 2)  # one in-batch + one cross-batch OOO
+    assert latest["view"] == (1, 0)
+
+
+def test_stream_ingest_to_store(spark, tmp_path):
+    src = str(tmp_path / "ingest_src")
+    os.makedirs(src)
+    b1 = _mk_events(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", "click", 1.5),
+            (2, "2024-01-01 11:00:00", "view", 2.5),
+        ],
+    )
+    _drop(b1, src, "b1")
+    store = TimeSeriesStore(spark, str(tmp_path / "wh"))
+    stream = read_event_stream(spark, src)
+    q = stream_ingest_to_store(stream, store, "streamdb", str(tmp_path / "ckpt3"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pts = store.read("streamdb")
+    rows = {(r["series"], r["value"]) for r in pts.collect()}
+    assert rows == {("click", 1.5), ("view", 2.5)}
+
+
+def test_stream_results_batching(spark):
+    df = spark.range(2500).select(
+        F.col("id").alias("timestamp"), (F.col("id") * 1.0).alias("value")
+    ).orderBy("timestamp")
+    batches = list(stream_results(df, batch_size=1000))
+    assert [len(b) for b in batches] == [1000, 1000, 500]
+    flat = [r["timestamp"] for b in batches for r in b]
+    assert flat == list(range(2500))  # order preserved across chunks
+
+
+def test_stream_results_empty(spark):
+    df = spark.range(0).select(F.col("id").alias("timestamp"))
+    assert list(stream_results(df)) == []
