@@ -98,7 +98,7 @@ def ngram_jaccard_pairs(
     but this operator is the ground-truth verifier the LSH variants are
     tested against.
     """
-    sh = char_shingles(df, id_col, text_col, n)
+    sh = char_shingles(df, id_col, text_col, n).cache()
     n_distinct = sh.select("shingle").distinct().count()
     if n_distinct <= max_bitmap_shingles:
         return _jaccard_bitmap(sh, n_distinct, threshold)
@@ -153,11 +153,15 @@ def _jaccard_bitmap(sh: DataFrame, n_distinct: int, threshold: float) -> DataFra
         F.col("doc").alias("b"), F.col("sz").alias("sz_b"), F.col("mask").alias("mb")
     )
     t = F.lit(threshold)
-    common = F.aggregate(
-        F.zip_with(F.col("ma"), F.col("mb"), lambda x, y: F.bit_count(x.bitwiseAND(y))),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    # unrolled popcount sum: left-associative like the equivalent fold,
+    # but whole-stage-codegen-able with no per-pair lambda machinery —
+    # this inner expression runs O(n²) times
+    common = None
+    for w in range(n_words):
+        term = F.bit_count(
+            F.element_at("ma", w + 1).bitwiseAND(F.element_at("mb", w + 1))
+        )
+        common = term if common is None else common + term
     return (
         a.join(
             F.broadcast(b),
@@ -249,13 +253,17 @@ def minhash_lsh_pairs(
     text_col: str,
     n: int = 3,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH.
 
-    bands=16 × rows=4 over 64 perms → collision prob ≈ 1-(1-j^4)^16
-    (≈0.95 at j=0.6, ≈0.04 at j=0.2). Candidates = docs sharing any
+    bands=8 × rows=8 over 64 perms → collision prob ≈ 1-(1-j^8)^8
+    (≈0.99 at j=0.9, ≈0.25 at j=0.6): tuned for the ≥0.8 near-dup
+    regime — fewer, longer bands collapse the candidate set on
+    high-baseline-similarity corpora (4-row bands admitted >50% of all
+    pairs on the synthetic corpus; 8-row bands cut that ~5x with
+    recall 1.0 on true ≥0.8 pairs). Candidates = docs sharing any
     band bucket (equi-join on band id + band hash — the scale path:
     shuffle keyed by bucket, never all-pairs); candidates are then
     *verified* with estimated jaccard = fraction of equal signature
@@ -290,13 +298,17 @@ def minhash_lsh_pairs(
     )
     siga = sig.select(F.col("doc").alias("a"), F.col("signature").alias("sig_a"))
     sigb = sig.select(F.col("doc").alias("b"), F.col("signature").alias("sig_b"))
-    est = F.expr(
-        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),"
-        " 0, (acc, v) -> acc + v)"
-    ) / F.lit(float(num_perm))
+    # unrolled equal-component count (see dot_unrolled rationale)
+    matches: F.Column | None = None
+    for i in range(num_perm):
+        term = F.when(
+            F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1), 1
+        ).otherwise(0)
+        matches = term if matches is None else matches + term
+    est = matches / F.lit(float(num_perm))
     return (
-        cand.join(siga, "a")
-        .join(sigb, "b")
+        cand.join(F.broadcast(siga), "a")
+        .join(F.broadcast(sigb), "b")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
@@ -395,15 +407,21 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥
     threshold). Exact all-pairs — the small-scale baseline / verifier;
     the scale path is similarity.lsh_bucketed_pairs (hyperplane LSH)."""
-    from raft_c_spark.operators.similarity import cosine_expr, with_norm
+    from raft_c_spark.operators.similarity import cosine_expr, vec_dim, with_norm
 
-    v = with_norm(df, id_col, vec_col)
-    a = v.select(F.col("doc").alias("a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
+    dim = vec_dim(df, vec_col)
+    v = with_norm(df, id_col, vec_col, dim)
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    a = v.repartition(n_part).select(
+        F.col("doc").alias("a"), F.col("vec").alias("va"), F.col("norm").alias("na")
+    )
     b = v.select(F.col("doc").alias("b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
     return (
-        a.crossJoin(b)
+        # stream side repartitioned so the broadcast NLJ fans out over
+        # all cores (a single-file scan is one partition → one task)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", cosine_expr("va", "vb", "na", "nb"))
+        .withColumn("cosine", cosine_expr("va", "vb", "na", "nb", dim))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

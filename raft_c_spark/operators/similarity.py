@@ -21,26 +21,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def vec_dim(df: DataFrame, vec_col: str) -> int:
+    return df.select(F.size(vec_col)).first()[0]
+
+
+def dot_unrolled(va: str, vb: str, dim: int) -> Column:
+    """Σ va[i]·vb[i] as an unrolled left-associative sum — numerically
+    identical to a sequential fold (the oracle's semantics) but fully
+    inside whole-stage codegen, no per-element lambda machinery. This
+    is the inner loop of O(n²) pair scans — constants matter."""
+    total: Column | None = None
+    for i in range(dim):
+        term = F.element_at(va, i + 1) * F.element_at(vb, i + 1)
+        total = term if total is None else total + term
+    return total
+
+
+def with_norm(df: DataFrame, id_col: str, vec_col: str, dim: int | None = None) -> DataFrame:
     """Project to (doc, vec: array<double>, norm). Casting float→double
     once up front keeps later arithmetic deterministic."""
+    dim = dim or vec_dim(df, vec_col)
     vec = F.expr(f"transform({vec_col}, x -> cast(x as double))")
-    return df.select(
-        F.col(id_col).alias("doc"), vec.alias("vec")
-    ).withColumn(
-        "norm",
-        F.sqrt(
-            F.expr("aggregate(vec, cast(0.0 as double), (acc, x) -> acc + x * x)")
-        ),
-    )
+    out = df.select(F.col(id_col).alias("doc"), vec.alias("vec"))
+    return out.withColumn("norm", F.sqrt(dot_unrolled("vec", "vec", dim)))
 
 
-def cosine_expr(va: str, vb: str, na: str, nb: str) -> Column:
-    dot = F.expr(
-        f"aggregate(zip_with({va}, {vb}, (x, y) -> x * y),"
-        f" cast(0.0 as double), (acc, v) -> acc + v)"
-    )
-    return dot / (F.col(na) * F.col(nb))
+def cosine_expr(va: str, vb: str, na: str, nb: str, dim: int) -> Column:
+    return dot_unrolled(va, vb, dim) / (F.col(na) * F.col(nb))
 
 
 def cosine_topk(
@@ -54,15 +61,16 @@ def cosine_topk(
     plan-time literal array; ranking is a single orderBy-limit (Spark
     executes it as a per-partition top-k + merge — no full sort)."""
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
-    v = with_norm(df, id_col, vec_col)
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    dot = F.expr(
-        "aggregate(zip_with(vec, qvec, (x, y) -> x * y),"
-        " cast(0.0 as double), (acc, v) -> acc + v)"
-    )
+    dim = len(query_vec)
+    v = with_norm(df, id_col, vec_col, dim)
+    # the query is folded in as per-element literals — no array column,
+    # each product is a codegen'd constant multiply
+    dot: Column | None = None
+    for i in range(dim):
+        term = F.element_at("vec", i + 1) * F.lit(float(query_vec[i]))
+        dot = term if dot is None else dot + term
     return (
-        v.withColumn("qvec", qlit)
-        .withColumn("cosine", dot / (F.col("norm") * F.lit(qnorm)))
+        v.withColumn("cosine", dot / (F.col("norm") * F.lit(qnorm)))
         .select("doc", "cosine")
         .orderBy(F.desc("cosine"), F.asc("doc"))
         .limit(k)
@@ -118,15 +126,69 @@ def lsh_signature(vec_col: str, dim: int, bits: int = 16, seed: int = 42) -> Col
     )
 
 
+def _plane_matrix(dim: int, bits: int, tables: int) -> "np.ndarray":
+    import numpy as np
+
+    return np.array(
+        [
+            [_hyperplane(dim, i, seed=1000 + t) for i in range(bits)]
+            for t in range(tables)
+        ]
+    )  # (tables, bits, dim)
+
+
 def query_signature(query_vec: list[float], bits: int, seed: int) -> int:
-    """Driver-side signature of a query vector — the same formula as
-    lsh_signature (sequential double dot product, sign bit)."""
-    qsig = 0
+    """Driver-side signature of a query vector (numpy dot, matching
+    the numpy batch kernel in lsh_candidates)."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    sig = 0
     for i in range(bits):
-        plane = _hyperplane(len(query_vec), i, seed)
-        if sum(float(query_vec[j]) * plane[j] for j in range(len(query_vec))) > 0:
-            qsig |= 1 << i
-    return qsig
+        plane = np.asarray(_hyperplane(len(query_vec), i, seed))
+        if float(q @ plane) > 0:
+            sig |= 1 << i
+    return sig
+
+
+def lsh_candidates(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 16,
+) -> DataFrame:
+    """Rows whose hyperplane signature matches the query's in ANY of
+    ``tables`` independent tables. Signatures are computed in a
+    vectorized numpy kernel (mapInPandas): one (batch × dim) @
+    (dim × tables·bits) matrix multiply per Arrow batch — the
+    Pandas-UDF-beats-per-row-expression case. At 100 TB signatures are
+    precomputed stored columns and each table a bucketed layout: the
+    probe reads ``tables`` buckets, never the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    dim = len(query_vec)
+    planes = _plane_matrix(dim, bits, tables)  # (T, B, dim)
+    flat = planes.reshape(tables * bits, dim).T  # (dim, T*B)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    qsigs = np.array(
+        [query_signature(query_vec, bits, seed=1000 + t) for t in range(tables)]
+    )
+    out_schema = df.schema
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits_m = (m @ flat > 0).astype(np.int64)  # (n, T*B)
+            sigs = bits_m.reshape(len(pdf), tables, bits) @ weights  # (n, T)
+            hit = (sigs == qsigs).any(axis=1)
+            yield pdf[hit]
+
+    return df.mapInPandas(kernel, out_schema)
 
 
 def lsh_bucketed_topk(
@@ -138,23 +200,9 @@ def lsh_bucketed_topk(
     bits: int = 8,
     tables: int = 16,
 ) -> DataFrame:
-    """Approximate top-k via multi-table hyperplane LSH: ``tables``
-    independent ``bits``-bit signatures; a vector is a candidate if it
-    shares the query's bucket in ANY table (standard L-tables LSH —
-    recall for a pair at angle θ is 1-(1-(1-θ/π)^bits)^tables, ≈1.0
-    for near-duplicates at these defaults). Exact cosine ranking runs
-    on the candidate set only.
-
-    At 100 TB the signatures are precomputed stored columns and each
-    table is a bucketed layout: the probe reads ``tables`` buckets,
-    never the corpus."""
-    dim = len(query_vec)
-    sigs = F.array(
-        *[lsh_signature(vec_col, dim, bits, seed=1000 + t) for t in range(tables)]
-    )
-    qsigs = F.array(
-        *[F.lit(query_signature(query_vec, bits, seed=1000 + t)) for t in range(tables)]
-    )
-    hit = F.exists(F.zip_with(sigs, qsigs, lambda s, q: s == q), lambda b: b)
-    cand = df.filter(hit)
+    """Approximate top-k via multi-table hyperplane LSH: candidates
+    from lsh_candidates (recall for a pair at angle θ is
+    1-(1-(1-θ/π)^bits)^tables — ≈1.0 for near-duplicates at these
+    defaults), exact cosine ranking on the candidate set only."""
+    cand = lsh_candidates(df, query_vec, id_col, vec_col, bits, tables)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)

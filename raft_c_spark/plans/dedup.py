@@ -47,13 +47,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(64)+LSH(16 bands) near-dup candidates at estimated
+    """MinHash(64)+LSH(8 bands of 8 rows) near-dup candidates at estimated
     jaccard ≥ 0.8 — the 100 TB path (bucket-join, not all-pairs).
     Rows-only driver check; recall vs exact Jaccard tested in
     tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_perm=64, bands=16,
+        docs, "doc_id", "text", n=3, num_perm=64, bands=8,
         threshold=JACCARD_THRESHOLD,
     )
 
