@@ -21,8 +21,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(18,4)"
-DEC_SQL = "DECIMAL(18,4)"
+# scale 10: value quantization ≤ 5e-11 (immaterial next to the
+# reference's double semantics — a hypothesis test pins the bound)
+# while leaving 28 integer digits of exact-sum headroom
+DEC = "decimal(38,10)"
+DEC_SQL = "DECIMAL(38,10)"
 
 
 def dec(col: Column | str, spec: str = "9,2") -> Column:

@@ -1,0 +1,93 @@
+"""Plan-quality assertions: these lock in the 100 TB design choices —
+predicate pushdown to the parquet scan, broadcast joins for
+dimensions, partial aggregation — by inspecting the physical plan.
+A regression here is a performance bug even when results stay correct."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from raft_c_spark.engine import Engine
+from raft_c_spark.plans import tpch
+from raft_c_spark.sources.testdata import load_table
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_store_range_scan_pushes_down(spark, tmp_path):
+    """Range predicates on the materialized store reach the parquet
+    scan (PushedFilters) AND prune day partitions (PartitionFilters) —
+    the sparse-index + partition-pruning parity of the reference
+    (src/index.c:65-109, src/timeseries.c:882-891)."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.execute("CREATEDB d")
+    eng.execute("USE d")
+    eng.execute("CREATE s")
+    base = 1_700_000_000_000_000_000
+    day = 86_400_000_000_000
+    rows = ",".join(
+        f"({base + i * day}, {float(i)})" for i in range(5)
+    )
+    eng.execute(f"INSERT INTO s VALUES {rows}")
+    df = eng.execute(
+        f"SELECT value FROM s BETWEEN {base + day} AND {base + 2 * day}"
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(timestamp" in plan, plan
+    assert "LessThanOrEqual(timestamp" in plan, plan
+    # day is a physical partition column → partition pruning applies
+    assert "PartitionFilters" in plan
+
+
+def test_events_scan_prunes_columns(spark, sf_dir):
+    """Column pruning: a 2-column projection must not read all 6
+    event columns (ReadSchema check)."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select("event_type", "value")
+    plan = plan_of(df)
+    read_schema = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ][0]
+    assert "event_type" in read_schema and "value" in read_schema
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_tpch_q3_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(tpch.q_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q1_partial_aggregation(spark, sf_dir):
+    plan = plan_of(tpch.q_pricing_summary(spark, sf_dir))
+    # partial+final split (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+    assert "Functions: [partial_" in plan or "partial_sum" in plan
+
+
+def test_tpch_q6_filter_pushdown(spark, sf_dir):
+    plan = plan_of(tpch.q_forecast_revenue(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed, pushed
+
+
+def test_whole_stage_codegen_covers_text_analysis(spark, sf_dir):
+    """Text analysis must stay inside whole-stage codegen (no Python
+    UDF stages in the plan)."""
+    from raft_c_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(text.analyze(docs))
+    # formatted mode marks codegen'd operators with a '*' prefix
+    assert "* Project" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
