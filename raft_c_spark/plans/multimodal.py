@@ -1,0 +1,56 @@
+"""Driver-facing multimodal queries. The driver ships no media
+parquet, so these run over the deterministic synthetic media table
+(seeded, identical every run) — rows-only driver checks; the Spark
+plumbing (binary columns, Arrow batching, row explosion) is the thing
+under test, with correctness pinned by tests/test_multimodal.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raft_c_spark.operators import multimodal as mm
+
+
+def q_mm_features(spark, sf_dir):
+    """Feature extraction over every media row (image/audio/video) —
+    payload → fixed-size vector via the Arrow-batched kernel; returns
+    id, kind, and the feature norm (stable scalar summary)."""
+    media = mm.synthetic_media(spark, n=128)
+    feats = mm.extract_features(media)
+    from raft_c_spark.operators.similarity import dot_unrolled
+
+    return feats.select(
+        "media_id",
+        "kind",
+        F.sqrt(
+            dot_unrolled(
+                "features", "features", mm.FEATURE_DIM
+            )
+        ).alias("feature_norm"),
+    )
+
+
+def q_mm_frame_index(spark, sf_dir):
+    """Video frame sampling (1 row per sampled frame) joined back to
+    media metadata — the row-explosion + re-join shape of a real
+    frame-indexing pipeline."""
+    media = mm.synthetic_media(spark, n=128)
+    frames = mm.sample_frames(media, every_ms=500)
+    meta = media.select("media_id", "mime", "duration_ms")
+    return (
+        frames.join(F.broadcast(meta), "media_id")
+        .groupBy("media_id", "mime", "duration_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_ts_ms").alias("last_frame_ms"),
+        )
+        .orderBy("media_id")
+    )
+
+
+QUERIES = {
+    "mm_features": q_mm_features,
+    "mm_frame_index": q_mm_frame_index,
+}
+
+ORACLES: dict[str, str] = {}  # no media tables in the oracle's views

@@ -24,6 +24,7 @@ def _modules():
         "text",
         "similarity",
         "streaming",
+        "multimodal",
         "events_analytics",
     ):
         try:
