@@ -179,6 +179,31 @@ class Engine:
                 points, [(w.key, w.op, w.value) for w in stmt.where]
             )
 
+        if len(stmt.functions) > 1:
+            # multi-aggregate select (grammar doc
+            # src/statement_parse.h:97): one row, one column per
+            # aggregate, order preserved
+            if stmt.sampling is not None:
+                raise ExecutionError(
+                    "multi-aggregate select cannot combine with SAMPLE BY"
+                )
+            from raft_c_spark.functions.exact import exact_avg
+
+            agg_map = {
+                ast.Fn.MIN: F.min("value"),
+                ast.Fn.MAX: F.max("value"),
+                ast.Fn.AVG: exact_avg("value"),
+            }
+            cols = [
+                agg_map[fn].alias(f"{fn.value}_value") for fn in stmt.functions
+            ]
+            out = points.agg(*cols).where(
+                F.col(f"{stmt.functions[0].value}_value").isNotNull()
+            )
+            if stmt.limit is not None:
+                out = out.limit(stmt.limit)
+            return out
+
         if stmt.sampling is not None:
             interval = eval_timeunit(stmt.sampling, now)
             out = tsdb.sample_by(

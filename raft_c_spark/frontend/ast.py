@@ -155,6 +155,11 @@ class Select:
     where: tuple[WhereCond, ...] = ()
     function: Fn = Fn.NONE
     fn_arg: int | None = None  # earliest(value, n)
+    #: multi-aggregate form `SELECT min(value), max(value), avg(value)`
+    #: (grammar doc src/statement_parse.h:97 — parser-unsupported in the
+    #: reference, implemented here); when non-empty, ``function`` holds
+    #: the first entry
+    functions: tuple[Fn, ...] = ()
     sampling: TimeUnit | None = None
     limit: int | None = None
     flags: QueryFlags = QueryFlags(0)

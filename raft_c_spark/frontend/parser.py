@@ -170,21 +170,37 @@ class _Parser:
         flags = QueryFlags.BASE
         function = Fn.NONE
         fn_arg = None
+        functions: list[Fn] = []
         t = self.peek()
         if t.type is T.FUNC:
-            self.next()
-            if t.value == "now":
-                raise ParseError("now() is not a projection", t.pos)
-            function = Fn(t.value)
-            flags |= QueryFlags.FUNC
-            self.expect(T.LPAREN)
-            # projected identifier parsed and discarded — single value
-            # column (src/statement_parse.c:1034-1043)
-            if self.peek().type in (T.IDENTIFIER, T.VALUE):
-                self.next()
-            if function is Fn.EARLIEST and self.accept(T.COMMA):
-                fn_arg = int(self._parse_number())
-            self.expect(T.RPAREN)
+            # one or more aggregate calls: the multi-aggregate form
+            # `SELECT min(value), max(value), avg(value)` is grammar-doc
+            # declared (src/statement_parse.h:97) but unsupported by the
+            # reference parser — implemented here per SURVEY §2.5
+            while True:
+                ft = self.expect(T.FUNC)
+                if ft.value == "now":
+                    raise ParseError("now() is not a projection", ft.pos)
+                fn = Fn(ft.value)
+                functions.append(fn)
+                flags |= QueryFlags.FUNC
+                self.expect(T.LPAREN)
+                # projected identifier parsed and discarded — single
+                # value column (src/statement_parse.c:1034-1043)
+                if self.peek().type in (T.IDENTIFIER, T.VALUE):
+                    self.next()
+                if fn is Fn.EARLIEST and self.accept(T.COMMA):
+                    fn_arg = int(self._parse_number())
+                self.expect(T.RPAREN)
+                if not self.accept(T.COMMA):
+                    break
+            function = functions[0]
+            if len(functions) > 1 and not set(functions) <= {
+                Fn.MIN, Fn.MAX, Fn.AVG
+            }:
+                raise ParseError(
+                    "multi-aggregate select supports min/max/avg only", t.pos
+                )
         elif t.type in (T.IDENTIFIER, T.VALUE):
             self.next()  # SELECT value — identifier discarded
         else:
@@ -221,6 +237,7 @@ class _Parser:
             where=where,
             function=function,
             fn_arg=fn_arg,
+            functions=tuple(functions),
             sampling=sampling,
             limit=limit,
             flags=flags,

@@ -79,8 +79,25 @@ class TimeSeriesStore:
             out = out.dropDuplicates(["series", "timestamp"])
             existing = self._read_raw(db)
             if existing is not None:
+                # prune the anti-join's right side to the (series, day)
+                # partitions the batch touches — partition-directory
+                # pruning makes this O(touched partitions), not a full
+                # store scan, no matter how large the store grows
+                touched = [
+                    (r["series"], r["day"])
+                    for r in out.select(
+                        "series", F.expr(f"timestamp div {DAY_NS}L").alias("day")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                cond = F.lit(False)
+                for s, d in touched:
+                    cond = cond | (
+                        (F.col("series") == s) & (F.col("day") == d)
+                    )
                 out = out.join(
-                    existing.select("series", "timestamp"),
+                    existing.filter(cond).select("series", "timestamp"),
                     ["series", "timestamp"],
                     "left_anti",
                 )
@@ -139,6 +156,28 @@ class TimeSeriesStore:
         path = os.path.join(self.warehouse, db)
         if os.path.exists(path):
             shutil.rmtree(path)
+
+    def compact(self, db: str) -> None:
+        """Rewrite the store with one sorted file set per (series, day)
+        partition — the small-file maintenance pass every append-heavy
+        parquet layout needs (each INSERT appends a file per touched
+        partition; reads stay correct but open more files than
+        necessary). ≙ the reference's chunk→partition flush compaction
+        (src/partition.c:62-125), run out-of-band here."""
+        raw = self._read_raw(db)
+        if raw is None:
+            return
+        path = self._points_path(db)
+        tmp = path + ".compacting"
+        (
+            raw.repartition("series", "day")
+            .sortWithinPartitions("timestamp")
+            .write.mode("overwrite")
+            .partitionBy("series", "day")
+            .parquet(tmp)
+        )
+        shutil.rmtree(path)
+        os.rename(tmp, path)
 
     def vacuum(self, db: str, series: str, retention_ns: int, now: int) -> None:
         """Physically drop whole day-partitions older than retention —

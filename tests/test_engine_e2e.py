@@ -219,3 +219,91 @@ def test_delete_missing_raises(engine):
     engine.execute("USE d")
     with pytest.raises(CatalogError):
         engine.execute("DELETE ghost-series FROM d")
+
+
+def test_multi_aggregate_select(fixture_engine):
+    """SELECT min(value), max(value), avg(value) — grammar-doc form
+    (src/statement_parse.h:97), parser-unsupported in the reference."""
+    e, ts = fixture_engine
+    rows = e.execute(
+        "SELECT min(value), max(value), avg(value) FROM temperatures"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["min_value"] == 0.0
+    assert r["max_value"] == 89.0
+    assert r["avg_value"] == pytest.approx(44.5)
+    # empty range → empty frame, not a NULL row
+    hi = ts[89] + 10**9
+    assert (
+        e.execute(
+            f"SELECT min(value), avg(value) FROM temperatures "
+            f"BETWEEN {hi} AND {hi + 1}"
+        ).count()
+        == 0
+    )
+
+
+def test_multi_aggregate_rejects_latest(engine):
+    from raft_c_spark.frontend.ast import ParseError
+
+    engine.execute("CREATEDB d")
+    engine.execute("USE d")
+    engine.execute("CREATE s")
+    with pytest.raises(ParseError):
+        engine.execute("SELECT min(value), latest(value) FROM s")
+
+
+def test_cold_start_reload(spark, tmp_path):
+    """New Engine over an existing warehouse sees catalog + data —
+    the reference's dbcontext_init/ts_init recovery (SURVEY §3.3),
+    which for us is just read-back."""
+    wh = str(tmp_path / "persisted")
+    e1 = Engine(spark, warehouse=wh)
+    e1.execute("CREATEDB d")
+    e1.execute("USE d")
+    e1.execute("CREATE s 7d 'ignore'")
+    e1.execute(f"INSERT INTO s VALUES ({BASE}, 1.5), ({BASE + 1000}, 2.5)")
+
+    e2 = Engine(spark, warehouse=wh)  # fresh instance, same warehouse
+    assert [r["database"] for r in e2.execute(".databases").collect()] == ["d"]
+    e2.execute("USE d")
+    assert e2.catalog.series_opts("d", "s")["duplication"] == "ignore"
+    # pin now(): the series has 7d retention and the fixture data is
+    # at a fixed epoch
+    rows = _rows(e2.execute("SELECT value FROM s", now=BASE + 3600 * 10**9))
+    assert rows == [(BASE, 1.5), (BASE + 1000, 2.5)]
+
+
+def test_dup_ignore_across_partition_days(engine):
+    """'ignore' must catch duplicates already persisted in other
+    inserts (partition-pruned anti-join path)."""
+    engine.execute("CREATEDB d")
+    engine.execute("USE d")
+    engine.execute("CREATE s 'ignore'")
+    day = 86_400 * 10**9
+    engine.execute(f"INSERT INTO s VALUES ({BASE}, 1.0), ({BASE + day}, 2.0)")
+    engine.execute(
+        f"INSERT INTO s VALUES ({BASE}, 99.0), ({BASE + 2 * day}, 3.0)"
+    )
+    rows = _rows(engine.execute("SELECT value FROM s"))
+    assert rows == [(BASE, 1.0), (BASE + day, 2.0), (BASE + 2 * day, 3.0)]
+
+
+def test_compaction_preserves_results(spark, tmp_path):
+    import glob
+
+    wh = str(tmp_path / "cmp")
+    e = Engine(spark, warehouse=wh)
+    e.execute("CREATEDB d")
+    e.execute("USE d")
+    e.execute("CREATE s")
+    for i in range(5):  # five appends → five file sets per partition
+        e.execute(f"INSERT INTO s VALUES ({BASE + i * 1000}, {float(i)})")
+    before = _rows(e.execute("SELECT value FROM s"))
+    n_files_before = len(glob.glob(f"{wh}/d/points/series=s/*/*.parquet"))
+    e.store.compact("d")
+    after = _rows(e.execute("SELECT value FROM s"))
+    n_files_after = len(glob.glob(f"{wh}/d/points/series=s/*/*.parquet"))
+    assert after == before
+    assert n_files_after < n_files_before
