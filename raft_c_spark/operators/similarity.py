@@ -191,6 +191,58 @@ def lsh_candidates(
     return df.mapInPandas(kernel, out_schema)
 
 
+def ivf_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means centroids over the corpus; each
+    vector is assigned to its nearest centroid's inverted list.
+
+    Returns (assigned_df with ``_list`` column, centroids ndarray).
+    At 100 TB the assignment is a stored/bucketed column (repartition
+    by ``_list``) and the fit runs on a sample; here the fit is exact
+    MLlib k-means (seeded → deterministic)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    feat = df.withColumn(
+        "_features", array_to_vector(F.expr(f"transform({vec_col}, x -> cast(x as double))"))
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_features", predictionCol="_list")
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("_features")
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the ``n_probe`` inverted lists
+    whose centroids are nearest the query, exact cosine ranking inside
+    them. Complementary to hyperplane LSH: IVF adapts to the data
+    distribution (clustered corpora), LSH is distribution-free."""
+    import numpy as np
+
+    assigned, centroids = ivf_index(df, id_col, vec_col, n_lists, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:n_probe]]
+    cand = assigned.filter(F.col("_list").isin(probe)).drop("_list")
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec: list[float],

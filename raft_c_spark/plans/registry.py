@@ -25,6 +25,7 @@ def _modules():
         "similarity",
         "streaming",
         "multimodal",
+        "semistructured",
         "events_analytics",
     ):
         try:

@@ -1,0 +1,104 @@
+"""Semi-structured + skew + approximate query surface over ``events``:
+
+- JSON property extraction (events.props is a JSON string column) —
+  pushdown-friendly get_json_object, oracle via DuckDB json functions;
+- salted aggregation on the (low-cardinality, skewed) event_type key —
+  same answer as the plain aggregate by construction, oracle-checked;
+- approximate aggregates (HLL distinct, quantile sketch) — rows-only
+  (sketches differ across engines); error bounds pinned in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raft_c_spark.functions.exact import exact_avg, sql_avg
+from raft_c_spark.operators.skew import salted_agg
+from raft_c_spark.sources.testdata import load_table
+
+
+def q_ev_json_props(spark, sf_dir):
+    """Extract props.k per event type: JSON scalar pull + aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_ev_salted_agg(spark, sf_dir):
+    """Two-stage salted aggregate on the skewed event_type key —
+    results identical to the direct aggregate (merge of algebraic
+    partials), physical plan immune to hot-key reducer skew."""
+    ev = load_table(spark, sf_dir, "events")
+    from raft_c_spark.functions.exact import dec
+
+    ev = ev.withColumn("value_dec", dec("value", "9,2"))
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "*"),
+            "sum_value": ("sum", "value_dec"),
+            "max_value": ("max", "value"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "max_value",
+    ).orderBy("event_type")
+
+
+def q_ev_approx_profile(spark, sf_dir):
+    """Approximate distinct users (HLL++) + approximate value
+    quantiles per event type — the sketch-based path for cardinality/
+    quantiles at 100 TB. Rows-only driver check (sketches are
+    engine-specific); error bounds vs exact are pinned in
+    tests/test_scale_ops.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
+                "value_quantiles"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "ev_json_props": q_ev_json_props,
+    "ev_salted_agg": q_ev_salted_agg,
+    "ev_approx_profile": q_ev_approx_profile,
+}
+
+ORACLES = {
+    "ev_json_props": """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               COUNT(json_extract_string(props, '$.k')) AS n_with_k
+        FROM events
+        GROUP BY event_type
+    """,
+    "ev_salted_agg": f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY event_type
+    """,
+    # ev_approx_profile: intentionally no oracle (sketch-specific)
+}

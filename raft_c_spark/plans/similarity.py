@@ -38,9 +38,21 @@ def q_sim_topk_lsh(spark, sf_dir):
     )
 
 
+def q_sim_topk_ivf(spark, sf_dir):
+    """IVF approximate top-20: seeded k-means coarse quantizer, probe
+    the 4 nearest of 16 inverted lists, exact ranking inside. Rows-only
+    driver check; recall on planted clones verified in
+    tests/test_scale_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, _query_vec(spark, sf_dir), k=TOP_K, n_lists=16, n_probe=4
+    )
+
+
 QUERIES = {
     "sim_topk_exact": q_sim_topk_exact,
     "sim_topk_lsh": q_sim_topk_lsh,
+    "sim_topk_ivf": q_sim_topk_ivf,
 }
 
 _Q = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"

@@ -1,0 +1,119 @@
+"""Scale-path operator tests: IVF similarity, salted aggregation,
+approximate aggregates — correctness/recall/error-bound checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from raft_c_spark.operators import similarity
+from raft_c_spark.operators.skew import salted_agg
+from raft_c_spark.sources.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def test_ivf_topk_recall_on_planted(spark, emb):
+    import random
+
+    q = emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"]
+    rng = random.Random(3)
+    planted = spark.createDataFrame(
+        [(70000 + i, [v + rng.uniform(-0.02, 0.02) for v in q], 0) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    allv = emb.unionByName(planted)
+    got = {r["doc"] for r in similarity.ivf_topk(allv, q, k=5).collect()}
+    # near-clones land in the query's own probe lists
+    assert {70000 + i for i in range(4)} <= got
+    assert 5 in got
+
+
+def test_ivf_deterministic(emb):
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    a = [(r["doc"], round(r["cosine"], 9)) for r in similarity.ivf_topk(emb, q, k=8).collect()]
+    b = [(r["doc"], round(r["cosine"], 9)) for r in similarity.ivf_topk(emb, q, k=8).collect()]
+    assert a == b
+
+
+def test_ivf_prunes(emb):
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    assigned, _ = similarity.ivf_index(emb)
+    n = emb.count()
+    # probing 4 of 16 lists reads a strict subset of the corpus
+    sizes = {r["_list"]: r["n"] for r in assigned.groupBy("_list").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(sizes) > 4
+    assert sum(sizes.values()) == n
+
+
+def test_salted_agg_matches_direct(events):
+    direct = {
+        r["event_type"]: (r["n"], round(r["s"], 6), r["mx"], round(r["av"], 6))
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.max("value").alias("mx"),
+            F.avg("value").alias("av"),
+        )
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (
+            r["n"],
+            round(r["s"], 6),
+            r["mx"],
+            round(r["av"], 6),
+        )
+        for r in salted_agg(
+            events,
+            ["event_type"],
+            {
+                "n": ("count", "*"),
+                "s": ("sum", "value"),
+                "mx": ("max", "value"),
+                "av": ("avg", "value"),
+            },
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_agg_rejects_non_decomposable(events):
+    with pytest.raises(ValueError):
+        salted_agg(events, ["event_type"], {"m": ("median", "value")})
+
+
+def test_approx_count_distinct_error_bound(events):
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, n, approx[k])
+
+
+def test_percentile_approx_brackets_exact(events):
+    exact = events.agg(
+        F.expr("percentile(value, 0.5)").alias("p50")
+    ).collect()[0]["p50"]
+    approx = events.agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50")
+    ).collect()[0]["p50"]
+    assert approx == pytest.approx(exact, rel=0.05)
