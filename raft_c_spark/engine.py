@@ -173,6 +173,11 @@ class Engine:
             # normalizes t0 *down* to an interval multiple and scans
             # [t0_norm, t1] (src/timeseries.c:1273-1276) — a pre-filter
             # at t0 would wrongly drop points in [t0_norm, t0)
+        elif stmt.selector is not None:
+            # S_SINGLE point lookup (AT <time>): exact-ns equality,
+            # may return several rows (duplicate-ns points are legal)
+            t_at = eval_timeunit(stmt.selector, now)
+            points = points.filter(F.col("timestamp") == F.lit(t_at))
 
         if stmt.where:
             points = tsdb.where_chain(

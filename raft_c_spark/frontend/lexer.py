@@ -37,6 +37,7 @@ class T(enum.Enum):
     INTO = "INTO"
     WHERE = "WHERE"
     BETWEEN = "BETWEEN"
+    AT = "AT"
     AND = "AND"
     OR = "OR"
     SAMPLE = "SAMPLE"
@@ -76,6 +77,7 @@ _KEYWORDS = {
     "into": T.INTO,
     "where": T.WHERE,
     "between": T.BETWEEN,
+    "at": T.AT,
     "and": T.AND,
     "or": T.OR,
     "sample": T.SAMPLE,

@@ -220,6 +220,13 @@ class _Parser:
             end = self.parse_timeunit()
             selector = ast.Interval(start, end)
             flags |= QueryFlags.RNGE
+        elif self.accept(T.AT):
+            # exact-timestamp point lookup — the S_SINGLE selector the
+            # reference declares in its AST (src/statement_parse.h:192-203)
+            # but gives no grammar path; AT <time> is our documented
+            # syntax for it (maps to ts_find, src/timeseries.c:729-780)
+            selector = self.parse_timeunit()
+            flags |= QueryFlags.RNGE
         if self.accept(T.WHERE):
             where = self._parse_where()
             flags |= QueryFlags.COND

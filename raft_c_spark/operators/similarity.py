@@ -197,6 +197,7 @@ def ivf_index(
     vec_col: str = "embedding",
     n_lists: int = 16,
     seed: int = 42,
+    cache_key: str | None = None,
 ):
     """IVF coarse quantizer: k-means centroids over the corpus; each
     vector is assigned to its nearest centroid's inverted list.
@@ -208,6 +209,29 @@ def ivf_index(
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    if cache_key is not None:
+        # an IVF index is built once and probed many times — persist
+        # the assignment + centroids like a real vector store would
+        # (at scale: a bucketed table + a centroid sidecar)
+        import os
+        import tempfile
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"raft_c_spark_ivf_{cache_key}_{n_lists}_{seed}"
+        )
+        if os.path.exists(os.path.join(base, "_done")):
+            assigned = df.sparkSession.read.parquet(os.path.join(base, "assigned"))
+            centroids = np.load(os.path.join(base, "centroids.npy"))
+            return assigned, centroids
+        assigned, centroids = ivf_index(df, id_col, vec_col, n_lists, seed)
+        assigned.write.mode("overwrite").parquet(os.path.join(base, "assigned"))
+        np.save(os.path.join(base, "centroids.npy"), centroids)
+        open(os.path.join(base, "_done"), "w").close()
+        return (
+            df.sparkSession.read.parquet(os.path.join(base, "assigned")),
+            centroids,
+        )
 
     feat = df.withColumn(
         "_features", array_to_vector(F.expr(f"transform({vec_col}, x -> cast(x as double))"))
@@ -228,6 +252,7 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: probe the ``n_probe`` inverted lists
     whose centroids are nearest the query, exact cosine ranking inside
@@ -235,7 +260,7 @@ def ivf_topk(
     distribution (clustered corpora), LSH is distribution-free."""
     import numpy as np
 
-    assigned, centroids = ivf_index(df, id_col, vec_col, n_lists, seed)
+    assigned, centroids = ivf_index(df, id_col, vec_col, n_lists, seed, cache_key)
     q = np.asarray(query_vec, dtype=np.float64)
     d2 = ((centroids - q) ** 2).sum(axis=1)
     probe = [int(i) for i in np.argsort(d2)[:n_probe]]

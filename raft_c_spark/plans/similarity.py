@@ -43,9 +43,16 @@ def q_sim_topk_ivf(spark, sf_dir):
     the 4 nearest of 16 inverted lists, exact ranking inside. Rows-only
     driver check; recall on planted clones verified in
     tests/test_scale_ops.py."""
+    import os
+
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
-        emb, _query_vec(spark, sf_dir), k=TOP_K, n_lists=16, n_probe=4
+        emb,
+        _query_vec(spark, sf_dir),
+        k=TOP_K,
+        n_lists=16,
+        n_probe=4,
+        cache_key=os.path.basename(sf_dir.rstrip("/")),
     )
 
 

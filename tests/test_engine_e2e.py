@@ -307,3 +307,25 @@ def test_compaction_preserves_results(spark, tmp_path):
     n_files_after = len(glob.glob(f"{wh}/d/points/series=s/*/*.parquet"))
     assert after == before
     assert n_files_after < n_files_before
+
+
+def test_at_point_lookup(fixture_engine):
+    """AT <time> — our grammar path for the reference's S_SINGLE
+    selector (declared in its AST, src/statement_parse.h:192-203, but
+    unreachable from its grammar)."""
+    e, ts = fixture_engine
+    assert _rows(e.execute(f"SELECT value FROM temperatures AT {ts[42]}")) == [
+        (ts[42], 42.0)
+    ]
+    # duplicate-ns points: AT returns all of them
+    e.execute(f"INSERT INTO temperatures VALUES ({ts[42]}, 777.0)")
+    rows = _rows(e.execute(f"SELECT value FROM temperatures AT {ts[42]}"))
+    assert sorted(v for _, v in rows) == [42.0, 777.0]
+    # miss → empty
+    assert e.execute(f"SELECT value FROM temperatures AT {ts[42] + 1}").count() == 0
+    # with aggregate and relative time expressions
+    assert _rows(
+        e.execute(
+            f"SELECT max(value) FROM temperatures AT {ts[42]}"
+        )
+    )[0][1] == 777.0
