@@ -1,0 +1,308 @@
+r"""Wire protocol — the reference's RESP-like text framing
+(src/encoding.h:16-23, src/encoding.c), byte-compatible:
+
+- request:            ``$<len>\r\n<query>\r\n``
+- string response:    ``$<len>\r\n<msg>\r\n`` (ok) / ``!<len>\r\n<msg>\r\n`` (error)
+- record:             ``:<timestamp>\r\n;<value>\r\n``  (value as C "%lf",
+                      6 fixed decimals — src/encoding.c:150)
+- array response:     ``#<count>\r\n`` + records         (src/encoding.c:162-195)
+- stream chunk:       ``~<count>\r\n`` + records + ``\r\n``; the final
+                      chunk is followed by ``~0\r\n``    (src/encoding.c:199-232)
+
+Requests are capped at QUERYSIZE=512 bytes like the reference
+(src/encoding.h:10); responses are unbounded here (the reference's
+fixed 512-byte response buffer silently fails on large results — a
+limitation, not a semantic, so not replicated).
+
+A small threaded TCP server (``serve``) exposes an Engine over this
+protocol; ``WireClient`` is the matching client. Both are driver-side
+plumbing — query execution stays entirely in Spark.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import threading
+from dataclasses import dataclass, field
+
+QUERYSIZE = 512  # src/encoding.h:10
+CRLF = b"\r\n"
+
+MARKER_OK = ord("$")
+MARKER_ERR = ord("!")
+MARKER_STREAM = ord("~")
+MARKER_ARRAY = ord("#")
+MARKER_TS = ord(":")
+MARKER_VAL = ord(";")
+
+
+class WireError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class Request:
+    query: str
+
+
+@dataclass(frozen=True)
+class StringResponse:
+    message: str
+    rc: int = 0  # 0 = success ('$'), nonzero = error ('!')
+
+
+@dataclass(frozen=True)
+class ArrayResponse:
+    records: tuple[tuple[int, float], ...] = ()
+
+
+@dataclass(frozen=True)
+class StreamChunk:
+    records: tuple[tuple[int, float], ...] = ()
+    is_final: bool = False
+
+
+Response = StringResponse | ArrayResponse | StreamChunk
+
+
+def _fmt_value(v: float) -> bytes:
+    return f"{v:.6f}".encode()  # C "%lf"
+
+
+def encode_request(r: Request) -> bytes:
+    q = r.query.encode()
+    if len(q) >= QUERYSIZE:
+        raise WireError(f"query exceeds QUERYSIZE ({QUERYSIZE})")
+    return b"$" + str(len(q)).encode() + CRLF + q + CRLF
+
+
+def decode_request(data: bytes) -> tuple[Request, int]:
+    """→ (request, bytes consumed); mirrors decode_request's checks
+    (src/encoding.c:74-123): leading '$', digit length line, exact
+    length match, QUERYSIZE cap."""
+    if not data or data[0] != MARKER_OK:
+        raise WireError("bad request marker")
+    length, pos = _read_int_line(data, 1)
+    if length >= QUERYSIZE:
+        raise WireError("request too long")
+    end = pos + length
+    if len(data) < end + len(CRLF) or data[end : end + 2] != CRLF:
+        raise WireError("request length mismatch")
+    return Request(data[pos:end].decode()), end + 2
+
+
+def encode_response(r: Response) -> bytes:
+    if isinstance(r, StringResponse):
+        m = r.message.encode()
+        marker = b"$" if r.rc == 0 else b"!"
+        return marker + str(len(m)).encode() + CRLF + m + CRLF
+    if isinstance(r, ArrayResponse):
+        out = b"#" + str(len(r.records)).encode() + CRLF
+        for ts, v in r.records:
+            out += b":" + str(int(ts)).encode() + CRLF
+            out += b";" + _fmt_value(v) + CRLF
+        return out
+    if isinstance(r, StreamChunk):
+        out = b"~" + str(len(r.records)).encode() + CRLF
+        for ts, v in r.records:
+            out += b":" + str(int(ts)).encode() + CRLF
+            out += b";" + _fmt_value(v) + CRLF
+        out += CRLF
+        if r.is_final:
+            out += b"~0" + CRLF
+        return out
+    raise WireError(f"unknown response {r!r}")
+
+
+def _read_int_line(data: bytes, pos: int) -> tuple[int, int]:
+    n = 0
+    ndigits = 0
+    while pos < len(data) and data[pos : pos + 2] != CRLF:
+        c = data[pos]
+        if not (ord("0") <= c <= ord("9")):
+            raise WireError("bad digit in length")
+        n = n * 10 + (c - ord("0"))
+        ndigits += 1
+        pos += 1
+    if pos + 2 > len(data) or ndigits == 0:
+        raise WireError("truncated length line")
+    return n, pos + 2
+
+
+def _read_records(data: bytes, pos: int, count: int):
+    records = []
+    for _ in range(count):
+        if pos >= len(data) or data[pos] != MARKER_TS:
+            raise WireError("expected ':' timestamp marker")
+        line_end = data.find(CRLF, pos)
+        if line_end < 0:
+            raise WireError("truncated timestamp")
+        ts = int(data[pos + 1 : line_end])
+        pos = line_end + 2
+        if pos >= len(data) or data[pos] != MARKER_VAL:
+            raise WireError("expected ';' value marker")
+        line_end = data.find(CRLF, pos)
+        if line_end < 0:
+            raise WireError("truncated value")
+        v = float(data[pos + 1 : line_end])
+        pos = line_end + 2
+        records.append((ts, v))
+    return tuple(records), pos
+
+
+def decode_response(data: bytes) -> tuple[Response, int]:
+    """→ (response, bytes consumed). A stream chunk decodes one chunk
+    at a time (call repeatedly; a ``~0`` terminator yields
+    ``StreamChunk((), is_final=True)``)."""
+    if not data:
+        raise WireError("empty response")
+    marker = data[0]
+    if marker in (MARKER_OK, MARKER_ERR):
+        length, pos = _read_int_line(data, 1)
+        end = pos + length
+        if len(data) < end + 2 or data[end : end + 2] != CRLF:
+            raise WireError("string length mismatch")
+        return (
+            StringResponse(
+                data[pos:end].decode(), rc=0 if marker == MARKER_OK else 1
+            ),
+            end + 2,
+        )
+    if marker == MARKER_ARRAY:
+        count, pos = _read_int_line(data, 1)
+        records, pos = _read_records(data, pos, count)
+        return ArrayResponse(records), pos
+    if marker == MARKER_STREAM:
+        count, pos = _read_int_line(data, 1)
+        if count == 0:
+            return StreamChunk((), is_final=True), pos
+        records, pos = _read_records(data, pos, count)
+        if data[pos : pos + 2] != CRLF:
+            raise WireError("missing chunk terminator")
+        return StreamChunk(records), pos + 2
+    raise WireError(f"bad response marker {chr(marker)!r}")
+
+
+# ---------------------------------------------------------------------------
+# server / client
+# ---------------------------------------------------------------------------
+
+STREAM_THRESHOLD = 1000  # results larger than this stream in chunks
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):
+        engine = self.server.engine  # type: ignore[attr-defined]
+        buf = b""
+        while True:
+            chunk = self.request.recv(4096)
+            if not chunk:
+                return
+            buf += chunk
+            while True:
+                try:
+                    req, used = decode_request(buf)
+                except WireError:
+                    if len(buf) > 4 * QUERYSIZE:
+                        self.wfile.write(
+                            encode_response(StringResponse("bad request", rc=1))
+                        )
+                        return
+                    break  # need more bytes
+                buf = buf[used:]
+                self._run(engine, req)
+
+    def _run(self, engine, req: Request) -> None:
+        try:
+            df = engine.execute(req.query)
+            cols = df.columns
+            if cols == ["timestamp", "value"]:
+                # point results: ≤1000-record chunks with a final
+                # terminator (ts_stream framing). Chunked from collect()
+                # rather than toLocalIterator: repeated toLocalIterator
+                # calls deadlock on py4j's pinned per-thread channels
+                # inside a socketserver handler thread (the library-
+                # level streaming path, streaming.results, is
+                # unaffected).
+                rows = df.collect()
+                if not rows:
+                    self.wfile.write(encode_response(ArrayResponse(())))
+                else:
+                    # the ~0 terminator rides on the LAST data chunk
+                    # (reference framing, src/encoding.c:221-226) — a
+                    # separate empty "final chunk" would emit a stray
+                    # \r\n~0\r\n that poisons the client's buffer
+                    starts = range(0, len(rows), STREAM_THRESHOLD)
+                    last = starts[-1]
+                    for i in starts:
+                        recs = tuple(
+                            (r["timestamp"], r["value"])
+                            for r in rows[i : i + STREAM_THRESHOLD]
+                        )
+                        self.wfile.write(
+                            encode_response(
+                                StreamChunk(recs, is_final=(i == last))
+                            )
+                        )
+            else:
+                rows = df.collect()
+                msg = "; ".join(
+                    ",".join(str(r[c]) for c in cols) for r in rows
+                ) or "OK"
+                self.wfile.write(encode_response(StringResponse(msg)))
+        except Exception as e:  # noqa: BLE001 - protocol surface
+            self.wfile.write(
+                encode_response(StringResponse(str(e)[:400], rc=1))
+            )
+
+
+class WireServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        super().__init__((host, port), _Handler)
+        self.engine = engine
+
+
+def serve(engine, host: str = "127.0.0.1", port: int = 0) -> WireServer:
+    """Start the protocol server in a daemon thread; returns the server
+    (``server.server_address`` has the bound port)."""
+    server = WireServer(engine, host, port)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server
+
+
+class WireClient:
+    def __init__(self, host: str, port: int):
+        self.sock = socket.create_connection((host, port))
+        self._buf = b""
+
+    def _recv_one(self) -> Response:
+        while True:
+            try:
+                resp, used = decode_response(self._buf)
+                self._buf = self._buf[used:]
+                return resp
+            except WireError:
+                chunk = self.sock.recv(4096)
+                if not chunk:
+                    raise WireError("connection closed") from None
+                self._buf += chunk
+
+    def execute(self, query: str):
+        """Send one query; returns StringResponse, ArrayResponse, or a
+        list of (ts, value) records for streamed results."""
+        self.sock.sendall(encode_request(Request(query)))
+        first = self._recv_one()
+        if not isinstance(first, StreamChunk):
+            return first
+        records = list(first.records)
+        while not first.is_final:
+            first = self._recv_one()
+            records.extend(first.records)
+        return records
+
+    def close(self) -> None:
+        self.sock.close()
