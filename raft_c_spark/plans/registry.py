@@ -19,6 +19,7 @@ def _modules():
     mods = [parity, tpch]
     for name in (
         "tpch2",
+        "tpch3",
         "language",
         "dedup",
         "text",
