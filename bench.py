@@ -42,9 +42,11 @@ def main() -> None:
 
     spark = get_spark(app_name="raft_c_spark_bench")
 
-    # warmup: touch the fact table so JVM/codegen startup is not billed
-    # to the first query
+    # warmup: touch the fact table (JVM/codegen startup) and spin up
+    # the Python UDF workers (Arrow channel) so neither is billed to
+    # the first query that happens to need them
     load_table(spark, SF_DIR, "lineitem").count()
+    spark.range(8).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(all_queries().items()):

@@ -234,17 +234,80 @@ def minhash_signatures(
     num_perm: int = 64,
 ) -> DataFrame:
     """MinHash signature per document: shingle → xxhash64 → k universal
-    permutations → min per permutation. One aggregate over the shingle
-    frame; signature is an array<long> column."""
-    sh = char_shingles(df, id_col, text_col, n)
+    permutations → min per permutation; signature is an array<long>.
+
+    The k permutation hashes are computed once per *distinct* shingle
+    and broadcast-joined back (shingle vocabularies are far smaller
+    than the exploded doc×shingle frame — on low-vocabulary corpora by
+    orders of magnitude); above ``max_broadcast_shingles`` distinct
+    shingles the hashes are computed inline per row instead."""
+    # cache: the exploded shingle frame is read 2-3 times below, and
+    # rebuilding it (explode + distinct shuffle) dominates the cost
+    sh = char_shingles(df, id_col, text_col, n).cache()
+    n_distinct = sh.select("shingle").distinct().count()
+    if n_distinct <= 65536:
+        return _minhash_numpy(sh, n_distinct, num_perm)
+    # large-vocabulary path: per-row permutation hashes + 64 min
+    # aggregation buffers — linear, shuffle-keyed by doc
     h = F.xxhash64("shingle")
-    mins = [
-        F.min(_perm_hash(h, i)).alias(f"m{i}") for i in range(num_perm)
-    ]
+    mins = [F.min(_perm_hash(h, i)).alias(f"m{i}") for i in range(num_perm)]
     out = sh.groupBy("doc").agg(*mins)
     return out.select(
         "doc", F.array(*[f"m{i}" for i in range(num_perm)]).alias("signature")
     )
+
+
+def _minhash_numpy(sh: DataFrame, n_distinct: int, num_perm: int) -> DataFrame:
+    """Small-vocabulary fast path: the permutation matrix (vocab ×
+    num_perm) is computed once driver-side and shipped in the kernel
+    closure; per-doc signatures are one vectorized np.min over the
+    doc's shingle rows. The wide-aggregation path spends its time in
+    64 separate min buffers per input row — this replaces that with
+    one Arrow batch pass."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    shingles = sorted(
+        r["shingle"] for r in sh.select("shingle").distinct().collect()
+    )
+    base = np.array(
+        [
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+            % _MERSENNE_P
+            for s in shingles
+        ],
+        dtype=np.int64,
+    )
+    i_arr = np.arange(num_perm, dtype=np.object_)  # python ints: no overflow
+    a = (2 * i_arr + 1) * 0x9E3779B97F4A7C15 % _MERSENNE_P
+    b = (i_arr * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % _MERSENNE_P
+    perms = np.empty((len(shingles), num_perm), dtype=np.int64)
+    for i in range(num_perm):
+        perms[:, i] = (base * int(a[i]) % _MERSENNE_P + int(b[i])) % _MERSENNE_P
+
+    # ship compact integer shingle ids through the shuffle/Arrow
+    # boundary, not strings — the string frame is the whole cost
+    spark = sh.sparkSession
+    ids = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(shingles)], "shingle string, sid int"
+    )
+    doc_sids = (
+        sh.join(F.broadcast(ids), "shingle")
+        .groupBy("doc")
+        .agg(F.collect_list("sid").alias("sids"))
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            sigs = [
+                [int(v) for v in perms[np.asarray(sids, dtype=np.int64)].min(axis=0)]
+                for sids in pdf["sids"]
+            ]
+            yield pd.DataFrame({"doc": pdf["doc"], "signature": sigs})
+
+    return doc_sids.mapInPandas(kernel, "doc long, signature array<long>")
 
 
 def minhash_lsh_pairs(
