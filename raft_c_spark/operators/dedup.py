@@ -99,23 +99,31 @@ def ngram_jaccard_pairs(
     tested against.
     """
     sh = char_shingles(df, id_col, text_col, n).cache()
-    n_distinct = sh.select("shingle").distinct().count()
-    if n_distinct <= max_bitmap_shingles:
-        return _jaccard_bitmap(sh, n_distinct, threshold)
+    vocab = _collect_vocab(sh, max_bitmap_shingles)
+    if vocab is not None:
+        return _jaccard_bitmap(sh, vocab, threshold)
     return _jaccard_join(sh, threshold, max_shingle_df)
 
 
-def _jaccard_bitmap(sh: DataFrame, n_distinct: int, threshold: float) -> DataFrame:
+def _collect_vocab(sh: DataFrame, cap: int) -> list[str] | None:
+    """The distinct shingle vocabulary if it has ≤ cap entries, else
+    None — one action: limit(cap+1) returns the complete set exactly
+    when fewer than cap+1 rows come back."""
+    rows = sh.select("shingle").distinct().limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    return sorted(r["shingle"] for r in rows)
+
+
+def _jaccard_bitmap(
+    sh: DataFrame, vocab: list[str], threshold: float
+) -> DataFrame:
     # 63 usable bits per long: bit 63 via pow(2,63) would overflow the
     # signed cast under ANSI
+    n_distinct = len(vocab)
     n_words = (n_distinct + 62) // 63
-    ids = (
-        sh.select("shingle")
-        .distinct()
-        .withColumn(
-            "sid",
-            F.row_number().over(Window.orderBy("shingle")) - 1,
-        )
+    ids = sh.sparkSession.createDataFrame(
+        [(s, i) for i, s in enumerate(vocab)], "shingle string, sid int"
     )
     doc_ids = sh.join(F.broadcast(ids), "shingle").select("doc", "sid")
     word = (F.col("sid") / 63).cast("int")
@@ -241,12 +249,12 @@ def minhash_signatures(
     than the exploded doc×shingle frame — on low-vocabulary corpora by
     orders of magnitude); above ``max_broadcast_shingles`` distinct
     shingles the hashes are computed inline per row instead."""
-    # cache: the exploded shingle frame is read 2-3 times below, and
+    # cache: the exploded shingle frame is read twice below, and
     # rebuilding it (explode + distinct shuffle) dominates the cost
     sh = char_shingles(df, id_col, text_col, n).cache()
-    n_distinct = sh.select("shingle").distinct().count()
-    if n_distinct <= 65536:
-        return _minhash_numpy(sh, n_distinct, num_perm)
+    vocab = _collect_vocab(sh, 65536)
+    if vocab is not None:
+        return _minhash_numpy(sh, vocab, num_perm)
     # large-vocabulary path: per-row permutation hashes + 64 min
     # aggregation buffers — linear, shuffle-keyed by doc
     h = F.xxhash64("shingle")
@@ -257,7 +265,7 @@ def minhash_signatures(
     )
 
 
-def _minhash_numpy(sh: DataFrame, n_distinct: int, num_perm: int) -> DataFrame:
+def _minhash_numpy(sh: DataFrame, vocab: list[str], num_perm: int) -> DataFrame:
     """Small-vocabulary fast path: the permutation matrix (vocab ×
     num_perm) is computed once driver-side and shipped in the kernel
     closure; per-doc signatures are one vectorized np.min over the
@@ -269,9 +277,7 @@ def _minhash_numpy(sh: DataFrame, n_distinct: int, num_perm: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    shingles = sorted(
-        r["shingle"] for r in sh.select("shingle").distinct().collect()
-    )
+    shingles = vocab
     base = np.array(
         [
             int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
@@ -333,6 +339,11 @@ def minhash_lsh_pairs(
     components, filtered at ``threshold``."""
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_perm).cache()
+    # eager materialization: sig feeds three plan branches (banding ×2
+    # via the self-join, est-verify ×2); without forcing the cache
+    # first, AQE races the branches and computes the full signature
+    # pipeline repeatedly
+    sig.count()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

@@ -38,13 +38,32 @@ def _modules():
     return mods
 
 
+def _with_cache_hygiene(fn: Callable) -> Callable:
+    """Several operators cache intermediate frames (shingles,
+    signatures) that stay referenced by the returned plan; clearing
+    the cache *before* each query stops those from accumulating across
+    a long session (the driver runs all ~50 queries in one session —
+    unbounded storage-memory growth degrades later queries)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
     for mod in _modules():
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")
-        out.update(mod.QUERIES)
+        out.update({k: _with_cache_hygiene(v) for k, v in mod.QUERIES.items()})
     return out
 
 
