@@ -31,8 +31,10 @@ POINTS_SQL = (
 )
 
 
-def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return events_as_points(spark, sf_dir)
+def _points(
+    spark: SparkSession, sf_dir: str, t0: int | None = None, t1: int | None = None
+) -> DataFrame:
+    return events_as_points(spark, sf_dir, t0, t1)
 
 
 # --- scans / filters (§2.3) -------------------------------------------------
@@ -40,8 +42,10 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_range_scan(spark, sf_dir):
     """BETWEEN range scan, inclusive bounds (ts_range,
-    src/timeseries.c:905-979)."""
-    return tsdb.ts_range(_points(spark, sf_dir), T0, T1)
+    src/timeseries.c:905-979). Bounds are also applied to the raw
+    physical column at load (events_as_points(t0, t1)) so the scan
+    gets PushedFilters — row-group pruning at scale."""
+    return tsdb.ts_range(_points(spark, sf_dir, T0, T1), T0, T1)
 
 
 def q_point_lookup(spark, sf_dir):
@@ -72,22 +76,22 @@ def q_where_chain(spark, sf_dir):
 
 
 def q_min(spark, sf_dir):
-    return tsdb.ts_min(tsdb.ts_range(_points(spark, sf_dir), T0, T1))
+    return tsdb.ts_min(tsdb.ts_range(_points(spark, sf_dir, T0, T1), T0, T1))
 
 
 def q_max(spark, sf_dir):
-    return tsdb.ts_max(tsdb.ts_range(_points(spark, sf_dir), T0, T1))
+    return tsdb.ts_max(tsdb.ts_range(_points(spark, sf_dir, T0, T1), T0, T1))
 
 
 def q_latest(spark, sf_dir):
     """Range-respecting latest (documented divergence from the
     reference executor's range-ignoring ts_last shortcut,
     src/statement_execute.c:261-271)."""
-    return tsdb.ts_latest(tsdb.ts_range(_points(spark, sf_dir), T0, T1))
+    return tsdb.ts_latest(tsdb.ts_range(_points(spark, sf_dir, T0, T1), T0, T1))
 
 
 def q_earliest(spark, sf_dir):
-    return tsdb.ts_earliest(tsdb.ts_range(_points(spark, sf_dir), T0, T1))
+    return tsdb.ts_earliest(tsdb.ts_range(_points(spark, sf_dir, T0, T1), T0, T1))
 
 
 def q_avg(spark, sf_dir):
@@ -129,7 +133,9 @@ def _sample_exact(df, interval_ns, t0=None, t1=None):
 
 
 def q_sample_1h(spark, sf_dir):
-    return _sample_exact(_points(spark, sf_dir), HOUR_NS, t0=T0, t1=T1)
+    # T0 is hour-aligned, so sample_by's down-normalization of t0
+    # cannot reach below the pushed load bound
+    return _sample_exact(_points(spark, sf_dir, T0, T1), HOUR_NS, t0=T0, t1=T1)
 
 
 def q_sample_1d(spark, sf_dir):

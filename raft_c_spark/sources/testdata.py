@@ -44,7 +44,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
-def events_as_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_as_points(
+    spark: SparkSession,
+    sf_dir: str,
+    t0: int | None = None,
+    t1: int | None = None,
+) -> DataFrame:
     """The ``events`` table reshaped to the engine's canonical point
     schema ``(series, timestamp, value)`` — one series per event_type.
 
@@ -52,8 +57,20 @@ def events_as_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's data model (one named series of (ts_ns, double) points,
     src/timeseries.h:101-110): series name ≙ event_type, timestamp ≙
     event time in ns, value ≙ the event's double payload.
+
+    ``t0``/``t1`` (inclusive ns bounds on the *truncated* timestamp)
+    are applied to the **raw physical column** so they reach the
+    parquet scan as PushedFilters — a filter on the derived truncated
+    column cannot push down. Truncation is monotone, giving exact
+    raw-column bounds: ``trunc(ts) ≥ t0 ⇔ ts ≥ ceil_µs(t0)`` and
+    ``trunc(ts) ≤ t1 ⇔ ts ≤ floor_µs(t1) + 999``.
     """
     ev = load_table(spark, sf_dir, "events")
+    raw = F.col("ts").cast("long")
+    if t0 is not None:
+        ev = ev.filter(raw >= F.lit(((t0 + 999) // 1000) * 1000))
+    if t1 is not None:
+        ev = ev.filter(raw <= F.lit((t1 // 1000) * 1000 + 999))
     # Truncate ns → µs-resolution ns values: DuckDB (the correctness
     # oracle) reads parquet TIMESTAMP(NANOS) as µs TIMESTAMP, so its
     # epoch_ns(ts) is truncated to µs; match it exactly. Full-ns

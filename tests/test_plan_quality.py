@@ -91,3 +91,12 @@ def test_whole_stage_codegen_covers_text_analysis(spark, sf_dir):
     # formatted mode marks codegen'd operators with a '*' prefix
     assert "* Project" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+def test_events_adapter_range_pushdown(spark, sf_dir):
+    """Range-bounded adapter loads push the window to the raw physical
+    ts column (a filter on the derived truncated column cannot)."""
+    from raft_c_spark.plans.parity import T0, T1, q_range_scan
+
+    plan = plan_of(q_range_scan(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed
