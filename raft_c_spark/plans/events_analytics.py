@@ -141,6 +141,40 @@ def q_ev_distinct_users(spark, sf_dir):
     )
 
 
+def q_ev_session_attribution(spark, sf_dir):
+    """Interval join: each purchase attributed to the click-session
+    (30-min gap sessions over click events) containing it — the
+    bucketized range-join composition (operators/rangejoin.py), no
+    per-key cartesian product. Oracle: DuckDB theta join on the same
+    session frame."""
+    from raft_c_spark.operators.rangejoin import interval_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    s = sessionize(clicks, "user_id", "timestamp", GAP_NS, tiebreak_col="event_id")
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.min("timestamp").alias("session_start"),
+        # pad by the gap: a purchase within 30 min of the last click
+        # still belongs to the session (zero-width single-click
+        # sessions would otherwise never match anything)
+        (F.max("timestamp") + F.lit(GAP_NS)).alias("session_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "timestamp", "value"
+    )
+    out = interval_join(
+        purchases,
+        sess,
+        key="user_id",
+        ts_col="timestamp",
+        start_col="session_start",
+        end_col="session_end",
+    )
+    return out.select(
+        "event_id", "user_id", "timestamp", "value", "session_id"
+    )
+
+
 QUERIES = {
     "ev_topk_per_user": q_ev_topk_per_user,
     "ev_sessionize": q_ev_sessionize,
@@ -148,6 +182,7 @@ QUERIES = {
     "ev_asof_purchase_click": q_ev_asof_purchase_click,
     "ev_type_pivot": q_ev_type_pivot,
     "ev_distinct_users": q_ev_distinct_users,
+    "ev_session_attribution": q_ev_session_attribution,
 }
 
 _EV = (
@@ -209,6 +244,35 @@ ORACLES = {
                COUNT(*) FILTER (event_type = 'error') AS n_error
         FROM ({_EV})
         GROUP BY user_id
+    """,
+    "ev_session_attribution": f"""
+        WITH clicks AS (
+            SELECT * FROM ({_EV}) WHERE event_type = 'click'
+        ), flagged AS (
+            SELECT user_id, event_id, timestamp,
+                   CASE WHEN timestamp - lag(timestamp) OVER w > {GAP_NS}
+                             OR lag(timestamp) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM clicks
+            WINDOW w AS (PARTITION BY user_id ORDER BY timestamp, event_id)
+        ), sess_rows AS (
+            SELECT user_id, timestamp,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY timestamp, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        ), sessions AS (
+            SELECT user_id, session_id,
+                   MIN(timestamp) AS session_start,
+                   MAX(timestamp) + {GAP_NS} AS session_end
+            FROM sess_rows GROUP BY user_id, session_id
+        )
+        SELECT p.event_id, p.user_id, p.timestamp, p.value, s.session_id
+        FROM ({_EV}) p
+        JOIN sessions s
+          ON p.user_id = s.user_id
+         AND p.timestamp BETWEEN s.session_start AND s.session_end
+        WHERE p.event_type = 'purchase'
     """,
     "ev_distinct_users": f"""
         SELECT event_type,

@@ -117,3 +117,43 @@ def test_percentile_approx_brackets_exact(events):
         F.percentile_approx("value", 0.5, 10000).alias("p50")
     ).collect()[0]["p50"]
     assert approx == pytest.approx(exact, rel=0.05)
+
+
+def test_interval_join_semantics(spark):
+    from raft_c_spark.operators.rangejoin import interval_join
+
+    pts = spark.createDataFrame(
+        [("k1", 100, "p1"), ("k1", 250, "p2"), ("k1", 999, "p3"), ("k2", 150, "p4")],
+        "key string, timestamp long, pid string",
+    )
+    ivs = spark.createDataFrame(
+        [
+            ("k1", 50, 150, "A"),    # contains p1
+            ("k1", 90, 260, "B"),    # contains p1 AND p2 (overlap)
+            ("k2", 200, 300, "C"),   # contains nothing (p4 at 150)
+        ],
+        "key string, start long, end long, iv string",
+    )
+    inner = interval_join(pts, ivs, key="key", bucket_ns=100)
+    got = {(r["pid"], r["iv"]) for r in inner.collect()}
+    assert got == {("p1", "A"), ("p1", "B"), ("p2", "B")}
+
+    left = interval_join(pts, ivs, key="key", bucket_ns=100, how="left")
+    rows = {(r["pid"], r["iv"]) for r in left.collect()}
+    assert rows == {("p1", "A"), ("p1", "B"), ("p2", "B"),
+                    ("p3", None), ("p4", None)}
+
+
+def test_interval_join_inclusive_bounds_and_bucket_edges(spark):
+    from raft_c_spark.operators.rangejoin import interval_join
+
+    # bounds exactly on bucket boundaries and interval endpoints
+    pts = spark.createDataFrame(
+        [("k", 100, "lo"), ("k", 200, "hi"), ("k", 99, "below"), ("k", 201, "above")],
+        "key string, timestamp long, pid string",
+    )
+    ivs = spark.createDataFrame(
+        [("k", 100, 200, "I")], "key string, start long, end long, iv string"
+    )
+    got = {r["pid"] for r in interval_join(pts, ivs, key="key", bucket_ns=100).collect()}
+    assert got == {"lo", "hi"}  # inclusive both ends, neighbors excluded
