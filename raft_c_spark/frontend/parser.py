@@ -148,7 +148,15 @@ class _Parser:
         if self.accept(T.VALUES):
             while True:
                 self.expect(T.LPAREN)
-                tu = self.parse_timeunit()
+                # '*' may lex as BINOP or (followed by ',') IDENTIFIER
+                if self.peek().value == "*":
+                    # TIMESTAMP ::= NUMBER | "*" (grammar doc,
+                    # src/statement_parse.h:135): '*' = server-stamped
+                    # now(), like the VALUE form
+                    self.next()
+                    tu: ast.TimeUnit = ast.TuValue(now_ns())
+                else:
+                    tu = self.parse_timeunit()
                 self.expect(T.COMMA)
                 val = self._parse_number()
                 self.expect(T.RPAREN)

@@ -329,3 +329,34 @@ def test_at_point_lookup(fixture_engine):
             f"SELECT max(value) FROM temperatures AT {ts[42]}"
         )
     )[0][1] == 777.0
+
+
+def test_insert_star_auto_timestamp(engine):
+    """'*' timestamp wildcard (grammar doc TIMESTAMP ::= NUMBER | '*',
+    src/statement_parse.h:135) — server-stamped now()."""
+    engine.execute("CREATEDB d")
+    engine.execute("USE d")
+    engine.execute("CREATE s")
+    engine.execute("INSERT INTO s VALUES (*, 12.2), (*, 19.2)")
+    rows = _rows(engine.execute("SELECT value FROM s"))
+    assert sorted(v for _, v in rows) == [12.2, 19.2]
+    assert all(t > 1_600_000_000 * 10**9 for t, _ in rows)
+
+
+def test_point_io_roundtrip(spark, tmp_path):
+    from raft_c_spark.sources.io import read_points, write_points
+
+    df = spark.createDataFrame(
+        [("s", 1_700_000_000_123_456_789, 1.5), ("t", 1_700_000_001_000_000_001, -2.25)],
+        "series string, timestamp long, value double",
+    )
+    for fmt in ("parquet", "csv", "json"):
+        path = str(tmp_path / f"pts_{fmt}")
+        write_points(df, path, fmt)
+        back = read_points(spark, path, fmt)
+        got = sorted((r["series"], r["timestamp"], r["value"]) for r in back.collect())
+        # exact ns round-trip in every format (no float corruption)
+        assert got == [
+            ("s", 1_700_000_000_123_456_789, 1.5),
+            ("t", 1_700_000_001_000_000_001, -2.25),
+        ], fmt
