@@ -213,3 +213,29 @@ def test_parse_errors():
     ]:
         with pytest.raises(ParseError):
             parse(bad)
+
+
+def test_select_at_selector():
+    s = parse("SELECT value FROM cpu AT 1643673600000000000")
+    assert s.selector == ast.TuValue(1643673600000000000)
+    assert s.flags & QueryFlags.RNGE
+
+
+def test_select_at_with_expression():
+    s = parse("SELECT value FROM cpu AT now() - 2d")
+    assert isinstance(s.selector, ast.TuOps)
+
+
+def test_multi_aggregate_golden():
+    s = parse("SELECT min(value), max(value), avg(value) FROM cpu")
+    assert s.functions == (Fn.MIN, Fn.MAX, Fn.AVG)
+    assert s.function is Fn.MIN
+    with pytest.raises(ParseError):
+        parse("SELECT min(value), latest(value) FROM cpu")
+
+
+def test_insert_star_golden():
+    s = parse("INSERT INTO load VALUES (*, 12.2), (*, 19.2)")
+    assert len(s.records) == 2
+    assert all(isinstance(r.timeunit, ast.TuValue) for r in s.records)
+    assert s.records[0].value == 12.2
