@@ -17,6 +17,12 @@ limitation, not a semantic, so not replicated).
 A small threaded TCP server (``serve``) exposes an Engine over this
 protocol; ``WireClient`` is the matching client. Both are driver-side
 plumbing — query execution stays entirely in Spark.
+
+Session semantics match the reference: the active database is
+*server-global* (its dbcontext is one global hashtable with one active
+entry, src/dbcontext.c:7,153-167, and the server is single-threaded),
+so a ``USE`` from one connection changes it for all — preserved here
+deliberately, one shared Engine across handler threads.
 """
 
 from __future__ import annotations

@@ -152,3 +152,38 @@ def test_server_streams_large_results_in_batches(spark, tmp_path):
     finally:
         client.close()
         server.shutdown()
+
+
+def test_concurrent_clients_share_session_state(spark, tmp_path):
+    """Two connections, concurrent queries: results stay framed
+    per-connection; the active DB is server-global (reference
+    dbcontext parity, src/dbcontext.c:153-167)."""
+    import threading
+
+    from raft_c_spark.engine import Engine
+
+    engine = Engine(spark, warehouse=str(tmp_path / "wirewh3"))
+    server = wire.serve(engine)
+    host, port = server.server_address
+    c1 = wire.WireClient(host, port)
+    c2 = wire.WireClient(host, port)
+    try:
+        c1.execute("CREATEDB shared")
+        c1.execute("USE shared")
+        c1.execute("CREATE s")
+        base = 1_700_000_000_000_000_000
+        c1.execute(f"INSERT INTO s VALUES ({base}, 1.0), ({base + 1}, 2.0)")
+
+        results: dict[str, object] = {}
+
+        def run(tag, client):
+            results[tag] = [client.execute("SELECT value FROM s") for _ in range(3)]
+
+        t1 = threading.Thread(target=run, args=("c1", c1))
+        t2 = threading.Thread(target=run, args=("c2", c2))
+        t1.start(); t2.start(); t1.join(60); t2.join(60)
+        expect = [(base, 1.0), (base + 1, 2.0)]
+        assert results["c1"] == [expect] * 3
+        assert results["c2"] == [expect] * 3  # c2 sees c1's USE (global)
+    finally:
+        c1.close(); c2.close(); server.shutdown()
