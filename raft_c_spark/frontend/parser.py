@@ -203,12 +203,17 @@ class _Parser:
                 if not self.accept(T.COMMA):
                     break
             function = functions[0]
-            if len(functions) > 1 and not set(functions) <= {
-                Fn.MIN, Fn.MAX, Fn.AVG
-            }:
-                raise ParseError(
-                    "multi-aggregate select supports min/max/avg only", t.pos
-                )
+            if len(functions) > 1:
+                if not set(functions) <= {Fn.MIN, Fn.MAX, Fn.AVG}:
+                    raise ParseError(
+                        "multi-aggregate select supports min/max/avg only",
+                        t.pos,
+                    )
+                if len(set(functions)) != len(functions):
+                    # duplicates would alias to the same output column
+                    raise ParseError(
+                        "duplicate aggregate in multi-aggregate select", t.pos
+                    )
         elif t.type in (T.IDENTIFIER, T.VALUE):
             self.next()  # SELECT value — identifier discarded
         else:

@@ -105,6 +105,11 @@ class TimeSeriesStore:
         # epoch-ns magnitudes (> 2^53)
         out = out.withColumn("day", F.expr(f"timestamp div {DAY_NS}L"))
         n = out.count()
+        if n == 0:
+            # an empty partitioned write still creates the directory
+            # (with only a _SUCCESS marker), which later reads reject
+            # as schemaless — skip it
+            return 0
         (
             out.repartition("series", "day")
             .sortWithinPartitions("timestamp")
@@ -120,7 +125,12 @@ class TimeSeriesStore:
         path = self._points_path(db)
         if not os.path.exists(path):
             return None
-        return self.spark.read.parquet(path)
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            # directory exists but holds no data files (e.g. crashed or
+            # skipped write left only markers) → empty store
+            return None
 
     def read(
         self,

@@ -360,3 +360,14 @@ def test_point_io_roundtrip(spark, tmp_path):
             ("s", 1_700_000_000_123_456_789, 1.5),
             ("t", 1_700_000_001_000_000_001, -2.25),
         ], fmt
+
+
+def test_empty_insert_then_read(engine):
+    """An empty batch must not poison the store directory."""
+    engine.execute("CREATEDB d")
+    engine.execute("USE d")
+    engine.execute("CREATE s")
+    assert engine.store.insert_rows("d", "s", []) == 0
+    assert engine.execute("SELECT value FROM s").count() == 0
+    engine.execute(f"INSERT INTO s VALUES ({BASE}, 5.0)")
+    assert _rows(engine.execute("SELECT value FROM s")) == [(BASE, 5.0)]
