@@ -10,8 +10,9 @@ Scale design (100 TB corpora):
   docs meet, so cost tracks true-duplicate density, not n²;
 - hot shingles (stop-trigrams) are capped via a document-frequency
   cut to stop candidate-pair explosion on skewed buckets;
-- everything is built-in expressions + joins (no Python UDFs):
-  xxhash64 for shingle/perm hashing stays in codegen.
+- exact paths are built-in expressions + joins (JVM codegen);
+  minhash signatures are a *narrow* vectorized Arrow kernel (text in,
+  signature out — no shuffle until banding).
 """
 
 from __future__ import annotations
@@ -225,15 +226,6 @@ def _jaccard_join(
     )
 
 
-def _perm_hash(h: Column, i: int) -> Column:
-    """i-th MinHash permutation of a 64-bit shingle hash; coefficients
-    derived deterministically from the permutation index."""
-    a = (2 * i + 1) * 0x9E3779B97F4A7C15 % _MERSENNE_P or 1
-    b = (i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % _MERSENNE_P
-    h_pos = F.abs(h) % F.lit(_MERSENNE_P)
-    return (h_pos * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)
-
-
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -241,79 +233,80 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 64,
 ) -> DataFrame:
-    """MinHash signature per document: shingle → xxhash64 → k universal
-    permutations → min per permutation; signature is an array<long>.
+    """MinHash signature per document: shingles → k universal affine
+    permutations mod a 31-bit Mersenne prime → min per permutation;
+    signature is an array<long>.
 
-    The k permutation hashes are computed once per *distinct* shingle
-    and broadcast-joined back (shingle vocabularies are far smaller
-    than the exploded doc×shingle frame — on low-vocabulary corpora by
-    orders of magnitude); above ``max_broadcast_shingles`` distinct
-    shingles the hashes are computed inline per row instead."""
-    # cache: the exploded shingle frame is read twice below, and
-    # rebuilding it (explode + distinct shuffle) dominates the cost
-    sh = char_shingles(df, id_col, text_col, n).cache()
-    vocab = _collect_vocab(sh, 65536)
-    if vocab is not None:
-        return _minhash_numpy(sh, vocab, num_perm)
-    # large-vocabulary path: per-row permutation hashes + 64 min
-    # aggregation buffers — linear, shuffle-keyed by doc
-    h = F.xxhash64("shingle")
-    mins = [F.min(_perm_hash(h, i)).alias(f"m{i}") for i in range(num_perm)]
-    out = sh.groupBy("doc").agg(*mins)
-    return out.select(
-        "doc", F.array(*[f"m{i}" for i in range(num_perm)]).alias("signature")
-    )
-
-
-def _minhash_numpy(sh: DataFrame, vocab: list[str], num_perm: int) -> DataFrame:
-    """Small-vocabulary fast path: the permutation matrix (vocab ×
-    num_perm) is computed once driver-side and shipped in the kernel
-    closure; per-doc signatures are one vectorized np.min over the
-    doc's shingle rows. The wide-aggregation path spends its time in
-    64 separate min buffers per input row — this replaces that with
-    one Arrow batch pass."""
+    Signature computation is embarrassingly parallel per document, so
+    it runs as a **narrow** Arrow kernel (mapInPandas): no explode, no
+    distinct, no shuffle — text in, a num_perm-long signature out.
+    That is also the 100 TB shape: signatures stream out of the scan
+    at input parallelism and only the (doc, signature) rows (tiny)
+    continue into banding. Shingles for n=3 pack three codepoints into
+    one int (a perfect hash); other n md5-hash within the kernel.
+    Normalization matches char_shingles (lowercase, whitespace
+    collapsed)."""
     import hashlib
 
     import numpy as np
     import pandas as pd
 
-    shingles = vocab
-    base = np.array(
+    a = np.array(
         [
-            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-            % _MERSENNE_P
-            for s in shingles
+            ((2 * i + 1) * 0x9E3779B97F4A7C15 % _MERSENNE_P) or 1
+            for i in range(num_perm)
         ],
         dtype=np.int64,
     )
-    i_arr = np.arange(num_perm, dtype=np.object_)  # python ints: no overflow
-    a = (2 * i_arr + 1) * 0x9E3779B97F4A7C15 % _MERSENNE_P
-    b = (i_arr * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % _MERSENNE_P
-    perms = np.empty((len(shingles), num_perm), dtype=np.int64)
-    for i in range(num_perm):
-        perms[:, i] = (base * int(a[i]) % _MERSENNE_P + int(b[i])) % _MERSENNE_P
+    b = np.array(
+        [
+            (i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % _MERSENNE_P
+            for i in range(num_perm)
+        ],
+        dtype=np.int64,
+    )
+    code_m = 0x110000  # unicode codepoint space: 3 cps → unique int64
 
-    # ship compact integer shingle ids through the shuffle/Arrow
-    # boundary, not strings — the string frame is the whole cost
-    spark = sh.sparkSession
-    ids = spark.createDataFrame(
-        [(s, i) for i, s in enumerate(shingles)], "shingle string, sid int"
-    )
-    doc_sids = (
-        sh.join(F.broadcast(ids), "shingle")
-        .groupBy("doc")
-        .agg(F.collect_list("sid").alias("sids"))
-    )
+    def shingle_ids(text: str) -> "np.ndarray":
+        norm = " ".join((text or "").lower().split())
+        if len(norm) < n:
+            return np.empty(0, dtype=np.int64)
+        if n == 3:
+            cps = np.frombuffer(
+                norm.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            ids = cps[:-2] * (code_m * code_m) + cps[1:-1] * code_m + cps[2:]
+        else:
+            ids = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.md5(norm[i : i + n].encode()).digest()[:8],
+                        "big",
+                    )
+                    >> 1  # keep positive in int64
+                    for i in range(len(norm) - n + 1)
+                ],
+                dtype=np.int64,
+            )
+        return np.unique(ids) % _MERSENNE_P
 
     def kernel(batches):
         for pdf in batches:
-            sigs = [
-                [int(v) for v in perms[np.asarray(sids, dtype=np.int64)].min(axis=0)]
-                for sids in pdf["sids"]
-            ]
-            yield pd.DataFrame({"doc": pdf["doc"], "signature": sigs})
+            sigs = []
+            for text in pdf[text_col]:
+                ids = shingle_ids(text)
+                if not len(ids):
+                    sigs.append([int(_MERSENNE_P)] * num_perm)
+                    continue
+                # (n_shingles, num_perm): ids*a ≤ 2^31·2^31 < 2^63, safe
+                m = (ids[:, None] * a[None, :]) % _MERSENNE_P
+                m = (m + b[None, :]) % _MERSENNE_P
+                sigs.append([int(v) for v in m.min(axis=0)])
+            yield pd.DataFrame({"doc": pdf[id_col], "signature": sigs})
 
-    return doc_sids.mapInPandas(kernel, "doc long, signature array<long>")
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        kernel, "doc long, signature array<long>"
+    )
 
 
 def minhash_lsh_pairs(
@@ -359,10 +352,13 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc", "bb.band", "bb.bucket")
+    # broadcast the (docs × bands)-row banded frame: pins a broadcast
+    # hash join — without the hint AQE sometimes picks a sort-merge
+    # plan for the self-join, 3-4x slower and run-to-run unstable
     cand = (
         banded.alias("x")
         .join(
-            banded.alias("y"),
+            F.broadcast(banded.alias("y")),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.doc") < F.col("y.doc")),
