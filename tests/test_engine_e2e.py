@@ -371,3 +371,41 @@ def test_empty_insert_then_read(engine):
     assert engine.execute("SELECT value FROM s").count() == 0
     engine.execute(f"INSERT INTO s VALUES ({BASE}, 5.0)")
     assert _rows(engine.execute("SELECT value FROM s")) == [(BASE, 5.0)]
+
+
+def test_f2_ooo_fixture_full(spark, tmp_path):
+    """FIXTURES.md F2: the 90-point base plus 50 in-chunk-late points
+    (+30µs) and 50 chunk-rotation-late points (+5s), random values —
+    full scan returns the 190-row ordered superset and every late
+    point is findable by exact lookup (timeseries_test.c:310-400)."""
+    e = Engine(spark, warehouse=str(tmp_path / "whf2"))
+    e.execute("CREATEDB testdb")
+    e.execute("USE testdb")
+    e.execute("CREATE temperatures")
+    rng = random.Random(47)
+    ts, t = [], BASE
+    for i in range(90):
+        t += rng.randint(1, 115_000) * 1_000
+        ts.append(t)
+    vals = ",".join(f"({ts[i]}, {float(i)})" for i in range(90))
+    e.execute(f"INSERT INTO temperatures VALUES {vals}")
+
+    late = []
+    for _ in range(50):  # in-chunk OOO: +30µs
+        late.append((ts[rng.randrange(90)] + 30_000, rng.random() * 50))
+    for _ in range(50):  # beyond-chunk OOO: +5s
+        late.append((ts[rng.randrange(90)] + 5 * 10**9, rng.random() * 50))
+    # arrival order shuffled — the store must not care
+    rng.shuffle(late)
+    batch = ",".join(f"({t}, {v})" for t, v in late)
+    e.execute(f"INSERT INTO temperatures VALUES {batch}")
+
+    rows = _rows(e.execute("SELECT value FROM temperatures"))
+    assert len(rows) == 190
+    assert [r[0] for r in rows] == sorted(
+        ts + [t for t, _ in late]
+    )  # ordered superset
+    # randomized late-point findability
+    for t_late, v_late in rng.sample(late, 10):
+        found = _rows(e.execute(f"SELECT value FROM temperatures AT {t_late}"))
+        assert (t_late, v_late) in found
