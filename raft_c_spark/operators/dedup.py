@@ -155,6 +155,10 @@ def _jaccard_bitmap(
             ).alias("mask"),
         )
     )
+    # masks feeds both sides of the self-join: materialize the cache
+    # first or the mask-building subtree computes twice
+    masks = masks.cache()
+    masks.count()
     a = masks.select(
         F.col("doc").alias("a"), F.col("sz").alias("sz_a"), F.col("mask").alias("ma")
     )
