@@ -239,3 +239,45 @@ def test_insert_star_golden():
     assert len(s.records) == 2
     assert all(isinstance(r.timeunit, ast.TuValue) for r in s.records)
     assert s.records[0].value == 12.2
+
+
+def test_lexer_case_insensitive_keywords():
+    s = parse("select value from cpu between 1 and 2 sample by 1h limit 5")
+    assert s.ts_name == "cpu" and s.limit == 5
+
+
+def test_identifiers_with_dots_and_dashes():
+    s = parse("SELECT value FROM ts-test.v2")
+    assert s.ts_name == "ts-test.v2"
+
+
+def test_unterminated_literal():
+    with pytest.raises(ParseError):
+        parse("CREATE s 'unterminated")
+
+
+def test_datetime_fractional_seconds():
+    from raft_c_spark.functions.timefn import datetime_to_ns
+
+    assert (
+        datetime_to_ns("2023-01-01 12:30:00.000000123")
+        == 1_672_576_200 * 10**9 + 123
+    )
+    with pytest.raises(ValueError):
+        datetime_to_ns("2023-01-01 12:30:00.1234567890")  # >9 digits
+    with pytest.raises(ValueError):
+        datetime_to_ns("not-a-date")
+
+
+def test_span_to_ns_unknown_unit():
+    from raft_c_spark.functions.timefn import span_to_ns
+
+    with pytest.raises(ValueError):
+        span_to_ns(3, "weeks")
+
+
+def test_trailing_input_rejected():
+    with pytest.raises(ParseError):
+        parse("USE db extra tokens here")
+    with pytest.raises(ParseError):
+        parse(".databases now")
