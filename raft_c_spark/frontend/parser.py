@@ -99,9 +99,13 @@ class _Parser:
     def parse(self) -> ast.Statement:
         t = self.next()
         if t.type is T.CREATEDB:
-            return ast.CreateDb(self.expect(T.IDENTIFIER).value)
+            stmt: ast.Statement = ast.CreateDb(self.expect(T.IDENTIFIER).value)
+            self._expect_end()
+            return stmt
         if t.type is T.USE:
-            return ast.Use(self.expect(T.IDENTIFIER).value)
+            stmt = ast.Use(self.expect(T.IDENTIFIER).value)
+            self._expect_end()
+            return stmt
         if t.type is T.CREATE:
             return self._parse_create()
         if t.type is T.DELETE:
@@ -111,7 +115,9 @@ class _Parser:
         if t.type is T.SELECT:
             return self._parse_select()
         if t.type is T.META:
-            return ast.Meta(t.value)
+            stmt = ast.Meta(t.value)
+            self._expect_end()
+            return stmt
         raise ParseError(f"unknown statement start {t.value!r}", t.pos)
 
     def _parse_create(self) -> ast.Create:
