@@ -243,7 +243,9 @@ class Engine:
                 .select("timestamp", "value")
             )
         else:
-            out = points.select("timestamp", "value").orderBy("timestamp")
+            # value tie-break keeps duplicate-ns output order stable
+            # across partitionings (mirrors tsdb.ts_scan)
+            out = points.select("timestamp", "value").orderBy("timestamp", "value")
 
         if stmt.limit is not None:
             out = out.limit(stmt.limit)

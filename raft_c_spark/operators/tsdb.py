@@ -44,9 +44,15 @@ def ts_scan(df: DataFrame, series: str | None = None) -> DataFrame:
     Reference: ts_scan/ts_stream walk partitions oldest→newest then
     prev then head (src/timeseries.c:981-1023); order is an invariant
     of its store. Spark: explicit final orderBy (range-partitioned
-    sort, scales out).
+    sort, scales out). Duplicate-ns points (legal under DP_INSERT,
+    src/timeseries.c:363-385) get a value tie-break so output order is
+    partitioning-independent.
     """
-    return _series_filter(df, series).select(*POINT_COLUMNS).orderBy("timestamp")
+    return (
+        _series_filter(df, series)
+        .select(*POINT_COLUMNS)
+        .orderBy("timestamp", "value")
+    )
 
 
 def ts_range(
@@ -63,7 +69,7 @@ def ts_range(
     out = _series_filter(df, series).filter(
         (F.col("timestamp") >= F.lit(t0)) & (F.col("timestamp") <= F.lit(t1))
     )
-    return out.select(*POINT_COLUMNS).orderBy("timestamp")
+    return out.select(*POINT_COLUMNS).orderBy("timestamp", "value")
 
 
 def ts_find(df: DataFrame, t: int, series: str | None = None) -> DataFrame:

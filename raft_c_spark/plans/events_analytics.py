@@ -208,10 +208,13 @@ ORACLES = {
             FROM ({_EV})
             WINDOW w AS (PARTITION BY user_id ORDER BY timestamp, event_id)
         ), sessions AS (
+            -- CAST: DuckDB windowed SUM(int) yields HUGEINT, which the
+            -- driver's pandas bridge floats; Spark emits BIGINT
             SELECT user_id, timestamp,
-                   SUM(is_new) OVER (PARTITION BY user_id
-                                     ORDER BY timestamp, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                          ORDER BY timestamp, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_id
             FROM flagged
         )
         SELECT user_id, session_id,
@@ -257,9 +260,10 @@ ORACLES = {
             WINDOW w AS (PARTITION BY user_id ORDER BY timestamp, event_id)
         ), sess_rows AS (
             SELECT user_id, timestamp,
-                   SUM(is_new) OVER (PARTITION BY user_id
-                                     ORDER BY timestamp, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                          ORDER BY timestamp, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_id
             FROM flagged
         ), sessions AS (
             SELECT user_id, session_id,

@@ -65,13 +65,21 @@ def q_ev_approx_profile(spark, sf_dir):
     engine-specific); error bounds vs exact are pinned in
     tests/test_scale_ops.py."""
     ev = load_table(spark, sf_dir, "events")
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     return (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
-                "value_quantiles"
-            ),
+            q.alias("q"),
+        )
+        # scalar columns, not array — the driver harness hashes frames
+        # with pandas and cannot sort an array-typed column
+        .select(
+            "event_type",
+            "approx_users",
+            F.element_at("q", 1).alias("p50"),
+            F.element_at("q", 2).alias("p95"),
+            F.element_at("q", 3).alias("p99"),
         )
         .orderBy("event_type")
     )
