@@ -79,8 +79,11 @@ def q_shipping_priority(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
+    # orders is a fact table (grows with SF) — no broadcast hint; the
+    # lineitem⋈orders join shuffles on orderkey and AQE may still pick
+    # broadcast at small SF. Dimension hint stays on customer only.
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
@@ -125,8 +128,11 @@ def q_local_supplier_volume(spark, sf_dir):
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # orders is fact-sized: shuffle join on orderkey (AQE decides
+    # broadcast at small SF); customer/supplier/nation/region are true
+    # dimensions and keep their hints
     return (
-        lineitem.join(F.broadcast(orders), lineitem.l_orderkey == orders.o_orderkey)
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(
             F.broadcast(supplier),

@@ -19,8 +19,10 @@ def q_priority_late_orders(spark, sf_dir):
     left-semi join, no row duplication)."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
+    # orders is fact-sized — shuffle join, no broadcast hint (Catalyst
+    # prunes orders to the two referenced columns)
     late = (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
         .filter(
             F.col("l_shipdate") > F.date_add(F.col("o_orderdate").cast("date"), 90)
         )
@@ -42,7 +44,7 @@ def q_returned_item_customers(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
@@ -84,8 +86,10 @@ def q_large_volume_orders(spark, sf_dir):
         .agg(F.sum(dec("l_quantity", "9,2")).cast("double").alias("total_qty"))
         .filter(F.col("total_qty") > 150.0)
     )
+    # `big` is |orders|-sized and orders is a fact table: both joins
+    # shuffle on their keys; only the customer dimension is hinted
     return (
-        big.join(F.broadcast(o), big.l_orderkey == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",

@@ -32,9 +32,10 @@ def q_nation_volume_shipping(spark, sf_dir):
     ) | (
         (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     )
+    # orders is fact-sized — shuffle join on orderkey, no hint
     return (
         l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
@@ -63,7 +64,7 @@ def q_national_market_share(spark, sf_dir):
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == F.col("s_nk"))
-        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
             _disc_price().alias("volume"),
@@ -131,9 +132,11 @@ def q_small_quantity_revenue(spark, sf_dir):
             "avg_qty"
         )
     )
+    # avg_qty is |part|-sized (grows with SF) — shuffle join on
+    # partkey; only the filtered part dimension keeps its hint
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(avg_qty), l.l_partkey == F.col("ap"))
+        .join(avg_qty, l.l_partkey == F.col("ap"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             (F.sum(dec("l_extendedprice", "9,2")).cast("double") / F.lit(7.0)).alias(

@@ -12,7 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from raft_c_spark.engine import Engine
-from raft_c_spark.plans import tpch
+from raft_c_spark.plans import tpch, tpch2, tpch3
 from raft_c_spark.sources.testdata import load_table
 
 
@@ -65,7 +65,66 @@ def test_events_scan_prunes_columns(spark, sf_dir):
 def test_tpch_q3_broadcasts_dimensions(spark, sf_dir):
     plan = plan_of(tpch.q_shipping_priority(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+
+
+def _tree_string(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _broadcast_subtrees(tree: str) -> list[str]:
+    """Extract each BroadcastExchange node's subtree from Spark's
+    indented tree string (markers '+-'/':-'; descendants sit at a
+    strictly greater marker column)."""
+
+    def marker_col(line: str) -> int:
+        p, q = line.find("+-"), line.find(":-")
+        cands = [c for c in (p, q) if c >= 0]
+        return min(cands) if cands else -1
+
+    lines = tree.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        col = marker_col(line)
+        sub = [line]
+        for nxt in lines[i + 1 :]:
+            c = marker_col(nxt)
+            if c >= 0 and c <= col:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+_ALL_TPCH = {}
+_ALL_TPCH.update(tpch.QUERIES)
+_ALL_TPCH.update(tpch2.QUERIES)
+_ALL_TPCH.update(tpch3.QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(_ALL_TPCH))
+def test_no_fact_table_under_broadcast(spark, sf_dir, name):
+    """100 TB guard: orders/lineitem are fact tables (grow with SF) —
+    they must never sit under a hinted BroadcastExchange. A fact scan
+    inside a broadcast subtree is allowed only when a groupless
+    aggregate (keys=[], ≤1 row) bounds it first (e.g. a scalar max)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _ALL_TPCH[name](spark, sf_dir)
+        for sub in _broadcast_subtrees(_tree_string(df)):
+            fact_scan = any(
+                "FileScan" in l
+                and ("orders.parquet" in l or "lineitem.parquet" in l)
+                for l in sub.splitlines()
+            )
+            if fact_scan:
+                assert "HashAggregate(keys=[]" in sub, (
+                    f"{name}: unbounded fact table under BroadcastExchange:\n"
+                    + sub
+                )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
 def test_tpch_q1_partial_aggregation(spark, sf_dir):
