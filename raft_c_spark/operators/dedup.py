@@ -27,6 +27,15 @@ from pyspark.sql import functions as F
 # is negligible next to the k=64-permutation estimation error.
 _MERSENNE_P = (1 << 31) - 1
 
+# Broadcast-hint row caps. Hints pin a broadcast hash join where AQE's
+# static estimates flap (observed: SMJ picked for the banded self-join,
+# 3-4x slower) — but a hint on a corpus-sized frame is a forced
+# driver-side materialization that cannot survive a 100 TB corpus, so
+# every hint below is conditional on a measured row count (the frames
+# are cached and counted anyway for plan-reuse reasons).
+_BROADCAST_MAX_BANDED_ROWS = 4_000_000  # (doc, band, bucket) ≈ 20 B/row
+_BROADCAST_MAX_SIG_ROWS = 200_000  # signature ≈ num_perm·8 B/row
+
 
 def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct character n-gram shingles per document, lowercased,
@@ -79,87 +88,154 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.6,
     max_shingle_df: int | None = None,
+    strategy: str = "auto",
     max_bitmap_shingles: int = 65536,
 ) -> DataFrame:
     """All document pairs (a < b) with n-gram Jaccard ≥ threshold.
-    Exact result; the physical strategy is adaptive:
+    Exact result; the physical strategy adapts to the corpus:
 
-    - **bitmap path** (distinct shingles ≤ ``max_bitmap_shingles``):
-      each doc's shingle set becomes a fixed-width bit vector
-      (array<long>); |A∩B| is AND+popcount on a broadcast
-      nested-loop self-join. Cost: O(n²·words) with tiny constants —
-      immune to hot-shingle blowup (a low-vocabulary corpus can make
-      the join path materialize Σ df² rows, billions at a few thousand
-      docs).
-    - **shingle-join path** (large shingle spaces): |common| per pair
-      via an equi-join on shingle. ``max_shingle_df`` optionally drops
-      stop-shingles (df cap → approximation) to bound skew.
+    - **bitmap** (vocabulary ≤ ``max_bitmap_shingles``): each doc's
+      shingle set becomes a fixed-width bit vector computed in ONE
+      narrow Arrow kernel pass (text in → mask out, no explode, no
+      shuffle); |A∩B| is AND+popcount on a broadcast nested-loop
+      self-join. O(n²·words) with tiny constants — the right tool for
+      low-vocabulary corpora where every shingle is hot and any
+      join-based candidate generation degenerates to ≈all-pairs
+      (measured: the driver corpus has 377 distinct trigrams with
+      median df 1062/5000 docs).
+    - **prefix** (large vocabularies — real Zipfian text): AllPairs-
+      style prefix filtering. Shingles get a global rarity order (df
+      ascending); a doc with |A| shingles only needs its
+      |A|-⌈t·|A|⌉+1 *rarest* shingles as join keys — any partner with
+      J ≥ t must share one of them (if the whole intersection sat in
+      the remaining ⌈t·|A|⌉-1 suffix shingles it would be too small).
+      Candidates = prefix ⋈ full shingle relation, verified with an
+      exact set intersection. Everything is equi-joins + aggregates —
+      linear shuffles, no all-pairs, no driver-side state: the shape
+      that survives 100 TB (where natural-text vocab far exceeds any
+      bitmap cap).
+    - **join**: plain shingle equi-join counting |A∩B| per pair —
+      the independent verifier strategy (Σ df² cost on hot shingles);
+      ``max_shingle_df`` optionally drops stop-shingles (df cap →
+      approximation) to bound that skew.
 
-    At 100 TB neither exact path is the tool — minhash_lsh_pairs is —
-    but this operator is the ground-truth verifier the LSH variants are
-    tested against.
+    ``strategy="auto"`` probes the vocabulary size with a single
+    capped distinct (≤ cap+1 rows collected) and dispatches.
     """
-    sh = char_shingles(df, id_col, text_col, n).cache()
-    vocab = _collect_vocab(sh, max_bitmap_shingles)
-    if vocab is not None:
-        return _jaccard_bitmap(sh, vocab, threshold)
-    return _jaccard_join(sh, threshold, max_shingle_df)
+    if strategy in ("auto", "bitmap"):
+        # one text-parse pass: per-doc shingle-code arrays, cached —
+        # the vocab probe and the mask build both read from it
+        codes = _doc_codes(df, id_col, text_col, n).cache()
+        codes.count()
+        vocab = _collect_vocab_codes(codes, max_bitmap_shingles)
+        if vocab is not None:
+            return _jaccard_bitmap(codes, vocab, threshold)
+        codes.unpersist()
+        if strategy == "bitmap":
+            raise ValueError(
+                f"bitmap strategy needs ≤{max_bitmap_shingles} distinct shingles"
+            )
+        strategy = "prefix"
+    sh = char_shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        sh = sh.cache()
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    if strategy == "prefix":
+        return _jaccard_prefix(sh, threshold)
+    if strategy == "join":
+        return _jaccard_join(sh, threshold)
+    raise ValueError(f"unknown strategy {strategy!r}")
 
 
-def _collect_vocab(sh: DataFrame, cap: int) -> list[str] | None:
-    """The distinct shingle vocabulary if it has ≤ cap entries, else
-    None — one action: limit(cap+1) returns the complete set exactly
-    when fewer than cap+1 rows come back."""
-    rows = sh.select("shingle").distinct().limit(cap + 1).collect()
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the input
+    arrives under-partitioned (a single small parquet file scans as
+    ONE partition, serializing any Arrow kernel into one task). At
+    scale inputs are many files and this is a no-op."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
+def _doc_codes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, codes) — per-doc distinct shingle codes in one vectorized
+    Arrow pass over the text; docs with no shingles are dropped (they
+    can appear in no pair)."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            out_doc, out_codes = [], []
+            for doc, text in zip(pdf[id_col], pdf[text_col]):
+                ids = _shingle_codes(text, n)
+                if len(ids):
+                    out_doc.append(doc)
+                    out_codes.append([int(c) for c in ids])
+            yield pd.DataFrame({"doc": out_doc, "codes": out_codes})
+
+    return _widen(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        kernel, "doc long, codes array<long>"
+    )
+
+
+def _collect_vocab_codes(codes: DataFrame, cap: int):
+    """Sorted distinct shingle-code table if it has ≤ cap entries,
+    else None. Reads the cached per-doc code arrays (a JVM explode +
+    distinct over longs — no re-parse); limit(cap+1) returns the
+    complete set exactly when fewer than cap+1 rows come back."""
+    import numpy as np
+
+    rows = (
+        codes.select(F.explode("codes").alias("code"))
+        .distinct()
+        .limit(cap + 1)
+        .collect()
+    )
     if len(rows) > cap:
         return None
-    return sorted(r["shingle"] for r in rows)
+    return np.sort(np.array([r["code"] for r in rows], dtype=np.int64))
 
 
-def _jaccard_bitmap(
-    sh: DataFrame, vocab: list[str], threshold: float
-) -> DataFrame:
-    # 63 usable bits per long: bit 63 via pow(2,63) would overflow the
-    # signed cast under ANSI
-    n_distinct = len(vocab)
-    n_words = (n_distinct + 62) // 63
-    ids = sh.sparkSession.createDataFrame(
-        [(s, i) for i, s in enumerate(vocab)], "shingle string, sid int"
-    )
-    doc_ids = sh.join(F.broadcast(ids), "shingle").select("doc", "sid")
-    word = (F.col("sid") / 63).cast("int")
-    bit = F.col("sid") % 63
-    word_masks = (
-        doc_ids.groupBy("doc", word.alias("w"))
-        .agg(
-            F.sum(F.pow(F.lit(2.0), bit).cast("long")).alias("mask"),
-            F.count(F.lit(1)).alias("bits"),
-        )
-    )
-    # per-doc dense mask vector: aggregate (w, mask) pairs into a
-    # fixed-width array
-    masks = (
-        word_masks.groupBy("doc")
-        .agg(
-            F.map_from_arrays(
-                F.collect_list("w"), F.collect_list("mask")
-            ).alias("wm"),
-            F.sum("bits").alias("sz"),
-        )
-        .select(
-            "doc",
-            "sz",
-            F.expr(
-                f"transform(sequence(0, {n_words - 1}),"
-                f" w -> coalesce(wm[w], 0L))"
-            ).alias("mask"),
-        )
-    )
+def _jaccard_bitmap(codes: DataFrame, vocab_codes, threshold: float) -> DataFrame:
+    """Bitmap all-pairs verify: per-doc (sz, mask) computed from the
+    cached code arrays (searchsorted against the vocab code table →
+    OR into 63-bit words), then a broadcast NLJ with a size prefilter
+    and an unrolled AND+popcount."""
+    import numpy as np
+    import pandas as pd
+
+    # 63 usable bits per long: bit 63 would need an unsigned cast
+    n_words = (len(vocab_codes) + 62) // 63
+
+    def kernel(batches):
+        for pdf in batches:
+            out_doc, out_sz, out_mask = [], [], []
+            for doc, ids in zip(pdf["doc"], pdf["codes"]):
+                ids = np.asarray(ids, dtype=np.int64)
+                idx = np.searchsorted(vocab_codes, ids)
+                mask = np.zeros(n_words, dtype=np.int64)
+                np.bitwise_or.at(
+                    mask, idx // 63, np.int64(1) << (idx % 63).astype(np.int64)
+                )
+                out_doc.append(doc)
+                out_sz.append(len(ids))
+                out_mask.append([int(w) for w in mask])
+            yield pd.DataFrame(
+                {"doc": out_doc, "sz": out_sz, "mask": out_mask}
+            )
+
+    masks = codes.mapInPandas(kernel, "doc long, sz long, mask array<long>")
     # masks feeds both sides of the self-join: materialize the cache
-    # first or the mask-building subtree computes twice
+    # first or the kernel runs twice
     masks = masks.cache()
     masks.count()
-    a = masks.select(
+    n_part = codes.sparkSession.sparkContext.defaultParallelism
+    a = masks.repartition(n_part).select(
         F.col("doc").alias("a"), F.col("sz").alias("sz_a"), F.col("mask").alias("ma")
     )
     b = masks.select(
@@ -194,18 +270,66 @@ def _jaccard_bitmap(
     )
 
 
-def _jaccard_join(
-    sh: DataFrame, threshold: float, max_shingle_df: int | None
-) -> DataFrame:
+def _jaccard_prefix(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard pairs via prefix-filter candidate generation
+    (AllPairs/PPJoin family — public algorithm, Bayardo et al. WWW'07).
+    Every stage is an equi-join or hash aggregate: linear shuffles
+    keyed by shingle/doc, no broadcast of corpus-sized frames."""
+    t = threshold
     sh = sh.cache()
-    if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w_rank = Window.partitionBy("doc").orderBy("_df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("_rank", F.row_number().over(w_rank))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    )
+    # prefix length |A| - ceil(t·|A|) + 1: the globally rarest shingles
+    prefix = ranked.filter(
+        F.col("_rank") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    ).select(F.col("doc").alias("pa"), "shingle", F.col("sz").alias("psz"))
+    docsets = sh.groupBy("doc").agg(
+        F.collect_list("shingle").alias("shset"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    full = sh.join(docsets.select("doc", "sz"), "doc")
+    cand = (
+        prefix.join(full, "shingle")
+        .filter(
+            (F.col("pa") != F.col("doc"))
+            # J ≥ t forces t·|B| ≤ |A| ≤ |B|/t
+            & (F.col("psz").cast("double") >= F.lit(t) * F.col("sz"))
+            & (F.col("sz").cast("double") >= F.lit(t) * F.col("psz"))
         )
-        sh = sh.join(rare, "shingle")
+        .select(
+            F.least("pa", "doc").alias("a"),
+            F.greatest("pa", "doc").alias("b"),
+        )
+        .distinct()
+    )
+    da = docsets.select(
+        F.col("doc").alias("a"), F.col("shset").alias("sa"), F.col("sz").alias("sz_a")
+    )
+    db = docsets.select(
+        F.col("doc").alias("b"), F.col("shset").alias("sb"), F.col("sz").alias("sz_b")
+    )
+    common = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .withColumn("common", common)
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def _jaccard_join(sh: DataFrame, threshold: float) -> DataFrame:
+    sh = sh.cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc").alias("a"), "shingle")
     b = sh.select(F.col("doc").alias("b"), "shingle")
@@ -230,6 +354,40 @@ def _jaccard_join(
     )
 
 
+_CODE_M = 0x110000  # unicode codepoint space: 3 cps → unique int64
+
+
+def _shingle_codes(text: str, n: int) -> "np.ndarray":
+    """Distinct char-n-gram codes of a normalized text as a sorted
+    int64 array. Normalization matches char_shingles (lowercase,
+    whitespace collapsed). n=3 packs three codepoints into one int64
+    (a perfect hash, vectorized); other n md5-hash per shingle."""
+    import hashlib
+
+    import numpy as np
+
+    norm = " ".join((text or "").lower().split())
+    if len(norm) < n:
+        return np.empty(0, dtype=np.int64)
+    if n == 3:
+        cps = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        ids = cps[:-2] * (_CODE_M * _CODE_M) + cps[1:-1] * _CODE_M + cps[2:]
+    else:
+        ids = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(norm[i : i + n].encode()).digest()[:8], "big"
+                )
+                >> 1  # keep positive in int64
+                for i in range(len(norm) - n + 1)
+            ],
+            dtype=np.int64,
+        )
+    return np.unique(ids)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -250,8 +408,6 @@ def minhash_signatures(
     one int (a perfect hash); other n md5-hash within the kernel.
     Normalization matches char_shingles (lowercase, whitespace
     collapsed)."""
-    import hashlib
-
     import numpy as np
     import pandas as pd
 
@@ -269,36 +425,12 @@ def minhash_signatures(
         ],
         dtype=np.int64,
     )
-    code_m = 0x110000  # unicode codepoint space: 3 cps → unique int64
-
-    def shingle_ids(text: str) -> "np.ndarray":
-        norm = " ".join((text or "").lower().split())
-        if len(norm) < n:
-            return np.empty(0, dtype=np.int64)
-        if n == 3:
-            cps = np.frombuffer(
-                norm.encode("utf-32-le"), dtype=np.uint32
-            ).astype(np.int64)
-            ids = cps[:-2] * (code_m * code_m) + cps[1:-1] * code_m + cps[2:]
-        else:
-            ids = np.array(
-                [
-                    int.from_bytes(
-                        hashlib.md5(norm[i : i + n].encode()).digest()[:8],
-                        "big",
-                    )
-                    >> 1  # keep positive in int64
-                    for i in range(len(norm) - n + 1)
-                ],
-                dtype=np.int64,
-            )
-        return np.unique(ids) % _MERSENNE_P
 
     def kernel(batches):
         for pdf in batches:
             sigs = []
             for text in pdf[text_col]:
-                ids = shingle_ids(text)
+                ids = _shingle_codes(text, n) % _MERSENNE_P
                 if not len(ids):
                     sigs.append([int(_MERSENNE_P)] * num_perm)
                     continue
@@ -308,7 +440,7 @@ def minhash_signatures(
                 sigs.append([int(v) for v in m.min(axis=0)])
             yield pd.DataFrame({"doc": pdf[id_col], "signature": sigs})
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return _widen(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
         kernel, "doc long, signature array<long>"
     )
 
@@ -339,8 +471,8 @@ def minhash_lsh_pairs(
     # eager materialization: sig feeds three plan branches (banding ×2
     # via the self-join, est-verify ×2); without forcing the cache
     # first, AQE races the branches and computes the full signature
-    # pipeline repeatedly
-    sig.count()
+    # pipeline repeatedly. The count also prices the broadcast hints.
+    n_docs = sig.count()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -356,13 +488,17 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc", "bb.band", "bb.bucket")
-    # broadcast the (docs × bands)-row banded frame: pins a broadcast
-    # hash join — without the hint AQE sometimes picks a sort-merge
-    # plan for the self-join, 3-4x slower and run-to-run unstable
+    # size-conditional broadcast of the (docs × bands)-row banded
+    # frame: below the cap the hint pins a broadcast hash join (AQE
+    # sometimes flaps to a 3-4x-slower sort-merge plan); above it the
+    # self-join shuffles on (band, bucket) — the scale shape
+    y_side = banded.alias("y")
+    if n_docs * bands <= _BROADCAST_MAX_BANDED_ROWS:
+        y_side = F.broadcast(y_side)
     cand = (
         banded.alias("x")
         .join(
-            F.broadcast(banded.alias("y")),
+            y_side,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.doc") < F.col("y.doc")),
@@ -372,6 +508,8 @@ def minhash_lsh_pairs(
     )
     siga = sig.select(F.col("doc").alias("a"), F.col("signature").alias("sig_a"))
     sigb = sig.select(F.col("doc").alias("b"), F.col("signature").alias("sig_b"))
+    if n_docs <= _BROADCAST_MAX_SIG_ROWS:
+        siga, sigb = F.broadcast(siga), F.broadcast(sigb)
     # unrolled equal-component count (see dot_unrolled rationale)
     matches: F.Column | None = None
     for i in range(num_perm):
@@ -381,8 +519,8 @@ def minhash_lsh_pairs(
         matches = term if matches is None else matches + term
     est = matches / F.lit(float(num_perm))
     return (
-        cand.join(F.broadcast(siga), "a")
-        .join(F.broadcast(sigb), "b")
+        cand.join(siga, "a")
+        .join(sigb, "b")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
@@ -397,7 +535,10 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tokens = df.select(
         F.col(id_col).alias("doc"),
         F.explode(
-            F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]', 0)")
+            F.expr(
+                f"regexp_extract_all(lower({text_col}),"
+                r" '[a-z0-9]+|[^a-z0-9\\s]', 0)"
+            )
         ).alias("tok"),
     )
     h = F.xxhash64("tok")
@@ -479,8 +620,11 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥
-    threshold). Exact all-pairs — the small-scale baseline / verifier;
-    the scale path is similarity.lsh_bucketed_pairs (hyperplane LSH)."""
+    threshold). Exact all-pairs — inherently O(n²); this is the
+    small-scale baseline / verifier. The 100 TB path is
+    ``similarity.lsh_bucketed_pairs`` (hyperplane-LSH bucket join +
+    exact-cosine verify), tested against this operator on planted
+    duplicates in tests/test_text_similarity.py."""
     from raft_c_spark.operators.similarity import cosine_expr, vec_dim, with_norm
 
     dim = vec_dim(df, vec_col)
@@ -490,10 +634,16 @@ def embedding_neardup_pairs(
         F.col("doc").alias("a"), F.col("vec").alias("va"), F.col("norm").alias("na")
     )
     b = v.select(F.col("doc").alias("b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+    # broadcast only below a measured size cap (vectors are ~dim·8 B
+    # each); above it fall back to a partitioned cartesian — still
+    # O(n²) work (that is what "exact all-pairs" means) but no
+    # driver-side materialization of the corpus
+    if df.count() * dim * 8 <= 100 * 1024 * 1024:
+        b = F.broadcast(b)
     return (
         # stream side repartitioned so the broadcast NLJ fans out over
         # all cores (a single-file scan is one partition → one task)
-        a.crossJoin(F.broadcast(b))
+        a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
         .withColumn("cosine", cosine_expr("va", "vb", "na", "nb", dim))
         .filter(F.col("cosine") >= threshold)

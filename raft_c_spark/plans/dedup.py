@@ -76,12 +76,32 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Hyperplane-LSH embedding pair-dedup — the 100 TB path (bucket
+    equi-join candidates + exact-cosine verify; never all-pairs).
+    Driver embeddings are uniform-random (near-orthogonal, max pair
+    cosine ≈ 0.60, no planted near-dups) — a hostile regime for LSH —
+    so the query runs at 0.40 (920 true pairs at sf0.1) with short
+    signatures: per-pair recall ≈ 1-(1-0.63⁴)¹² ≈ 0.87. The
+    operator's real win region (threshold ≥ 0.9, bits=10, recall
+    ≈ 0.97 with far fewer candidates) is recall-pinned against exact
+    all-pairs on planted duplicates in tests/test_text_similarity.py.
+    Rows-only driver check (hyperplane-dependent candidate set)."""
+    from raft_c_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_pairs(
+        emb, "vec_id", "embedding", threshold=0.40, bits=4, tables=12,
+    )
+
+
 QUERIES = {
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
 }
 
 _NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"

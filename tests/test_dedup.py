@@ -76,20 +76,40 @@ def test_simhash_deterministic(docs):
     assert a == b
 
 
-def test_join_path_matches_bitmap_path(docs):
-    """The two exact physical strategies must agree (max_bitmap_shingles=0
-    forces the shingle-join path)."""
-    bitmap = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
-    join = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", threshold=0.8, max_bitmap_shingles=0
+@pytest.mark.parametrize("threshold", [0.8, 0.5])
+def test_exact_strategies_agree(docs, threshold):
+    """All three exact physical strategies (Arrow-kernel bitmap NLJ,
+    prefix-filter candidates, plain shingle equi-join) must return
+    identical pair sets — completeness proof of the bitmap packing and
+    the prefix filter on real data, at a high and a low threshold
+    (longer prefixes, denser candidates — the regime where an
+    off-by-one in the prefix length would show)."""
+    by_strategy = {
+        s: _pairs(
+            dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=threshold, strategy=s
+            )
+        )
+        for s in ("bitmap", "prefix", "join")
+    }
+    assert by_strategy["bitmap"] == by_strategy["join"]
+    assert by_strategy["prefix"] == by_strategy["join"]
+
+
+def test_auto_strategy_dispatch(docs):
+    """auto → bitmap on the low-vocab corpus; a tiny cap forces the
+    prefix path; both remain exact."""
+    auto = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    forced_prefix = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8, max_bitmap_shingles=10
     )
-    assert _pairs(bitmap) == _pairs(join)
+    assert _pairs(auto) == _pairs(forced_prefix)
 
 
 def test_shingle_df_cap_is_usable(docs):
     capped = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.8, max_shingle_df=100,
-        max_bitmap_shingles=0,
+        strategy="join",
     )
     uncapped = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
     # the cap is an approximation: it must still find most planted pairs

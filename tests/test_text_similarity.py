@@ -5,7 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from raft_c_spark.operators import similarity, text
+from raft_c_spark.operators import dedup, similarity, text
 from raft_c_spark.sources.testdata import load_table
 
 
@@ -90,3 +90,46 @@ def test_lsh_prunes_candidates(emb):
     n_cand = similarity.lsh_candidates(emb, q).count()
     n = emb.count()
     assert 0 < n_cand < n, "LSH probe must prune the corpus"
+
+
+def test_lsh_bucketed_pairs_recall_on_planted(spark, emb):
+    """The 100 TB embedding pair-dedup path: hyperplane-LSH candidates
+    + exact-cosine verify must (a) recover ≥90% of planted near-dup
+    pairs at cosine ≥ 0.95, and (b) return a subset of the exact
+    all-pairs result (the verify stage admits no false positives)."""
+    import random
+
+    rng = random.Random(23)
+    base = {r["vec_id"]: r["embedding"] for r in emb.limit(12).collect()}
+    planted = spark.createDataFrame(
+        [
+            (70000 + i, [v * (1 + rng.uniform(-0.01, 0.01)) for v in vec], 0)
+            for i, vec in enumerate(base.values())
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    allv = emb.unionByName(planted)
+    truth = {
+        (r["a"], r["b"])
+        for r in dedup.embedding_neardup_pairs(
+            allv, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    assert truth, "planting should create ≥0.95-cosine pairs"
+    found = {
+        (r["a"], r["b"])
+        for r in similarity.lsh_bucketed_pairs(
+            allv, "vec_id", "embedding", threshold=0.95, bits=10, tables=8
+        ).collect()
+    }
+    assert found <= truth, "verify stage must not admit false positives"
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"lsh pair recall {recall:.2f} over {len(truth)}"
+
+
+def test_pair_signatures_shape(emb):
+    sigs = similarity.pair_signatures(emb, "vec_id", "embedding", bits=6, tables=4)
+    n = emb.count()
+    assert sigs.count() == n * 4
+    r = sigs.limit(1).collect()[0]
+    assert 0 <= r["sig"] < 64
