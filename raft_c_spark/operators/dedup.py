@@ -506,11 +506,43 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
         .distinct()
     )
+    if n_docs <= _BROADCAST_MAX_SIG_ROWS:
+        # verify in one vectorized numpy pass with the signature matrix
+        # as a broadcast variable (n_docs × num_perm longs — 100 MB at
+        # the cap): integer equality counts, no float-order concerns.
+        # The per-row column-expression alternative (a 64-term
+        # when-chain over element_at pairs) drops out of whole-stage
+        # codegen and runs ~15 µs/row interpreted.
+        import numpy as np
+        import pandas as pd
+
+        spdf = sig.toPandas()
+        ids = spdf["doc"].to_numpy(dtype=np.int64)
+        sm = np.array([np.asarray(s, dtype=np.int64) for s in spdf["signature"]])
+        order = np.argsort(ids)
+        bc = df.sparkSession.sparkContext.broadcast((ids[order], sm[order]))
+
+        def kernel(batches):
+            sids, ssm = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                a = pdf["a"].to_numpy(dtype=np.int64)
+                b = pdf["b"].to_numpy(dtype=np.int64)
+                est = (
+                    ssm[np.searchsorted(sids, a)] == ssm[np.searchsorted(sids, b)]
+                ).sum(axis=1) / float(num_perm)
+                keep = est >= threshold
+                yield pd.DataFrame(
+                    {"a": a[keep], "b": b[keep], "est_jaccard": est[keep]}
+                )
+
+        return cand.mapInPandas(kernel, "a long, b long, est_jaccard double")
+
+    # corpus-scale fallback: equi-joins on doc id (linear shuffles) +
+    # unrolled equal-component count (see dot_unrolled rationale)
     siga = sig.select(F.col("doc").alias("a"), F.col("signature").alias("sig_a"))
     sigb = sig.select(F.col("doc").alias("b"), F.col("signature").alias("sig_b"))
-    if n_docs <= _BROADCAST_MAX_SIG_ROWS:
-        siga, sigb = F.broadcast(siga), F.broadcast(sigb)
-    # unrolled equal-component count (see dot_unrolled rationale)
     matches: F.Column | None = None
     for i in range(num_perm):
         term = F.when(
@@ -532,8 +564,8 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     majority vote of token xxhash64s, as a bit-position aggregate —
     explode tokens → per-bit sums → reassemble. Whole pipeline is one
     aggregate; near-dup candidates are docs at small hamming distance."""
-    tokens = df.select(
-        F.col(id_col).alias("doc"),
+    tokens = _widen(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
+        "doc",
         F.explode(
             F.expr(
                 f"regexp_extract_all(lower({text_col}),"
@@ -624,28 +656,71 @@ def embedding_neardup_pairs(
     small-scale baseline / verifier. The 100 TB path is
     ``similarity.lsh_bucketed_pairs`` (hyperplane-LSH bucket join +
     exact-cosine verify), tested against this operator on planted
-    duplicates in tests/test_text_similarity.py."""
-    from raft_c_spark.operators.similarity import cosine_expr, vec_dim, with_norm
+    duplicates in tests/test_text_similarity.py.
+
+    Physical strategy: below the broadcast cap (and with integral
+    ids) each partition scores a block of probe rows against the
+    broadcast corpus matrix in numpy — dots accumulated dimension-by-
+    dimension, bit-identical to the SQL fold — replacing a broadcast
+    NLJ whose 128-element_at cosine expression drops out of codegen.
+    Above the cap: partitioned cartesian with a zip_with fold —
+    still O(n²) work (that is what "exact all-pairs" means) but no
+    driver-side corpus materialization."""
+    from raft_c_spark.operators.similarity import (
+        _VERIFY_BROADCAST_BYTES,
+        _corpus_pack,
+        vec_dim,
+        with_norm,
+    )
+
+    import numpy as np
+    import pandas as pd
 
     dim = vec_dim(df, vec_col)
+    n = df.count()
+    integral = df.schema[id_col].dataType.simpleString() in ("bigint", "int")
+    if integral and n * dim * 8 <= _VERIFY_BROADCAST_BYTES:
+        bc = df.sparkSession.sparkContext.broadcast(
+            _corpus_pack(df, id_col, vec_col)
+        )
+        # bound the (chunk × corpus) cosine block to ~64 MB
+        chunk = max(1, (8 << 20) // max(n, 1))
+
+        def kernel(batches):
+            ids, m, norms = bc.value
+            for pdf in batches:
+                probe = pdf["a"].to_numpy(dtype=np.int64)
+                for s in range(0, len(probe), chunk):
+                    a = probe[s : s + chunk]
+                    ia = np.searchsorted(ids, a)
+                    acc = np.zeros((len(a), len(ids)))
+                    for i in range(m.shape[1]):
+                        acc += np.outer(m[ia, i], m[:, i])
+                    cos = acc / np.outer(norms[ia], norms)
+                    pi, ci = np.nonzero(
+                        (cos >= threshold) & (a[:, None] < ids[None, :])
+                    )
+                    yield pd.DataFrame(
+                        {"a": a[pi], "b": ids[ci], "cosine": cos[pi, ci]}
+                    )
+
+        probe = _widen(df.select(F.col(id_col).alias("a")))
+        return probe.mapInPandas(kernel, "a long, b long, cosine double")
+
     v = with_norm(df, id_col, vec_col, dim)
     n_part = df.sparkSession.sparkContext.defaultParallelism
     a = v.repartition(n_part).select(
         F.col("doc").alias("a"), F.col("vec").alias("va"), F.col("norm").alias("na")
     )
-    b = v.select(F.col("doc").alias("b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
-    # broadcast only below a measured size cap (vectors are ~dim·8 B
-    # each); above it fall back to a partitioned cartesian — still
-    # O(n²) work (that is what "exact all-pairs" means) but no
-    # driver-side materialization of the corpus
-    if df.count() * dim * 8 <= 100 * 1024 * 1024:
-        b = F.broadcast(b)
+    b = v.select(
+        F.col("doc").alias("b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
+    )
+    from raft_c_spark.operators.similarity import dot_fold
+
     return (
-        # stream side repartitioned so the broadcast NLJ fans out over
-        # all cores (a single-file scan is one partition → one task)
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", cosine_expr("va", "vb", "na", "nb", dim))
+        .withColumn("cosine", dot_fold("va", "vb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
