@@ -66,9 +66,21 @@ def q_language_where_limit(spark, sf_dir):
     )
 
 
+def q_language_multi_agg(spark, sf_dir):
+    """Multi-aggregate select through the parser (grammar doc
+    src/statement_parse.h:97 — `SELECT fn(value) [, fn(value)]* FROM
+    ts`): one row, one column per aggregate, order preserved."""
+    eng = _engine_with_click_series(spark, sf_dir)
+    return eng.execute(
+        f"SELECT min(value), max(value), avg(value) FROM click"
+        f" BETWEEN {_T0} AND {_T1}"
+    )
+
+
 QUERIES = {
     "lang_sample_by": q_language_sample_by,
     "lang_where_limit": q_language_where_limit,
+    "lang_multi_agg": q_language_multi_agg,
 }
 
 _CLICK = f"SELECT timestamp, value FROM ({POINTS_SQL}) WHERE series = 'click'"
@@ -90,5 +102,12 @@ ORACLES = {
         SELECT timestamp, value FROM ({_CLICK})
         WHERE value > 50 AND value < 200
         ORDER BY timestamp LIMIT 50
+    """,
+    "lang_multi_agg": f"""
+        SELECT MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               {sql_avg('value')} AS avg_value
+        FROM ({_CLICK})
+        WHERE timestamp >= {T0_NS} AND timestamp <= {T1_NS}
     """,
 }
