@@ -4,15 +4,28 @@ write path (SURVEY §2.9):
 | reference                                   | here                        |
 |---------------------------------------------|-----------------------------|
 | head chunk absorbing in-order inserts       | current micro-batch         |
-| prev chunk absorbing ≤15-min-late points    | ``withWatermark(15 min)``   |
-| older-than-prev forced flush (undefined     | watermark drop (bounded     |
-|   corners, src/timeseries.c:660-663)        |   lateness, well-defined)   |
+| prev chunk absorbing ≤15-min-late points    | in-window rows of the batch |
+| older-than-prev forced flush that KEEPS the | policy-aware batch append   |
+|   old data (src/timeseries.c:545-582)       |   into the old partitions   |
 | WAL durability (src/wal.c:70-83)            | checkpoint + idempotent     |
 |                                             |   foreachBatch sink         |
 | chunk rotation every 900 s                  | tumbling window state       |
 
-The 15-minute watermark is exactly the reference's one-chunk lateness
-window (TS_CHUNK_SIZE=900 s, src/timeseries.h:13).
+The 15-minute lateness window is exactly the reference's one-chunk
+window (TS_CHUNK_SIZE=900 s, src/timeseries.h:13). Two consumers with
+different lateness semantics:
+
+- **store ingest** (``stream_ingest_to_store``): nothing is dropped.
+  Rows older than the running high-water-mark − window are routed
+  through the duplication-policy merge into their historical
+  (series, day) partitions — the reference's forced-flush-and-reinit
+  corner collapses to an ordinary partitioned append here, because
+  the store has no in-memory head/prev buffers to protect.
+- **streaming aggregates** (``stream_tumbling_avg``): watermark
+  semantics — late rows beyond the window are excluded from the
+  *incremental* result (bounded state, each window emitted once).
+  Because the store keeps them, a batch SAMPLE BY over the store
+  reconciles exactly (the lambda read-path; engine.py SELECT).
 """
 
 from __future__ import annotations
@@ -53,21 +66,71 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+#: prev-chunk lateness window in ns (TS_CHUNK_SIZE=900 s)
+LATENESS_NS = 900 * 10**9
+
+
 def stream_ingest_to_store(
-    stream: DataFrame, store, db: str, checkpoint: str
+    stream: DataFrame,
+    store,
+    db: str,
+    checkpoint: str,
+    duplication: str = "insert",
+    lateness_ns: int = LATENESS_NS,
+    stats: dict | None = None,
 ):
-    """Exactly-once-ish ingest: watermark bounds state, foreachBatch
-    appends each micro-batch to the partitioned store (idempotent per
-    epoch via overwrite-free append + checkpoint tracking — the
-    WAL/flush story of the reference, storage-layer durability)."""
+    """Exactly-once-ish ingest: foreachBatch appends each micro-batch
+    to the partitioned store (idempotent per epoch via overwrite-free
+    append + checkpoint tracking — the WAL/flush story of the
+    reference, storage-layer durability).
+
+    Late data is never dropped. Each batch splits at the running
+    event-time high-water-mark minus ``lateness_ns``: in-window rows
+    take the normal append (the head/prev-chunk route), while
+    older-than-watermark rows take the same *policy-aware* append into
+    their historical (series, day) partitions — the reference's
+    older-than-prev forced flush, which re-inits the prev chunk at the
+    older base and KEEPS the data (src/timeseries.c:545-582). In a
+    day-partitioned store that corner is just a partitioned write to
+    old directories; ``duplication='ignore'`` merges against only the
+    touched partitions (anti-join pruned by (series, day)).
+
+    ``stats`` (optional dict) accumulates ``n_late`` and the current
+    ``watermark_ts`` for observability/tests."""
     pts = stream.select(
         F.col("event_type").alias("series"),
         (F.unix_micros("ts") * 1000).alias("timestamp"),
         F.col("value").cast("double").alias("value"),
     )
+    hwm: dict = {"max_ts": None}
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        store.insert_df(db, batch_df)
+        batch_df.persist()
+        try:
+            hi = batch_df.agg(F.max("timestamp").alias("m")).first()["m"]
+            if hi is None:
+                return
+            if hwm["max_ts"] is None:
+                store.insert_df(db, batch_df, duplication)
+                n_late = 0
+            else:
+                cutoff = hwm["max_ts"] - lateness_ns
+                store.insert_df(
+                    db,
+                    batch_df.filter(F.col("timestamp") >= F.lit(cutoff)),
+                    duplication,
+                )
+                n_late = store.insert_df(
+                    db,
+                    batch_df.filter(F.col("timestamp") < F.lit(cutoff)),
+                    duplication,
+                )
+            hwm["max_ts"] = max(hwm["max_ts"] or hi, hi)
+            if stats is not None:
+                stats["n_late"] = stats.get("n_late", 0) + n_late
+                stats["watermark_ts"] = hwm["max_ts"] - lateness_ns
+        finally:
+            batch_df.unpersist()
 
     return (
         pts.writeStream.foreachBatch(sink)

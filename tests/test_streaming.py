@@ -162,6 +162,71 @@ def test_stream_ingest_to_store(spark, tmp_path):
     assert rows == {("click", 1.5), ("view", 2.5)}
 
 
+def test_stream_ingest_keeps_older_than_watermark(spark, tmp_path):
+    """Reference semantics (src/timeseries.c:545-582): arbitrarily old
+    inserts are KEPT — older-than-prev forces a flush and re-inits at
+    the older base, it never discards. Stream three batches where the
+    last carries a +5s-late point (inside the 15-min window ≙ prev
+    chunk) and a 2-day-old point (far beyond it); both must land in
+    the store and be findable via the engine's AT lookup."""
+    from raft_c_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.execute("CREATEDB sdb")
+    eng.execute("USE sdb")
+    eng.execute("CREATE click")
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    _drop(
+        _mk_events(spark, [(1, "2024-01-03 10:00:00", "click", 1.0)]), src, "b1"
+    )
+    _drop(
+        _mk_events(spark, [(2, "2024-01-03 12:00:00", "click", 2.0)]), src, "b2"
+    )
+    stats: dict = {}
+    stream = read_event_stream(spark, src)
+    q = stream_ingest_to_store(
+        stream, eng.store, "sdb", str(tmp_path / "ckpt_late"), stats=stats
+    )
+    try:
+        q.processAllAvailable()
+        _drop(
+            _mk_events(
+                spark,
+                [
+                    # +5s after the 10:00 point — hours behind the
+                    # 12:00 high-water mark, far outside the 15-min
+                    # window → the historical-partition route
+                    (3, "2024-01-03 10:00:05", "click", 3.0),
+                    # 2 days old → different day partition entirely
+                    (4, "2024-01-01 09:00:00", "click", 4.0),
+                    # fresh in-window row
+                    (5, "2024-01-03 12:00:30", "click", 5.0),
+                ],
+            ),
+            src,
+            "b3",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert stats["n_late"] == 2
+    ns = lambda iso: int(
+        dt.datetime.fromisoformat(iso).replace(tzinfo=UTC).timestamp() * 1e9
+    )
+    full = [
+        (r["timestamp"], r["value"])
+        for r in eng.execute("SELECT value FROM click").collect()
+    ]
+    assert [t for t, _ in full] == sorted(t for t, _ in full)
+    assert len(full) == 5
+    for iso, v in [("2024-01-03 10:00:05", 3.0), ("2024-01-01 09:00:00", 4.0)]:
+        found = eng.execute(f"SELECT value FROM click AT {ns(iso)}").collect()
+        assert [(r["timestamp"], r["value"]) for r in found] == [(ns(iso), v)]
+
+
 def test_stream_results_batching(spark):
     df = spark.range(2500).select(
         F.col("id").alias("timestamp"), (F.col("id") * 1.0).alias("value")
