@@ -225,32 +225,34 @@ class _Handler(socketserver.StreamRequestHandler):
             cols = df.columns
             if cols == ["timestamp", "value"]:
                 # point results: ≤1000-record chunks with a final
-                # terminator (ts_stream framing). Chunked from collect()
-                # rather than toLocalIterator: repeated toLocalIterator
-                # calls deadlock on py4j's pinned per-thread channels
-                # inside a socketserver handler thread (the library-
-                # level streaming path, streaming.results, is
-                # unaffected).
-                rows = df.collect()
-                if not rows:
+                # terminator (ts_stream framing), interleaved with the
+                # partition fetches — the driver holds a bounded number
+                # of chunks, never the full result. toLocalIterator
+                # deadlocks on py4j's pinned per-thread channels inside
+                # a socketserver handler thread, so a dedicated pump
+                # thread drives it (stream_results_pumped).
+                from raft_c_spark.streaming.results import stream_results_pumped
+
+                # the ~0 terminator rides on the LAST data chunk
+                # (reference framing, src/encoding.c:221-226) — a
+                # separate empty "final chunk" would emit a stray
+                # \r\n~0\r\n that poisons the client's buffer; one
+                # batch of lookahead tells us which chunk is last
+                prev: tuple | None = None
+                seen = False
+                for batch in stream_results_pumped(df, STREAM_THRESHOLD):
+                    if prev is not None:
+                        self.wfile.write(
+                            encode_response(StreamChunk(prev, is_final=False))
+                        )
+                    prev = tuple((r["timestamp"], r["value"]) for r in batch)
+                    seen = True
+                if not seen:
                     self.wfile.write(encode_response(ArrayResponse(())))
                 else:
-                    # the ~0 terminator rides on the LAST data chunk
-                    # (reference framing, src/encoding.c:221-226) — a
-                    # separate empty "final chunk" would emit a stray
-                    # \r\n~0\r\n that poisons the client's buffer
-                    starts = range(0, len(rows), STREAM_THRESHOLD)
-                    last = starts[-1]
-                    for i in starts:
-                        recs = tuple(
-                            (r["timestamp"], r["value"])
-                            for r in rows[i : i + STREAM_THRESHOLD]
-                        )
-                        self.wfile.write(
-                            encode_response(
-                                StreamChunk(recs, is_final=(i == last))
-                            )
-                        )
+                    self.wfile.write(
+                        encode_response(StreamChunk(prev, is_final=True))
+                    )
             else:
                 rows = df.collect()
                 msg = "; ".join(

@@ -240,3 +240,62 @@ def test_stream_results_batching(spark):
 def test_stream_results_empty(spark):
     df = spark.range(0).select(F.col("id").alias("timestamp"))
     assert list(stream_results(df)) == []
+
+
+def test_stream_results_pumped_interleaves(spark, tmp_path):
+    """ts_stream contract: the first chunk must reach the consumer
+    BEFORE the whole result materializes. Partition 1's kernel drops a
+    marker file when it runs; with toLocalIterator's one-partition-at-
+    a-time pulls the first batch (from partition 0) must arrive while
+    the marker does not yet exist."""
+    import pandas as pd
+
+    from raft_c_spark.streaming.results import stream_results_pumped
+
+    marker = str(tmp_path / "p1_ran")
+
+    def kernel(batches):
+        for pdf in batches:
+            if (pdf["timestamp"] >= 5000).any():
+                open(marker, "w").close()
+            yield pdf
+
+    df = (
+        spark.range(10_000)
+        .select(F.col("id").alias("timestamp"), (F.col("id") * 1.0).alias("value"))
+        .repartitionByRange(2, "timestamp")
+        .mapInPandas(kernel, "timestamp long, value double")
+    )
+    it = stream_results_pumped(df, batch_size=1000, prefetch=1)
+    first = next(it)
+    assert len(first) == 1000
+    assert [r["timestamp"] for r in first] == list(range(1000))
+    assert not os.path.exists(marker), "partition 1 ran before first chunk"
+    rest = list(it)
+    assert sum(len(b) for b in [first] + rest) == 10_000
+    assert os.path.exists(marker)
+
+
+def test_stream_results_pumped_in_handler_thread(spark):
+    """The wire-server regression case: repeated streamed queries from
+    a socketserver-like worker thread (py4j pinned channels) must not
+    deadlock. Run two pumped streams back-to-back on a worker thread
+    with a hard timeout."""
+    import threading
+
+    from raft_c_spark.streaming.results import stream_results_pumped
+
+    out: dict = {}
+
+    def worker():
+        for i in range(2):
+            df = spark.range(2500).select(
+                F.col("id").alias("timestamp"), (F.col("id") * 1.0).alias("value")
+            )
+            out[i] = sum(len(b) for b in stream_results_pumped(df, 1000))
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    t.join(timeout=120)
+    assert not t.is_alive(), "pumped streaming deadlocked"
+    assert out == {0: 2500, 1: 2500}
