@@ -11,7 +11,8 @@ src/statement_parse.c:455-1197) including its grammar quirks:
   left-associative (src/statement_parse.c:821-877);
 - INSERT VALUES tuple list; bare ``VALUE <float>`` stamps now() at
   parse time (src/statement_parse.c:983-996);
-- CREATE options: retention timespan, duplication 'ignore'|'insert'
+- CREATE options: retention timespan, duplication
+  'ignore'|'insert'|'update'
   (src/statement_parse.c:879-922);
 - SELECT clause order: FROM, then optional BETWEEN / WHERE / SAMPLE BY
   / LIMIT (src/statement_parse.c:1130-1154);
@@ -128,10 +129,13 @@ class _Parser:
             retention = self.parse_timeunit()
         lit = self.accept(T.LITERAL)
         if lit:
-            if lit.value not in ("ignore", "insert"):
+            # 'update' is DP_UPDATE: described in the reference's
+            # duplication-policy comment (src/timeseries.h:38-42) but
+            # absent from its enum — implemented here (newest wins)
+            if lit.value not in ("ignore", "insert", "update"):
                 raise ParseError(
-                    f"duplication policy must be 'ignore' or 'insert', "
-                    f"got {lit.value!r}",
+                    f"duplication policy must be 'ignore', 'insert' or "
+                    f"'update', got {lit.value!r}",
                     lit.pos,
                 )
             duplication = lit.value

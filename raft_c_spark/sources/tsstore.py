@@ -69,12 +69,17 @@ class TimeSeriesStore:
         drops in-batch duplicate timestamps and timestamps already
         present in the store (DP_IGNORE, src/timeseries.h:43);
         'insert' lets identical-ns points coexist (DP_INSERT,
-        src/timeseries.c:363-385)."""
+        src/timeseries.c:363-385); 'update' replaces existing values
+        at duplicate timestamps, newest wins (DP_UPDATE — described in
+        the reference's policy comment, src/timeseries.h:38-42, but
+        never implemented there)."""
         out = df.select(
             F.col("series").cast("string"),
             F.col("timestamp").cast("long"),
             F.col("value").cast("double"),
         )
+        if duplication == "update":
+            return self._upsert(db, out)
         if duplication == "ignore":
             out = out.dropDuplicates(["series", "timestamp"])
             existing = self._read_raw(db)
@@ -116,6 +121,66 @@ class TimeSeriesStore:
             .write.mode("append")
             .partitionBy("series", "day")
             .parquet(self._points_path(db))
+        )
+        return n
+
+    def _upsert(self, db: str, out: DataFrame) -> int:
+        """DP_UPDATE merge: rewrite ONLY the touched (series, day)
+        partitions, replacing rows whose timestamp collides with the
+        batch (newest wins; within a batch, last arrival wins).
+
+        Scale shape: survivors are the touched partitions' existing
+        rows anti-joined against the batch keys — work is O(touched
+        partitions), not store size, exactly like the DP_IGNORE path;
+        dynamic partition overwrite swaps only those directories. The
+        same pattern a Delta/Iceberg MERGE compiles to, without the
+        table format."""
+        from pyspark.sql import Window
+
+        # last-wins within the batch: monotonically_increasing_id
+        # rises with row order inside each input partition, which for
+        # a single ingest batch is arrival order
+        w = Window.partitionBy("series", "timestamp").orderBy(F.desc("_seq"))
+        out = (
+            out.withColumn("_seq", F.monotonically_increasing_id())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_seq")
+        )
+        out = out.withColumn("day", F.expr(f"timestamp div {DAY_NS}L"))
+        n = out.count()
+        if n == 0:
+            return 0
+        path = self._points_path(db)
+        existing = self._read_raw(db)
+        merged = out
+        if existing is not None:
+            touched = [
+                (r["series"], r["day"])
+                for r in out.select("series", "day").distinct().collect()
+            ]
+            cond = F.lit(False)
+            for s, d in touched:
+                cond = cond | ((F.col("series") == s) & (F.col("day") == d))
+            survivors = existing.filter(cond).join(
+                out.select("series", "timestamp"),
+                ["series", "timestamp"],
+                "left_anti",
+            )
+            # localCheckpoint truncates lineage so the write below is
+            # not "overwriting a path being read" (bounded by touched-
+            # partition size, the same bound the merge itself has)
+            survivors = survivors.select(
+                "series", "timestamp", "value", "day"
+            ).localCheckpoint(eager=True)
+            merged = survivors.unionByName(merged)
+        (
+            merged.repartition("series", "day")
+            .sortWithinPartitions("timestamp")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("series", "day")
+            .parquet(path)
         )
         return n
 

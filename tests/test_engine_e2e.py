@@ -190,6 +190,31 @@ def test_duplication_ignore_policy(engine):
     assert [(t, v) for t, v in rows] == [(BASE, 1.0), (BASE + 1, 4.0)]
 
 
+def test_duplication_update_policy(engine):
+    """DP_UPDATE (reference comment src/timeseries.h:38-42, never
+    implemented there): duplicate timestamps replace the stored value,
+    newest wins — in-batch (last arrival) and across batches (merge
+    rewrite of only the touched partitions)."""
+    engine.execute("CREATEDB d")
+    engine.execute("USE d")
+    engine.execute("CREATE s 'update'")
+    day = 86_400 * 10**9
+    old = BASE - 3 * day  # different day partition
+    engine.execute(
+        f"INSERT INTO s VALUES ({old}, 0.5), ({BASE}, 1.0), ({BASE}, 2.0)"
+    )
+    rows = _rows(engine.execute("SELECT value FROM s"))
+    assert rows == [(old, 0.5), (BASE, 2.0)]  # in-batch last wins
+    engine.execute(f"INSERT INTO s VALUES ({BASE}, 3.0), ({BASE + 1}, 4.0)")
+    rows = _rows(engine.execute("SELECT value FROM s"))
+    # BASE overwritten, BASE+1 appended, untouched day partition intact
+    assert rows == [(old, 0.5), (BASE, 3.0), (BASE + 1, 4.0)]
+    # updating only the OLD day must leave the BASE day untouched
+    engine.execute(f"INSERT INTO s VALUES ({old}, 9.5)")
+    rows = _rows(engine.execute("SELECT value FROM s"))
+    assert rows == [(old, 9.5), (BASE, 3.0), (BASE + 1, 4.0)]
+
+
 def test_retention_read_filter(engine):
     engine.execute("CREATEDB d")
     engine.execute("USE d")

@@ -34,6 +34,11 @@ def test_create_retention_duplication():
     assert s.duplication == "ignore"
 
 
+def test_create_update_duplication():
+    s = parse("CREATE ts-test 'update'")
+    assert s.duplication == "update"
+
+
 def test_create_bad_duplication():
     with pytest.raises(ParseError):
         parse("CREATE ts-test 3d 'bogus'")
