@@ -167,4 +167,11 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 1000 * (1 + i % 7) if kind != "image" else None,
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # hand the rows over as a pandas frame: createDataFrame(list) takes
+    # the pickled-RDD path (one python task per partition, ~2s for a
+    # hundred rows); the pandas route transfers one Arrow batch
+    pdf = pd.DataFrame(
+        rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+    ).astype(object)
+    pdf = pdf.where(pdf.notna(), None)
+    return spark.createDataFrame(pdf, MEDIA_SCHEMA)

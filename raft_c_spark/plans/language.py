@@ -28,13 +28,22 @@ T0_NS = 1_704_412_800_000_000_000  # 2024-01-05 UTC
 T1_NS = 1_706_140_800_000_000_000  # 2024-01-25 UTC
 
 
+_BUILT_WAREHOUSES: set[str] = set()
+
+
 def _engine_with_click_series(spark, sf_dir: str) -> Engine:
-    """Fresh warehouse with the 'click' series bulk-ingested from the
-    events table (store path: series+day partitioned parquet,
-    sort-on-write)."""
+    """Warehouse with the 'click' series bulk-ingested from the events
+    table (store path: series+day partitioned parquet, sort-on-write).
+    Built fresh once per process, then shared by the lang_* queries —
+    they read the same immutable series, and re-ingesting per query
+    would triple the ingest cost without testing anything new."""
     wh = os.path.join(
         tempfile.gettempdir(), f"raft_c_spark_lang_{os.path.basename(sf_dir)}"
     )
+    if wh in _BUILT_WAREHOUSES:
+        eng = Engine(spark, warehouse=wh)
+        eng.execute("USE metrics")
+        return eng
     shutil.rmtree(wh, ignore_errors=True)
     eng = Engine(spark, warehouse=wh)
     eng.execute("CREATEDB metrics")
@@ -42,6 +51,7 @@ def _engine_with_click_series(spark, sf_dir: str) -> Engine:
     eng.execute("CREATE click")
     pts = events_as_points(spark, sf_dir).filter(F.col("series") == "click")
     eng.store.insert_df("metrics", pts)
+    _BUILT_WAREHOUSES.add(wh)
     return eng
 
 

@@ -17,16 +17,12 @@ def q_mm_features(spark, sf_dir):
     id, kind, and the feature norm (stable scalar summary)."""
     media = mm.synthetic_media(spark, n=128)
     feats = mm.extract_features(media)
-    from raft_c_spark.operators.similarity import dot_unrolled
+    from raft_c_spark.operators.similarity import dot_fold
 
     return feats.select(
         "media_id",
         "kind",
-        F.sqrt(
-            dot_unrolled(
-                "features", "features", mm.FEATURE_DIM
-            )
-        ).alias("feature_norm"),
+        F.sqrt(dot_fold("features", "features")).alias("feature_norm"),
     )
 
 
