@@ -645,6 +645,151 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+    driver_max_edges: int = 2_000_000,
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the
+    clustering step every dedup pipeline runs after pair generation
+    (pairs → clusters → one survivor per cluster). Returns
+    (doc, component) for every doc appearing in a pair, where
+    ``component`` is the smallest doc id in its component.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label over its closed neighborhood — one equi-join + one
+    hash aggregate per round, linear shuffles keyed by doc id, no
+    driver-side graph state. Rounds needed = graph diameter; near-dup
+    clusters are clique-like so 2-4 rounds converge. The same loop
+    runs at 100 TB with persisted frames; for adversarial chain-shaped
+    graphs the alternating large-star/small-star formulation (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    public algorithm) caps rounds at O(log n) with the identical
+    join+aggregate building blocks.
+
+    Deterministic (min is order-independent), so exact pair inputs
+    yield an oracle-checkable result (recursive-CTE reachability).
+
+    Below ``driver_max_edges`` the pair list collapses driver-side
+    with a union-find instead (near-dup pair graphs are vastly smaller
+    than their corpora — 2M edges ≈ 32 MB — and a linear α(n) pass
+    beats rounds of tiny distributed jobs); the iterative dataflow is
+    the path for graphs that outgrow one machine."""
+    e = pairs.select(
+        F.col(a_col).cast("long").alias("src"),
+        F.col(b_col).cast("long").alias("dst"),
+    ).cache()
+    # count first, collect second: a limit().collect() probe would run
+    # the (expensive) pair job incrementally on 1, then 4, ... tasks
+    n_pairs = e.count()
+    if 0 < n_pairs <= driver_max_edges:
+        head = e.collect()
+        e.unpersist()
+        return _components_union_find(pairs.sparkSession, head)
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.cache()
+    n_edges = edges.count()
+    e.unpersist()
+    # right-size the per-round shuffles: a tiny graph over the session
+    # default (32+) partitions pays round-count × task-scheduling
+    # overhead for nothing; at corpus scale this keeps the default
+    p = max(2, min(edges.sparkSession.sparkContext.defaultParallelism,
+                   n_edges // 100_000 + 2))
+    edges = edges.repartition(p, "dst")
+    # localCheckpoint (not cache) per round: an iterative dataflow
+    # grows its logical plan linearly, and Catalyst re-analyzes the
+    # whole tree every round — by ~15 rounds planning itself OOMs.
+    # Truncating lineage keeps each round's plan constant-size (the
+    # standard Pregel-style loop discipline; at scale, checkpoint to
+    # reliable storage instead).
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+            .select(F.col("src").alias("doc"), "nbr_label")
+        )
+        stepped = labels.join(nbr_min, "doc", "left").select(
+            "doc",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: label ← label[label]. Neighbor-min alone
+        # needs diameter rounds (a hop per round); following the
+        # label's own label doubles the reach each round → O(log d)
+        # rounds total, the shortcutting step of the MapReduce CC
+        # algorithms (Kiveris et al.)
+        new_labels = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("doc").alias("label"), F.col("label").alias("label2")
+                ).alias("y"),
+                "label",
+                "left",
+            )
+            .select(
+                "doc",
+                F.coalesce("label2", F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc", F.col("label").alias("component"))
+
+
+def _components_union_find(spark, edge_rows) -> DataFrame:
+    """Driver-side union-find over a collected edge list (path
+    compression + union by smaller-min-wins), returned as the same
+    (doc, component) frame the distributed loop produces."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        ra, rb = find(int(r["src"])), find(int(r["dst"]))
+        if ra != rb:
+            # min id becomes the root → component label = min member
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    out = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(out, "doc long, component long")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

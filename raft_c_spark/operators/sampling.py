@@ -1,0 +1,102 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB data-mixing pipeline needs splits that are *reproducible*
+(same rows selected every run, on any cluster, after any repartition)
+and *engine-independent* (an audit in another engine must reproduce
+them). RNG-based sampling (``DataFrame.sample``) is neither — the
+selections here key off a content hash of the row id instead:
+
+- ``hash_fraction_sample``: keep a row iff the first hex digits of
+  md5(id) fall under the fraction's threshold — per-stratum fractions
+  supported (the "mixture weights" of a training-data recipe);
+- ``stratified_topk_sample``: exactly k rows per stratum, chosen by
+  hash order — the deterministic analog of per-stratum reservoir
+  sampling.
+
+Both are pure column expressions / window functions (JVM codegen, one
+shuffle only for the windowed variant) and are bit-reproducible in any
+engine with md5 — which is what makes them oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: hex digits of the md5 used as the sampling key: 6 digits → fraction
+#: granularity 1/16^6 ≈ 6e-8, far below any practical mixture weight
+HEX_DIGITS = 6
+
+
+def hash_hex(id_col: str | Column, digits: int = HEX_DIGITS) -> Column:
+    """Leading hex digits of md5(id as string) — the deterministic
+    sampling key. Lexicographic order on fixed-length lowercase hex is
+    numeric order, in Spark and in any SQL engine with md5."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(c.cast("string").cast("binary")), 1, digits)
+
+
+def _threshold(fraction: float, digits: int) -> str:
+    t = int(fraction * (16**digits))
+    if t >= 16**digits:
+        # all-inclusive: 'g' is lexicographically above every hex
+        # digit, and a digits+1-wide hex number would break the
+        # fixed-width string comparison
+        return "g"
+    return format(max(t, 0), f"0{digits}x")
+
+
+def hash_fraction_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float | None = None,
+    strata_col: str | None = None,
+    fractions: dict[str, float] | None = None,
+    digits: int = HEX_DIGITS,
+) -> DataFrame:
+    """Deterministic Bernoulli(fraction) sample keyed on md5(id).
+
+    With ``strata_col`` + ``fractions`` each stratum gets its own
+    rate (missing strata fall back to ``fraction``, default 0) — the
+    mixture-sampling step of a training-data recipe, e.g.
+    ``{"en": 0.3, "zh": 1.0}``. Selection is a pure filter: no
+    shuffle, no RNG state, stable under any partitioning, and row r
+    stays selected when its stratum's rate increases (nested samples
+    — the property that makes scaling a mixture up reproducible)."""
+    if fractions is not None:
+        if strata_col is None:
+            raise ValueError("fractions requires strata_col")
+        thr: Column = F.lit(_threshold(fraction or 0.0, digits))
+        for value, frac in sorted(fractions.items()):
+            thr = F.when(
+                F.col(strata_col) == value, F.lit(_threshold(frac, digits))
+            ).otherwise(thr)
+    elif fraction is not None:
+        thr = F.lit(_threshold(fraction, digits))
+    else:
+        raise ValueError("need fraction or fractions")
+    return df.filter(hash_hex(id_col, digits) < thr)
+
+
+def stratified_topk_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    k: int,
+    digits: int = HEX_DIGITS,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, picked by hash
+    order (ties broken by id) — deterministic per-stratum reservoir
+    sampling. One shuffle keyed by the stratum; per-partition top-k
+    via row_number, no global sort. Skewed strata are bounded by k
+    rows of output each; at 100 TB a hot stratum's window sort is the
+    only heavy stage and is itself O(|stratum| log k) with Spark's
+    windowed top-k."""
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_hex(id_col, digits), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -95,6 +95,20 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clusters: connected components over the exact
+    embedding pair graph — the step after pair generation in every
+    dedup pipeline (cluster → keep one survivor per component).
+    Iterative min-label propagation (joins + aggregates only);
+    deterministic, so the oracle recomputes it as recursive-CTE
+    reachability."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=COSINE_THRESHOLD
+    )
+    return dedup.connected_components(pairs)
+
+
 QUERIES = {
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -102,6 +116,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_components": q_dedup_components,
 }
 
 _NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
@@ -157,6 +172,28 @@ ORACLES = {
         FROM embeddings va, embeddings vb
         WHERE va.vec_id < vb.vec_id
           AND {_DOT} / ({_NORM_A} * {_NORM_B}) >= {COSINE_THRESHOLD}
+    """,
+    # components = reachability fixpoint over the same exact pair
+    # graph; min-over-reachable equals the label-propagation result
+    "dedup_components": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT va.vec_id AS a, vb.vec_id AS b
+            FROM embeddings va, embeddings vb
+            WHERE va.vec_id < vb.vec_id
+              AND {_DOT} / ({_NORM_A} * {_NORM_B}) >= {COSINE_THRESHOLD}
+        ),
+        edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION
+            SELECT b AS src, a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src
     """,
     # dedup_minhash_lsh / dedup_simhash: intentionally no oracle —
     # xxhash64-dependent; driver records rows-only, tests verify recall

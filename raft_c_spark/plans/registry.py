@@ -28,6 +28,7 @@ def _modules():
         "multimodal",
         "semistructured",
         "events_analytics",
+        "sampling",
     ):
         try:
             mods.append(

@@ -1,0 +1,125 @@
+"""Deterministic sampling + dedup clustering (training-pipeline ops):
+hash-Bernoulli mixtures, per-stratum top-k, connected components."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from raft_c_spark.operators import dedup, sampling
+from raft_c_spark.sources.testdata import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+def test_hash_sample_deterministic_and_partition_stable(spark, docs):
+    a = {r["doc_id"] for r in sampling.hash_fraction_sample(docs, "doc_id", 0.3).collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.hash_fraction_sample(
+            docs.repartition(7), "doc_id", 0.3
+        ).collect()
+    }
+    assert a == b and a, "selection must not depend on partitioning"
+
+
+def test_hash_sample_rate_is_approximate(docs):
+    n = docs.count()
+    k = sampling.hash_fraction_sample(docs, "doc_id", 0.5).count()
+    assert abs(k / n - 0.5) < 0.15  # md5 uniformity at small n
+
+
+def test_hash_sample_nested(docs):
+    """Raising the rate must keep every previously selected row — the
+    property that makes scaling a mixture up reproducible."""
+    small = {r["doc_id"] for r in sampling.hash_fraction_sample(docs, "doc_id", 0.2).collect()}
+    big = {r["doc_id"] for r in sampling.hash_fraction_sample(docs, "doc_id", 0.6).collect()}
+    assert small <= big
+
+
+def test_stratified_fractions(docs):
+    out = sampling.hash_fraction_sample(
+        docs, "doc_id", strata_col="lang", fractions={"en": 1.0}
+    )
+    got = dict(
+        out.groupBy("lang").count().collect()
+    )
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert got == {"en": n_en}  # en kept fully, everything else dropped
+
+
+def test_stratified_topk_exact_counts(docs):
+    out = sampling.stratified_topk_sample(docs, "doc_id", "source", 3)
+    sizes = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    expect = {
+        r["source"]: min(r["count"], 3)
+        for r in docs.groupBy("source").count().collect()
+    }
+    assert sizes == expect
+    again = sampling.stratified_topk_sample(docs.repartition(5), "doc_id", "source", 3)
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+
+
+def test_connected_components_vs_union_find(spark):
+    """Label propagation must match a driver-side union-find on the
+    same pair list (random-ish graph incl. a chain, a triangle and
+    isolated pairs)."""
+    pairs = [
+        (1, 2), (2, 3), (3, 4),          # chain
+        (10, 11), (11, 12), (10, 12),    # triangle
+        (20, 21),                        # isolated pair
+        (30, 31), (31, 32), (30, 33),    # star
+    ]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r["doc"], r["component"])
+        for r in dedup.connected_components(df).collect()
+    }
+    # the distributed label-propagation path must agree with the
+    # driver-side union-find shortcut
+    got_dist = {
+        (r["doc"], r["component"])
+        for r in dedup.connected_components(df, driver_max_edges=0).collect()
+    }
+    assert got_dist == got
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        parent[find(x)] = find(y)
+
+    for a, b in pairs:
+        union(a, b)
+    roots = {n: find(n) for n in parent}
+    comp_min: dict[int, int] = {}
+    for n, r in roots.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {(n, comp_min[roots[n]]) for n in roots}
+    assert got == want
+
+
+def test_connected_components_chain_needs_iterations(spark):
+    """A long chain exercises the multi-round convergence path (each
+    round propagates the min one hop... doubling via the carried
+    label, so rounds ≈ diameter)."""
+    n = 17
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a long, b long"
+    )
+    out = dedup.connected_components(df, driver_max_edges=0).collect()
+    assert {r["component"] for r in out} == {0}
+    assert len(out) == n + 1
