@@ -467,6 +467,39 @@ def lsh_bucketed_pairs(
     )
 
 
+def lsh_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 16,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Precomputed multi-table signature index: (doc, table, sig),
+    persisted as parquet PARTITIONED BY (table, sig) when ``cache_key``
+    is given — the stored/bucketed layout the 100 TB path needs. A
+    probe filters on the partition columns, so it reads exactly
+    ``tables`` bucket directories (directory pruning), never the
+    corpus; signatures are computed once at index-build time, not per
+    query."""
+    sigs = pair_signatures(df, id_col, vec_col, bits, tables)
+    if cache_key is None:
+        return sigs
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"raft_c_spark_lshidx_{cache_key}_{bits}_{tables}",
+    )
+    if not os.path.exists(os.path.join(base, "_done")):
+        sigs.write.mode("overwrite").partitionBy("table", "sig").parquet(
+            os.path.join(base, "sigs")
+        )
+        open(os.path.join(base, "_done"), "w").close()
+    return df.sparkSession.read.parquet(os.path.join(base, "sigs"))
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -475,10 +508,33 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     bits: int = 8,
     tables: int = 16,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH: candidates
-    from lsh_candidates (recall for a pair at angle θ is
-    1-(1-(1-θ/π)^bits)^tables — ≈1.0 for near-duplicates at these
-    defaults), exact cosine ranking on the candidate set only."""
+    share a signature with the query in ≥1 table (recall for a pair at
+    angle θ is 1-(1-(1-θ/π)^bits)^tables — ≈1.0 for near-duplicates at
+    these defaults), exact cosine ranking on the candidate set only.
+
+    With ``cache_key``: probes the persisted bucket-partitioned
+    lsh_index — partition-pruned read of the query's ``tables``
+    buckets, then a doc-id join fetches vectors for candidates only
+    (the at-scale shape). Without: signatures are computed inline in
+    one kernel pass over the corpus (index-less fallback)."""
+    if cache_key is not None:
+        idx = lsh_index(df, id_col, vec_col, bits, tables, cache_key)
+        qsigs = [
+            (t, query_signature(query_vec, bits, seed=1000 + t))
+            for t in range(tables)
+        ]
+        cond = F.lit(False)
+        for t, s in qsigs:
+            cond = cond | ((F.col("table") == t) & (F.col("sig") == s))
+        cand_ids = (
+            idx.filter(cond)
+            .select(F.col("doc").alias(id_col))
+            .distinct()
+        )
+        cand = df.join(cand_ids, id_col)
+        return cosine_topk(cand, query_vec, k, id_col, vec_col)
     cand = lsh_candidates(df, query_vec, id_col, vec_col, bits, tables)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -29,12 +29,21 @@ def q_sim_topk_exact(spark, sf_dir):
 
 
 def q_sim_topk_lsh(spark, sf_dir):
-    """Multi-table hyperplane-LSH approximate top-20 — the bucket-
-    pruned scale path. Rows-only driver check (seeded hyperplanes);
-    recall vs exact verified in tests."""
+    """Multi-table hyperplane-LSH approximate top-20 probing the
+    PERSISTED bucket-partitioned signature index (built once per
+    corpus, partition-pruned reads per query — the at-scale shape).
+    Rows-only driver check (seeded hyperplanes); recall vs exact and
+    index-vs-inline equivalence verified in tests."""
+    import os
+
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_bucketed_topk(
-        emb, _query_vec(spark, sf_dir), k=TOP_K, bits=8, tables=16
+        emb,
+        _query_vec(spark, sf_dir),
+        k=TOP_K,
+        bits=8,
+        tables=16,
+        cache_key=os.path.basename(sf_dir.rstrip("/")),
     )
 
 

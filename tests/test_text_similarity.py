@@ -127,6 +127,27 @@ def test_lsh_bucketed_pairs_recall_on_planted(spark, emb):
     assert recall >= 0.9, f"lsh pair recall {recall:.2f} over {len(truth)}"
 
 
+def test_lsh_index_probe_matches_inline(spark, emb, tmp_path):
+    """The persisted bucket-partitioned index must yield exactly the
+    candidates (hence exactly the top-k) of the inline signature
+    kernel — same hyperplanes, same packing."""
+    import uuid
+
+    q = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    key = f"test_{uuid.uuid4().hex[:8]}"
+    inline = similarity.lsh_bucketed_topk(emb, q, k=15, bits=6, tables=8)
+    indexed = similarity.lsh_bucketed_topk(
+        emb, q, k=15, bits=6, tables=8, cache_key=key
+    )
+    rows = lambda df: [(r["doc"], r["cosine"]) for r in df.collect()]
+    assert rows(indexed) == rows(inline)
+    # second probe hits the persisted index (no rebuild) — same result
+    again = similarity.lsh_bucketed_topk(
+        emb, q, k=15, bits=6, tables=8, cache_key=key
+    )
+    assert rows(again) == rows(inline)
+
+
 def test_pair_signatures_shape(emb):
     sigs = similarity.pair_signatures(emb, "vec_id", "embedding", bits=6, tables=4)
     n = emb.count()
