@@ -78,6 +78,68 @@ def hash_fraction_sample(
     return df.filter(hash_hex(id_col, digits) < thr)
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    budget: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the LLM-preprocessing step
+    that lays documents end-to-end in a deterministic order and cuts
+    the stream every ``budget`` tokens. Adds three columns:
+    ``seq_start`` (global token offset of the doc), ``bin``
+    (= seq_start div budget — the training sequence the doc *starts*
+    in) and ``bin_offset`` (seq_start mod budget). A doc crossing a
+    cut belongs to the bin where it starts; real packers then split
+    its tail — the assignment here is the deterministic part both
+    engines can agree on.
+
+    The global running sum is computed with the two-phase distributed
+    prefix-sum: per-partition window cumsum + a driver-side prefix
+    over the P per-partition totals (P rows — trivial) joined back as
+    offsets. No single-partition global window at any scale, and the
+    result is independent of partitioning (the offsets correct for
+    whatever range boundaries were drawn), so it is oracle-checkable
+    against a plain windowed cumsum."""
+    key = order_col or id_col
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    # range-partition by the order key, then PIN the partitioning
+    # (localCheckpoint): spark_partition_id() must refer to one
+    # materialized layout across the totals job and the final job
+    parted = (
+        df.repartitionByRange(n_part, F.col(key))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["_pid"]: r["t"]
+        for r in parted.groupBy("_pid")
+        .agg(F.sum(F.col(len_col).cast("long")).alias("t"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off = df.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy(key)
+    start = (
+        F.sum(F.col(len_col).cast("long")).over(w)
+        - F.col(len_col).cast("long")
+        + F.col("_off")
+    )
+    return (
+        parted.join(F.broadcast(off), "_pid")
+        .withColumn("seq_start", start)
+        .withColumn("bin", F.expr(f"seq_start div {budget}L"))
+        .withColumn("bin_offset", F.col("seq_start") % budget)
+        .drop("_pid", "_off")
+    )
+
+
 def stratified_topk_sample(
     df: DataFrame,
     id_col: str,

@@ -34,9 +34,23 @@ def q_ds_source_topk(spark, sf_dir):
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+PACK_BUDGET = 4096
+
+
+def q_ds_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing of the documents stream (doc_id
+    order, n_chars as the length) into 4096-char training bins —
+    exact distributed prefix sums, partitioning-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.pack_sequences(
+        docs, "doc_id", "n_chars", PACK_BUDGET
+    ).select("doc_id", "n_chars", "seq_start", "bin", "bin_offset")
+
+
 QUERIES = {
     "ds_mixture_sample": q_ds_mixture_sample,
     "ds_source_topk": q_ds_source_topk,
+    "ds_pack_sequences": q_ds_pack_sequences,
 }
 
 _KEY = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)"
@@ -66,5 +80,21 @@ ORACLES = {
             FROM documents
         )
         WHERE rk <= {PER_SOURCE_K}
+    """,
+    "ds_pack_sequences": f"""
+        SELECT doc_id, n_chars,
+               CAST(SUM(n_chars) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_chars AS BIGINT) AS seq_start,
+               CAST((SUM(n_chars) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_chars) // {PACK_BUDGET} AS BIGINT) AS bin,
+               CAST((SUM(n_chars) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_chars) % {PACK_BUDGET} AS BIGINT) AS bin_offset
+        FROM documents
     """,
 }

@@ -67,6 +67,33 @@ def test_stratified_topk_exact_counts(docs):
     }
 
 
+def test_pack_sequences_matches_python_fold(spark):
+    """Two-phase distributed prefix sum must equal the sequential
+    python fold, on any input partitioning."""
+    rows = [(i, (i * 37) % 900 + 10) for i in range(500)]
+    expect = {}
+    acc = 0
+    for i, ln in rows:
+        expect[i] = (acc, acc // 1000, acc % 1000)
+        acc += ln
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "doc long, toks long").repartition(parts)
+        out = sampling.pack_sequences(df, "doc", "toks", 1000)
+        got = {
+            r["doc"]: (r["seq_start"], r["bin"], r["bin_offset"])
+            for r in out.collect()
+        }
+        assert got == expect
+
+
+def test_pack_sequences_bins_are_contiguous(docs):
+    out = sampling.pack_sequences(docs, "doc_id", "n_chars", 4096)
+    bins = sorted(r["bin"] for r in out.select("bin").distinct().collect())
+    assert bins == list(range(bins[-1] + 1))  # no gaps
+    total = docs.agg(F.sum("n_chars")).first()[0]
+    assert bins[-1] <= total // 4096
+
+
 def test_connected_components_vs_union_find(spark):
     """Label propagation must match a driver-side union-find on the
     same pair list (random-ish graph incl. a chain, a triangle and
