@@ -159,3 +159,53 @@ def test_events_adapter_range_pushdown(spark, sf_dir):
     plan = plan_of(q_range_scan(spark, sf_dir))
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
     assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed
+
+
+def test_mixture_sample_is_shuffle_free(spark, sf_dir):
+    """hash_fraction_sample is a pure filter: selection must reach the
+    scan with zero Exchange operators — the property that lets it run
+    as a map-only stage over 100 TB."""
+    from raft_c_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(
+        sampling.hash_fraction_sample(
+            docs, "doc_id", strata_col="lang", fractions={"en": 0.3}
+        )
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_topk_single_shuffle(spark, sf_dir):
+    """stratified_topk_sample costs exactly one shuffle (hash by the
+    stratum for the window) — no global sort, no extra exchanges."""
+    from raft_c_spark.operators import sampling
+
+    import re
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(sampling.stratified_topk_sample(docs, "doc_id", "source", 5))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "rangepartitioning" not in plan  # no global sort
+    # bonus: Spark inserts a partial top-k (WindowGroupLimit) BEFORE
+    # the shuffle — the map-side-combine of windowed top-k
+    assert plan.index("WindowGroupLimit") < plan.index("Exchange")
+
+
+def test_lsh_index_probe_partition_prunes(spark, sf_dir, tmp_path):
+    """The persisted LSH index probe must carry sig_hi partition
+    filters (directory pruning) — the probe reads buckets, not the
+    index, let alone the corpus."""
+    import uuid
+
+    from raft_c_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    df = similarity.lsh_bucketed_topk(
+        emb, q, k=5, bits=8, tables=4, cache_key=f"plan_{uuid.uuid4().hex[:8]}"
+    )
+    plan = plan_of(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters: [(" in l]
+    assert pf and "sig_hi" in pf[0], plan
