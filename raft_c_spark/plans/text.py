@@ -47,9 +47,37 @@ def q_text_lang_profile(spark, sf_dir):
     )
 
 
+CLEAN_MIN_QUALITY = 0.5
+CLEAN_MIN_TOKENS = 20
+CLEAN_LANGS = ("en", "de", "es", "fr", "zh")
+
+
+def q_text_clean_corpus(spark, sf_dir):
+    """The corpus-cleaning pass a training pipeline runs before
+    anything else: keep docs with a confident language, enough tokens,
+    and quality over the bar — then drop exact-content duplicates
+    (min doc_id survives per fingerprint). Pure filter + one hash
+    aggregate: scan-speed, map-side combined, linear at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    ana = text.analyze(docs).filter(
+        (F.col("quality") >= CLEAN_MIN_QUALITY)
+        & (F.col("n_tokens") >= CLEAN_MIN_TOKENS)
+        & F.col("pred_lang").isin(*CLEAN_LANGS)
+    )
+    return (
+        ana.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "fingerprint", "n_copies")
+    )
+
+
 QUERIES = {
     "text_analyze": q_text_analyze,
     "text_lang_profile": q_text_lang_profile,
+    "text_clean_corpus": q_text_clean_corpus,
 }
 
 
@@ -101,6 +129,16 @@ _ANALYZE_SQL = f"""
 
 ORACLES = {
     "text_analyze": _ANALYZE_SQL,
+    "text_clean_corpus": f"""
+        SELECT MIN(doc_id) AS doc_id,
+               fingerprint,
+               COUNT(*) AS n_copies
+        FROM ({_ANALYZE_SQL})
+        WHERE quality >= {CLEAN_MIN_QUALITY}
+          AND n_tokens >= {CLEAN_MIN_TOKENS}
+          AND pred_lang IN ('en', 'de', 'es', 'fr', 'zh')
+        GROUP BY fingerprint
+    """,
     "text_lang_profile": f"""
         SELECT pred_lang,
                COUNT(*) AS n_docs,

@@ -1,6 +1,7 @@
 from raft_c_spark.streaming.ingest import (  # noqa: F401
     EVENT_SCHEMA,
     read_event_stream,
+    stream_dedup,
     stream_ingest_to_store,
     stream_series_state,
     stream_tumbling_avg,

@@ -140,6 +140,25 @@ def stream_ingest_to_store(
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Streaming exact dedup — the ingest-time guard of a training
+    pipeline (duplicate events/documents arriving within the lateness
+    window are dropped before they reach the store). State holds one
+    entry per key only until the event-time watermark passes it
+    (``dropDuplicatesWithinWatermark``), so memory is bounded by key
+    arrival rate × window, not by stream history — the property that
+    lets this run forever at ingest scale. Exact-once per key within
+    the window; duplicates farther apart than the window are the
+    batch dedup pass's job (dedup.exact_duplicates over the store)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def stream_tumbling_avg(
     stream: DataFrame, window: str = "1 hour"
 ) -> DataFrame:

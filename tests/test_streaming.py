@@ -227,6 +227,54 @@ def test_stream_ingest_keeps_older_than_watermark(spark, tmp_path):
         assert [(r["timestamp"], r["value"]) for r in found] == [(ns(iso), v)]
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate keys arriving in later micro-batches (inside the
+    watermark window) are dropped; distinct keys pass through."""
+    from raft_c_spark.streaming import stream_dedup
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    _drop(
+        _mk_events(
+            spark,
+            [
+                (1, "2024-01-01 10:00:00", "click", 1.0),
+                (2, "2024-01-01 10:01:00", "view", 2.0),
+            ],
+        ),
+        src,
+        "b1",
+    )
+    stream = read_event_stream(spark, src)
+    out = stream_dedup(stream, ["event_id"])
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _drop(
+            _mk_events(
+                spark,
+                [
+                    (1, "2024-01-01 10:00:00", "click", 1.0),  # dup -> dropped
+                    (3, "2024-01-01 10:02:00", "click", 3.0),  # new -> kept
+                ],
+            ),
+            src,
+            "b2",
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    finally:
+        q.stop()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3]
+
+
 def test_stream_results_batching(spark):
     df = spark.range(2500).select(
         F.col("id").alias("timestamp"), (F.col("id") * 1.0).alias("value")
