@@ -230,10 +230,12 @@ def _jaccard_bitmap(codes: DataFrame, vocab_codes, threshold: float) -> DataFram
             )
 
     masks = codes.mapInPandas(kernel, "doc long, sz long, mask array<long>")
-    # masks feeds both sides of the self-join: materialize the cache
+    # masks feeds both sides of the pair scan: materialize the cache
     # first or the kernel runs twice
     masks = masks.cache()
-    masks.count()
+    n_docs = masks.count()
+    if n_docs <= _BROADCAST_MAX_SIG_ROWS:
+        return _bitmap_pairs_numpy(masks, n_words, threshold)
     n_part = codes.sparkSession.sparkContext.defaultParallelism
     a = masks.repartition(n_part).select(
         F.col("doc").alias("a"), F.col("sz").alias("sz_a"), F.col("mask").alias("ma")
@@ -268,6 +270,55 @@ def _jaccard_bitmap(codes: DataFrame, vocab_codes, threshold: float) -> DataFram
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def _bitmap_pairs_numpy(masks: DataFrame, n_words: int, threshold: float) -> DataFrame:
+    """Blocked numpy all-pairs over the bitmask matrix (broadcast
+    variable): AND + 16-bit-LUT popcount, vectorized over (block ×
+    corpus) — replaces the broadcast NLJ whose per-pair popcount
+    expression runs ~10x slower. Same exact semantics: integer common
+    counts, double division, a < b."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = masks.toPandas()
+    ids = pdf["doc"].to_numpy(dtype=np.int64)
+    sz = pdf["sz"].to_numpy(dtype=np.int64)
+    mm = np.array([np.asarray(m, dtype=np.int64) for m in pdf["mask"]])
+    order = np.argsort(ids)
+    ids, sz, mm = ids[order], sz[order], mm[order].astype(np.uint64)
+    bc = masks.sparkSession.sparkContext.broadcast((ids, sz, mm))
+    n = len(ids)
+    # bound the (chunk × corpus × words) AND block to ~32 MB
+    chunk = max(1, (4 << 20) // max(n * n_words, 1))
+
+    def kernel(batches):
+        bids, bsz, bmm = bc.value
+        lut = np.array(
+            [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint16
+        )
+        for pdf_b in batches:
+            probe = pdf_b["doc"].to_numpy(dtype=np.int64)
+            for s in range(0, len(probe), chunk):
+                a = probe[s : s + chunk]
+                ia = np.searchsorted(bids, a)
+                anded = bmm[ia][:, None, :] & bmm[None, :, :]
+                common = (
+                    lut[anded.view(np.uint16).reshape(len(a), len(bids), -1)]
+                    .sum(axis=2)
+                    .astype(np.int64)
+                )
+                union = bsz[ia][:, None] + bsz[None, :] - common
+                jacc = common / union
+                pi, ci = np.nonzero(
+                    (jacc >= threshold) & (a[:, None] < bids[None, :])
+                )
+                yield pd.DataFrame(
+                    {"a": a[pi], "b": bids[ci], "jaccard": jacc[pi, ci]}
+                )
+
+    probe = _widen(masks.select(F.col("doc")))
+    return probe.mapInPandas(kernel, "a long, b long, jaccard double")
 
 
 def _jaccard_prefix(sh: DataFrame, threshold: float) -> DataFrame:
