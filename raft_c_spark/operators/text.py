@@ -95,6 +95,34 @@ def fingerprint(col: Column) -> Column:
     return F.md5(norm.cast("binary"))
 
 
+#: PII patterns kept to constructs with identical semantics in Java
+#: regex and RE2 (character classes, greedy quantifiers — no
+#: backrefs/lookaround), so the redaction is engine-reproducible
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+[0-9][0-9 ()-]{6,}[0-9]",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub — the pre-training redaction pass: replace emails,
+    URLs and international-format phone numbers with typed placeholder
+    tokens, and count each. Pure column expressions (scan-speed, no
+    shuffle, no UDF); patterns applied email → url → phone so counts
+    refer to the original text and replacements cannot cascade."""
+    c = F.col(text_col)
+    out = df
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}s", F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        )
+    clean = c
+    for kind, pat in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, pat, f"<{kind.upper()}>")
+    return out.withColumn("clean_text", clean)
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass enrichment with every text metric — single projection,
     no shuffle."""

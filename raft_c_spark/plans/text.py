@@ -74,10 +74,27 @@ def q_text_clean_corpus(spark, sf_dir):
     )
 
 
+def q_text_redact_pii(spark, sf_dir):
+    """PII redaction pass: per-doc email/url/phone counts plus an md5
+    of the redacted text (the fingerprint proves byte-identical
+    redaction against the oracle without hauling full text through
+    the compare)."""
+    docs = load_table(spark, sf_dir, "documents")
+    red = text.redact_pii(docs)
+    return red.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_fp"),
+    )
+
+
 QUERIES = {
     "text_analyze": q_text_analyze,
     "text_lang_profile": q_text_lang_profile,
     "text_clean_corpus": q_text_clean_corpus,
+    "text_redact_pii": q_text_redact_pii,
 }
 
 
@@ -127,8 +144,26 @@ _ANALYZE_SQL = f"""
     FROM documents
 """
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+_PII_URL = r"https?://[^\s]+"
+_PII_PHONE = r"\+[0-9][0-9 ()-]{6,}[0-9]"
+_PII_CLEAN = (
+    f"regexp_replace(regexp_replace(regexp_replace(text,"
+    f" '{_PII_EMAIL}', '<EMAIL>', 'g'),"
+    f" '{_PII_URL}', '<URL>', 'g'),"
+    f" '{_PII_PHONE}', '<PHONE>', 'g')"
+)
+
 ORACLES = {
     "text_analyze": _ANALYZE_SQL,
+    "text_redact_pii": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(text, '{_PII_URL}')) AS n_urls,
+               len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+               md5({_PII_CLEAN}) AS clean_fp
+        FROM documents
+    """,
     "text_clean_corpus": f"""
         SELECT MIN(doc_id) AS doc_id,
                fingerprint,

@@ -92,6 +92,24 @@ def test_lsh_prunes_candidates(emb):
     assert 0 < n_cand < n, "LSH probe must prune the corpus"
 
 
+def test_redact_pii_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org or call +1 (555) 123-4567"),
+            (2, "see https://example.com/a?b=c#frag and http://x.io"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert rows[1]["clean_text"] == "mail me at <EMAIL> or call <PHONE>"
+    assert rows[2]["n_urls"] == 2
+    assert rows[2]["clean_text"] == "see <URL> and <URL>"
+    assert rows[3]["clean_text"] == "no pii here"
+    assert (rows[3]["n_emails"], rows[3]["n_urls"], rows[3]["n_phones"]) == (0, 0, 0)
+
+
 def test_lsh_bucketed_pairs_recall_on_planted(spark, emb):
     """The 100 TB embedding pair-dedup path: hyperplane-LSH candidates
     + exact-cosine verify must (a) recover ≥90% of planted near-dup
