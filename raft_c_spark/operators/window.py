@@ -117,6 +117,64 @@ def asof_join(
     return out
 
 
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "timestamp",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strict-ordered funnel: per user, the earliest time each step
+    was reached *after* the previous step (t1 = first steps[0];
+    t_i = first steps[i-1]-typed event with ts > t_{i-1}). Users stop
+    appearing in t_i onward when they never complete step i (NULL).
+
+    Scale shape: one hash aggregate + one equi-join per step, all
+    keyed on the user — linear shuffles, no windows over the whole
+    stream, no per-user event collection."""
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            df.filter(F.col(type_col) == step)
+            .join(cur.select(user_col, f"t{i - 1}"), user_col)
+            .filter(F.col(ts_col) > F.col(f"t{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    return cur
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "timestamp",
+    period_ns: int = 7 * 86_400_000_000_000,
+) -> DataFrame:
+    """Cohort retention: users are cohorted by the period of their
+    first event (epoch-period index, integer div — exact at ns
+    magnitudes); each (cohort, period_offset) row counts distinct
+    users active that many periods after their first event. Two hash
+    aggregates + one equi-join on the user — linear at any scale."""
+    first = df.groupBy(user_col).agg(F.min(ts_col).alias("_t0"))
+    return (
+        df.select(user_col, ts_col)
+        .join(first, user_col)
+        .select(
+            user_col,
+            F.expr(f"_t0 div {period_ns}L").alias("cohort_period"),
+            F.expr(f"({ts_col} - _t0) div {period_ns}L").alias("period_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_period", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def running_agg(
     df: DataFrame,
     key_col: str,

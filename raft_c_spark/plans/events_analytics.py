@@ -175,6 +175,32 @@ def q_ev_session_attribution(spark, sf_dir):
     )
 
 
+FUNNEL = ["signup", "click", "purchase"]
+WEEK_NS = 7 * 86_400_000_000_000
+
+
+def q_ev_funnel(spark, sf_dir):
+    """Strict-ordered signup → click → purchase funnel: how many
+    users reach each step after the previous one (one row)."""
+    from raft_c_spark.operators.window import funnel_steps
+
+    ev = _events(spark, sf_dir)
+    return funnel_steps(ev, FUNNEL).agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_click_after"),
+        F.count("t3").alias("n_purchase_after"),
+    )
+
+
+def q_ev_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: distinct users active k weeks after
+    their first event, per cohort week."""
+    from raft_c_spark.operators.window import cohort_retention
+
+    ev = _events(spark, sf_dir)
+    return cohort_retention(ev, period_ns=WEEK_NS)
+
+
 QUERIES = {
     "ev_topk_per_user": q_ev_topk_per_user,
     "ev_sessionize": q_ev_sessionize,
@@ -183,6 +209,8 @@ QUERIES = {
     "ev_type_pivot": q_ev_type_pivot,
     "ev_distinct_users": q_ev_distinct_users,
     "ev_session_attribution": q_ev_session_attribution,
+    "ev_funnel": q_ev_funnel,
+    "ev_cohort_retention": q_ev_cohort_retention,
 }
 
 _EV = (
@@ -284,5 +312,38 @@ ORACLES = {
                COUNT(*) AS n_events
         FROM ({_EV})
         GROUP BY event_type
+    """,
+    "ev_funnel": f"""
+        WITH ev AS ({_EV}),
+        s1 AS (
+            SELECT user_id, MIN(timestamp) AS t1 FROM ev
+            WHERE event_type = '{FUNNEL[0]}' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.timestamp) AS t2
+            FROM ev e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = '{FUNNEL[1]}' AND e.timestamp > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.timestamp) AS t3
+            FROM ev e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = '{FUNNEL[2]}' AND e.timestamp > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+               (SELECT COUNT(*) FROM s2) AS n_click_after,
+               (SELECT COUNT(*) FROM s3) AS n_purchase_after
+    """,
+    "ev_cohort_retention": f"""
+        WITH ev AS ({_EV}),
+        first AS (
+            SELECT user_id, MIN(timestamp) AS t0 FROM ev GROUP BY user_id
+        )
+        SELECT f.t0 // {WEEK_NS} AS cohort_period,
+               (e.timestamp - f.t0) // {WEEK_NS} AS period_offset,
+               COUNT(DISTINCT e.user_id) AS n_users
+        FROM ev e JOIN first f ON e.user_id = f.user_id
+        GROUP BY cohort_period, period_offset
     """,
 }

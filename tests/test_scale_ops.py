@@ -157,3 +157,44 @@ def test_interval_join_inclusive_bounds_and_bucket_edges(spark):
     )
     got = {r["pid"] for r in interval_join(pts, ivs, key="key", bucket_ns=100).collect()}
     assert got == {"lo", "hi"}  # inclusive both ends, neighbors excluded
+
+
+def test_funnel_strict_ordering(spark):
+    """A later-step event BEFORE the previous step must not count;
+    one after it must. Users: 1 completes in order, 2 purchases
+    before clicking (stops at click... which also precedes signup),
+    3 signs up only."""
+    from raft_c_spark.operators.window import funnel_steps
+
+    rows = [
+        # user 1: signup@10, click@20, purchase@30 -> full funnel
+        (1, 10, 1, "signup"), (2, 20, 1, "click"), (3, 30, 1, "purchase"),
+        # user 2: click@5 BEFORE signup@10, purchase@8 -> signup only
+        (4, 5, 2, "click"), (5, 10, 2, "signup"), (6, 8, 2, "purchase"),
+        # user 3: signup@10, click@20, purchase@15 (before click) -> 2 steps
+        (7, 10, 3, "signup"), (8, 20, 3, "click"), (9, 15, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, timestamp long, user_id long, event_type string"
+    )
+    got = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_steps(df, ["signup", "click", "purchase"]).collect()
+    }
+    assert got == {1: (10, 20, 30), 2: (10, None, None), 3: (10, 20, None)}
+
+
+def test_cohort_retention_hand_case(spark):
+    from raft_c_spark.operators.window import cohort_retention
+
+    wk = 100
+    rows = [
+        (1, 10), (1, 110), (1, 350),   # cohort 0, offsets 0,1,3
+        (2, 120), (2, 130), (2, 250),  # cohort 1, offsets 0,0,1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, timestamp long")
+    got = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in cohort_retention(df, period_ns=wk).collect()
+    }
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
