@@ -175,6 +175,45 @@ def cohort_retention(
     )
 
 
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    n_rows: int = 100,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key rolling z-score over the trailing ``n_rows`` window —
+    the classic streaming anomaly signal. Engine-reproducible: the
+    window sum and sum-of-squares go through exact decimals (leaf
+    casts — associative, partitioning-independent), are cast to
+    double once, and every subsequent op is plain IEEE double
+    arithmetic any engine evaluates identically. Rows without a full
+    window are emitted with NULL zscore (warm-up period).
+
+    One shuffle (hash by key) + one in-partition sort; window state
+    is n_rows values — linear at any scale."""
+    from raft_c_spark.functions.exact import dec
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(n_rows - 1), Window.currentRow)
+    )
+    v2 = dec(value_col, "9,2") * dec(value_col, "9,2")
+    s = F.sum(dec(value_col, "9,2")).over(w).cast("double")
+    sq = F.sum(v2).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    mean = s / n
+    var = (sq - s * s / n) / (n - F.lit(1))
+    z = (F.col(value_col) - mean) / F.sqrt(var)
+    return df.withColumn(
+        "zscore",
+        F.when((n == n_rows) & (var > 0), z),
+    )
+
+
 def running_agg(
     df: DataFrame,
     key_col: str,

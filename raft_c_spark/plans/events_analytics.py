@@ -201,6 +201,23 @@ def q_ev_cohort_retention(spark, sf_dir):
     return cohort_retention(ev, period_ns=WEEK_NS)
 
 
+Z_WINDOW = 100
+
+
+def q_ev_rolling_zscore(spark, sf_dir):
+    """Trailing-100-event z-score per event type — anomaly flags over
+    the value stream (|z| > 3), warm-up rows excluded."""
+    from raft_c_spark.operators.window import rolling_zscore
+
+    ev = _events(spark, sf_dir)
+    z = rolling_zscore(
+        ev, "event_type", "timestamp", "value", Z_WINDOW, tiebreak_col="event_id"
+    )
+    return z.filter(F.abs(F.col("zscore")) > 3.0).select(
+        "event_id", "event_type", "timestamp", "value", "zscore"
+    )
+
+
 QUERIES = {
     "ev_topk_per_user": q_ev_topk_per_user,
     "ev_sessionize": q_ev_sessionize,
@@ -211,6 +228,7 @@ QUERIES = {
     "ev_session_attribution": q_ev_session_attribution,
     "ev_funnel": q_ev_funnel,
     "ev_cohort_retention": q_ev_cohort_retention,
+    "ev_rolling_zscore": q_ev_rolling_zscore,
 }
 
 _EV = (
@@ -345,5 +363,26 @@ ORACLES = {
                COUNT(DISTINCT e.user_id) AS n_users
         FROM ev e JOIN first f ON e.user_id = f.user_id
         GROUP BY cohort_period, period_offset
+    """,
+    # rolling z-score: sums over exact decimals, cast to double ONCE,
+    # then identical IEEE double arithmetic in both engines
+    "ev_rolling_zscore": f"""
+        WITH win AS (
+            SELECT event_id, event_type, timestamp, value,
+                   CAST(SUM({sql_dec('value')}) OVER w AS DOUBLE) AS s,
+                   CAST(SUM({sql_dec('value')} * {sql_dec('value')}) OVER w
+                        AS DOUBLE) AS sq,
+                   COUNT(*) OVER w AS n
+            FROM ({_EV})
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY timestamp, event_id
+                         ROWS {Z_WINDOW - 1} PRECEDING)
+        )
+        SELECT event_id, event_type, timestamp, value,
+               (value - s / n) / sqrt((sq - s * s / n) / (n - 1)) AS zscore
+        FROM win
+        WHERE n = {Z_WINDOW}
+          AND (sq - s * s / n) / (n - 1) > 0
+          AND abs((value - s / n) / sqrt((sq - s * s / n) / (n - 1))) > 3.0
     """,
 }
