@@ -1,9 +1,14 @@
 """Deterministic sampling + dedup clustering (training-pipeline ops):
-hash-Bernoulli mixtures, per-stratum top-k, connected components."""
+hash-Bernoulli mixtures, per-stratum top-k, sequence packing,
+connected components — including hypothesis properties (nesting over
+arbitrary rate pairs, packing vs the sequential fold over arbitrary
+length lists)."""
 
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from raft_c_spark.operators import dedup, sampling
@@ -92,6 +97,49 @@ def test_pack_sequences_bins_are_contiguous(docs):
     assert bins == list(range(bins[-1] + 1))  # no gaps
     total = docs.agg(F.sum("n_chars")).first()[0]
     assert bins[-1] <= total // 4096
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    f1=st.floats(min_value=0.0, max_value=1.0),
+    f2=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_hash_sample_nested_property(spark, docs, f1, f2):
+    """For ANY pair of rates, the lower-rate selection is a subset of
+    the higher-rate one (hash thresholding is monotone)."""
+    lo, hi = sorted([f1, f2])
+    a = {r["doc_id"] for r in sampling.hash_fraction_sample(docs, "doc_id", lo).collect()}
+    b = {r["doc_id"] for r in sampling.hash_fraction_sample(docs, "doc_id", hi).collect()}
+    assert a <= b
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=60),
+    budget=st.integers(min_value=1, max_value=700),
+)
+def test_pack_sequences_property(spark, lens, budget):
+    """Distributed packing equals the sequential fold for arbitrary
+    length lists and budgets."""
+    rows = list(enumerate(lens))
+    acc, expect = 0, {}
+    for i, ln in rows:
+        expect[i] = (acc, acc // budget, acc % budget)
+        acc += ln
+    df = spark.createDataFrame(rows, "doc long, toks long").repartition(3)
+    got = {
+        r["doc"]: (r["seq_start"], r["bin"], r["bin_offset"])
+        for r in sampling.pack_sequences(df, "doc", "toks", budget).collect()
+    }
+    assert got == expect
 
 
 def test_connected_components_vs_union_find(spark):
