@@ -159,6 +159,44 @@ def stream_dedup(
     )
 
 
+def stream_enrich(
+    stream: DataFrame, static_df: DataFrame, key: str | list[str]
+) -> DataFrame:
+    """Stream-static enrichment join — attach dimension attributes
+    (user profile, document metadata) to a stream. Stateless: each
+    micro-batch joins against the static side's CURRENT snapshot, so
+    no streaming state accumulates; small dimensions broadcast, large
+    ones shuffle per batch — exactly the batch join economics."""
+    return stream.join(static_df, key, "left")
+
+
+def stream_session_agg(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Streaming sessionization via native session windows
+    (``F.session_window`` — dynamic-gap merging state, closed and
+    emitted once the watermark passes the gap): the streaming dual of
+    the batch sessionize operator. State per (user, open session),
+    bounded by the watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def stream_tumbling_avg(
     stream: DataFrame, window: str = "1 hour"
 ) -> DataFrame:

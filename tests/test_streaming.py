@@ -275,6 +275,91 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert ids == [1, 2, 3]
 
 
+def test_stream_enrich_with_static(spark, tmp_path):
+    """Stream-static join: each micro-batch row picks up its dimension
+    attributes; unmatched keys survive (left join)."""
+    from raft_c_spark.streaming import stream_enrich
+
+    src = str(tmp_path / "enrich_src")
+    os.makedirs(src)
+    _drop(
+        _mk_events(
+            spark,
+            [
+                (1, "2024-01-01 10:00:00", "click", 1.0),  # user_id=1
+                (2, "2024-01-01 10:01:00", "view", 2.0),
+            ],
+        ),
+        src,
+        "b1",
+    )
+    profiles = spark.createDataFrame(
+        [(1, "gold")], "user_id long, tier string"
+    )
+    out = stream_enrich(read_event_stream(spark, src), profiles, "user_id")
+    q = (
+        out.select("event_id", "tier")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "ckpt_en"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            r["event_id"]: r["tier"]
+            for r in spark.sql("SELECT * FROM enriched").collect()
+        }
+    finally:
+        q.stop()
+    assert rows == {1: "gold", 2: "gold"}  # both events are user 1
+
+
+def test_stream_session_window(spark, tmp_path):
+    """Native session windows: two event bursts 2h apart become two
+    sessions once the watermark closes them."""
+    from raft_c_spark.streaming import stream_session_agg
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    _drop(
+        _mk_events(
+            spark,
+            [
+                (1, "2024-01-01 10:00:00", "click", 1.0),
+                (2, "2024-01-01 10:10:00", "click", 2.0),  # same session
+                (3, "2024-01-01 13:00:00", "click", 4.0),  # new session
+            ],
+        ),
+        src,
+        "b1",
+    )
+    out = stream_session_agg(read_event_stream(spark, src), gap="30 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sw"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _drop(  # advance the watermark far enough to close both
+            _mk_events(spark, [(4, "2024-01-01 20:00:00", "click", 0.0)]),
+            src,
+            "b2",
+        )
+        q.processAllAvailable()
+        rows = sorted(
+            (r["n_events"], r["session_value"])
+            for r in spark.sql("SELECT * FROM sessions").collect()
+        )
+    finally:
+        q.stop()
+    assert rows == [(1, 4.0), (2, 3.0)]
+
+
 def test_stream_results_batching(spark):
     df = spark.range(2500).select(
         F.col("id").alias("timestamp"), (F.col("id") * 1.0).alias("value")
