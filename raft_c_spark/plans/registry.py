@@ -20,6 +20,7 @@ def _modules():
     for name in (
         "tpch2",
         "tpch3",
+        "tpch4",
         "language",
         "dedup",
         "text",

@@ -1,0 +1,240 @@
+"""Fourth batch of TPC-H-shaped analytics, adapted to the driver
+schema (lineitem has no shipmode/commitdate/receiptdate; customer has
+no phone — each query keeps its original join/subquery SHAPE and
+substitutes available columns):
+
+- Q12 → priority mix per linestatus (CASE aggregation over a
+  fact-fact join),
+- Q19 → disjunctive OR-of-ANDs predicate over part×lineitem,
+- Q21 → sole-late-supplier anti/semi-join composition,
+- Q22 → inactive high-balance customers (anti-join + scalar
+  subquery threshold).
+
+These four close the remaining classic join/subquery shapes the first
+three batches don't cover (partsupp-based Q2/Q9/Q11/Q20 stay out of
+reach — the table doesn't exist in the driver schema).
+
+Reference parity note: the reference engine (codepr/raft-c) has no
+relational layer at all — src/statement_parse.c grammar covers only
+the timeseries SELECT surface — so these are driver-north-star
+extensions, not reference ports.
+
+Scale notes (100 TB): lineitem and orders are fact tables — every
+query here joins them with a plain shuffle hash/sort-merge join on
+the order key (no broadcast hints on fact-sized frames; AQE may still
+elect a broadcast at small SF). part is a true dimension and keeps
+its broadcast hint. The Q21 shape avoids the textbook correlated
+EXISTS/NOT-EXISTS pair (two extra fact self-joins) by computing
+per-order supplier/late-supplier counts in ONE aggregation pass and
+joining that back — one shuffle instead of three.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raft_c_spark.functions.exact import dec, sql_dec, sql_sum_expr
+from raft_c_spark.plans.tpch import _SQL_DISC_PRICE, _disc_price
+from raft_c_spark.sources.testdata import load_table
+
+_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q_priority_linestatus(spark, sf_dir):
+    """Q12-shaped: per linestatus, how many 1997 lineitems belong to
+    high- vs low-priority orders (CASE aggregation after a fact-fact
+    equi-join; shipmode column doesn't exist → linestatus carries the
+    grouping role)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin(*_HIGH)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """Q19-shaped: revenue under an OR-of-ANDs predicate spanning both
+    join sides (brand/size from part, quantity/shipdate from
+    lineitem). The filter referencing both sides can only apply
+    post-join — the plan check is that the single-side conjuncts
+    (p_size >= 1, discount range) still push into the scans."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, smax))
+        & qty.between(qlo, qhi)
+    )
+    cond = (
+        branch("Brand#1", 15, 1, 11)
+        | branch("Brand#2", 25, 10, 20)
+        | branch("Brand#3", 35, 20, 30)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_waiting_supplier(spark, sf_dir):
+    """Q21-shaped: suppliers that were the SOLE late shipper in a
+    finished multi-supplier order ("late" ≙ shipped >60 days after
+    the order date — the schema has no commit/receipt dates).
+
+    Instead of the textbook correlated EXISTS (other supplier in
+    order) + NOT EXISTS (other late supplier) — which costs two more
+    fact self-joins — one per-order aggregation computes
+    distinct-supplier and distinct-late-supplier counts, and late
+    lines qualify when n_supp > 1 and n_late_supp == 1. Same
+    semantics, one shuffle."""
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    lo = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    late_lines = lo.filter(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    return (
+        late_lines.join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def q_inactive_high_balance(spark, sf_dir):
+    """Q22-shaped: per nation, customers with no orders whose account
+    balance beats the positive-balance average of their nation group
+    (anti-join against the fact table + scalar-subquery threshold;
+    phone-prefix country codes don't exist → c_nationkey ∈ {0,1,2}
+    plays the country-code filter role)."""
+    nations = [0, 1, 2]
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(nations)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(dec("c_acctbal", "12,2")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("ab")
+    )
+    # scalar threshold: 1-row frame, cross-broadcast; orders anti-join
+    # stays a shuffle (fact-sized side)
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal", "12,2")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+QUERIES = {
+    "tpch_priority_linestatus": q_priority_linestatus,
+    "tpch_disjunctive_revenue": q_disjunctive_revenue,
+    "tpch_waiting_supplier": q_waiting_supplier,
+    "tpch_inactive_high_balance": q_inactive_high_balance,
+}
+
+ORACLES = {
+    "tpch_priority_linestatus": """
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_linestatus
+    """,
+    "tpch_disjunctive_revenue": f"""
+        SELECT {sql_sum_expr(_SQL_DISC_PRICE)} AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_waiting_supplier": """
+        WITH lo AS (
+            SELECT l_orderkey, l_suppkey,
+                   l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ),
+        per_order AS (
+            SELECT l_orderkey,
+                   COUNT(DISTINCT l_suppkey) AS n_supp,
+                   COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+                       AS n_late_supp
+            FROM lo GROUP BY l_orderkey
+        )
+        SELECT s_name,
+               CAST(COUNT(DISTINCT lo.l_orderkey) AS BIGINT) AS numwait
+        FROM lo
+        JOIN per_order ON lo.l_orderkey = per_order.l_orderkey
+        JOIN supplier ON lo.l_suppkey = s_suppkey
+        WHERE lo.is_late AND n_supp > 1 AND n_late_supp = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    "tpch_inactive_high_balance": f"""
+        SELECT c_nationkey,
+               COUNT(*) AS numcust,
+               CAST(SUM({sql_dec('c_acctbal', '12,2')}) AS DOUBLE)
+                   AS totacctbal
+        FROM customer
+        WHERE c_nationkey IN (0, 1, 2)
+          AND c_acctbal > (
+              SELECT CAST(SUM({sql_dec('c_acctbal', '12,2')}) AS DOUBLE)
+                         / COUNT(c_acctbal)
+              FROM customer
+              WHERE c_acctbal > 0 AND c_nationkey IN (0, 1, 2)
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          )
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+}
