@@ -264,6 +264,47 @@ def sample_by(
     )
 
 
+def sample_by_sliding(
+    df: DataFrame,
+    slide_ns: int,
+    length_ns: int,
+    group_by_series: bool = True,
+) -> DataFrame:
+    """Hopping-window average — extension beyond the reference's
+    tumbling-only SAMPLE BY (src/timeseries.c:1265-1308 has no slide
+    parameter). Windows are ``[w, w+length)`` half-open with starts at
+    every slide multiple; each point lands in ``length/slide``
+    windows; the label is the window *start*. Unlike the tumbling
+    reference semantics above, no exclusive-boundary quirk: this is a
+    new surface, so it gets the conventional definition.
+
+    Spark shape: the per-point window list is a k-element array of
+    all-integer expressions (k = length/slide, a plan-time constant)
+    exploded then hash-aggregated — one shuffle keyed
+    (series, window_start), no self-join, no window function, stays
+    in whole-stage codegen. At 100 TB this is the right plan: the
+    explode is map-side (k× row amplification only between scan and
+    partial aggregate, which combines before the shuffle).
+    """
+    if slide_ns <= 0 or length_ns <= 0:
+        raise ValueError("slide and length must be positive")
+    if length_ns % slide_ns != 0:
+        raise ValueError("length must be a multiple of slide")
+    k = length_ns // slide_ns
+    base = F.col("timestamp") - F.col("timestamp") % F.lit(slide_ns)
+    wins = F.array(*[base - F.lit(i * slide_ns) for i in range(k)])
+    keys = ["series", "bucket_ts"] if group_by_series else ["bucket_ts"]
+    return (
+        df.withColumn("bucket_ts", F.explode(wins))
+        .groupBy(*keys)
+        .agg(
+            exact_avg("value").alias("avg_value"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .orderBy(*keys)
+    )
+
+
 def ts_limit(df: DataFrame, n: int) -> DataFrame:
     """LIMIT n — parsed but never applied by the reference executor
     (src/statement_parse.c:1116-1128, no QF_LIMT handling); implemented

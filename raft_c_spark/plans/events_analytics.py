@@ -218,6 +218,35 @@ def q_ev_rolling_zscore(spark, sf_dir):
     )
 
 
+DAY_NS = 86_400_000_000_000
+
+
+def q_ev_rollup_profile(spark, sf_dir):
+    """ROLLUP(event_type, day-of-week) profile — subtotal rows per
+    event_type and a grand total alongside the leaf groups, tagged by
+    grouping_id. The reference has no grouping-sets surface at all;
+    this covers the multi-level-aggregate shape. Day-of-week is pure
+    integer math on the ns timestamp (epoch day 0 = Thursday → +4,
+    0 = Sunday), identical in both engines.
+
+    Scale: ROLLUP is a single logical aggregate — Spark expands the
+    grouping sets and still runs one shuffle with partial aggregation;
+    no per-level rescans of the fact table.
+    """
+    ev = _events(spark, sf_dir)
+    dow = (F.expr(f"timestamp div {DAY_NS}") + F.lit(4)) % F.lit(7)
+    return (
+        ev.withColumn("dow", dow)
+        .rollup("event_type", "dow")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", "12,2")).cast("double").alias("sum_value"),
+        )
+        .orderBy("gid", "event_type", "dow")
+    )
+
+
 QUERIES = {
     "ev_topk_per_user": q_ev_topk_per_user,
     "ev_sessionize": q_ev_sessionize,
@@ -229,6 +258,7 @@ QUERIES = {
     "ev_funnel": q_ev_funnel,
     "ev_cohort_retention": q_ev_cohort_retention,
     "ev_rolling_zscore": q_ev_rolling_zscore,
+    "ev_rollup_profile": q_ev_rollup_profile,
 }
 
 _EV = (
@@ -384,5 +414,16 @@ ORACLES = {
         WHERE n = {Z_WINDOW}
           AND (sq - s * s / n) / (n - 1) > 0
           AND abs((value - s / n) / sqrt((sq - s * s / n) / (n - 1))) > 3.0
+    """,
+    "ev_rollup_profile": f"""
+        SELECT event_type,
+               (timestamp // {DAY_NS} + 4) % 7 AS dow,
+               CAST(GROUPING(event_type,
+                             (timestamp // {DAY_NS} + 4) % 7) AS BIGINT)
+                   AS gid,
+               COUNT(*) AS n_events,
+               CAST(SUM({sql_dec('value', '12,2')}) AS DOUBLE) AS sum_value
+        FROM ({_EV})
+        GROUP BY ROLLUP (event_type, dow)
     """,
 }

@@ -173,6 +173,33 @@ def _sample_sql(interval_ns: int, t0: int | None, t1: int | None) -> str:
     """
 
 
+def q_sample_sliding(spark, sf_dir):
+    """Hopping-window avg (6h window, 1h slide) — extension beyond the
+    reference's tumbling-only SAMPLE BY; see
+    tsdb.sample_by_sliding for semantics and the 100 TB plan shape."""
+    return tsdb.sample_by_sliding(
+        _points(spark, sf_dir, T0, T1).filter(
+            (F.col("timestamp") >= T0) & (F.col("timestamp") <= T1)
+        ),
+        HOUR_NS,
+        6 * HOUR_NS,
+    )
+
+
+def _sliding_sql(slide_ns: int, length_ns: int, where: str) -> str:
+    k = length_ns // slide_ns
+    return f"""
+        SELECT series,
+               (timestamp - timestamp % {slide_ns}) - i * {slide_ns}
+                   AS bucket_ts,
+               {sql_avg('value')} AS avg_value,
+               COUNT(*) AS n_points
+        FROM ({POINTS_SQL}) CROSS JOIN generate_series(0, {k - 1}) AS g(i)
+        {where}
+        GROUP BY series, bucket_ts
+    """
+
+
 def _record_sql(order: str, where: str = "") -> str:
     return f"""
         SELECT series, timestamp, value FROM (
@@ -196,6 +223,7 @@ QUERIES = {
     "ts_avg": q_avg,
     "ts_sample_1h": q_sample_1h,
     "ts_sample_1d": q_sample_1d,
+    "ts_sample_sliding": q_sample_sliding,
     "ts_latest_k": q_latest_k,
 }
 
@@ -221,6 +249,7 @@ ORACLES = {
     """,
     "ts_sample_1h": _sample_sql(HOUR_NS, T0, T1),
     "ts_sample_1d": _sample_sql(DAY_NS, None, None),
+    "ts_sample_sliding": _sliding_sql(HOUR_NS, 6 * HOUR_NS, _RANGE),
     "ts_latest_k": f"""
         SELECT series, timestamp, value FROM ({POINTS_SQL})
         ORDER BY timestamp DESC, value DESC, series ASC LIMIT 100

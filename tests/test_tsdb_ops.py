@@ -183,3 +183,44 @@ def test_sample_by_oracle(points, duck):
 
 def test_limit(points):
     assert tsdb.ts_limit(tsdb.ts_scan(points), 17).count() == 17
+
+
+def test_sample_by_sliding_hand_fixture(spark):
+    """Hopping windows [w, w+length) half-open, label = window start,
+    each point in length/slide windows."""
+    rows = [
+        ("s", 5, 1.0),   # windows starting at 0 and -10 (len 20, slide 10)
+        ("s", 10, 3.0),  # windows 10 and 0 (half-open: 10 belongs to [10,30) and [0,20))
+        ("s", 25, 5.0),  # windows 20 and 10
+    ]
+    df = spark.createDataFrame(rows, "series string, timestamp long, value double")
+    out = {
+        r["bucket_ts"]: (r["avg_value"], r["n_points"])
+        for r in tsdb.sample_by_sliding(df, 10, 20).collect()
+    }
+    assert out == {
+        -10: (1.0, 1),
+        0: (2.0, 2),
+        10: (4.0, 2),
+        20: (5.0, 1),
+    }
+
+
+def test_sample_by_sliding_validation(spark):
+    df = spark.createDataFrame(
+        [("s", 1, 1.0)], "series string, timestamp long, value double"
+    )
+    with pytest.raises(ValueError):
+        tsdb.sample_by_sliding(df, 0, 10)
+    with pytest.raises(ValueError):
+        tsdb.sample_by_sliding(df, 10, 25)
+
+
+def test_sample_by_sliding_matches_tumbling_when_equal(points):
+    """slide == length degenerates to tumbling windows (modulo the
+    reference's boundary quirk and end-vs-start labels): same point
+    partition, shifted labels."""
+    iv = 86_400_000_000_000
+    rows = tsdb.sample_by_sliding(points, iv, iv).collect()
+    # independent recount: every point lands in exactly one window
+    assert sum(r["n_points"] for r in rows) == points.count()
