@@ -192,19 +192,34 @@ def rolling_zscore(
     window are emitted with NULL zscore (warm-up period).
 
     One shuffle (hash by key) + one in-partition sort; window state
-    is n_rows values — linear at any scale."""
+    is n_rows values — linear at any scale.
+
+    The trailing sums are computed as cumulative-sum differences
+    (``cum[i] - cum[i-n]``), not sliding frames: Spark evaluates a
+    ``ROWS n PRECEDING`` aggregate by re-scanning the frame per row
+    (O(n_rows) work each — ~100× the data volume here), while
+    running frames and lag are incremental. Decimal subtraction is
+    exact, so the difference equals the direct frame sum bit-for-bit
+    and the single cast to double is unchanged."""
     from raft_c_spark.functions.exact import dec
 
     order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(*order)
-        .rowsBetween(-(n_rows - 1), Window.currentRow)
-    )
-    v2 = dec(value_col, "9,2") * dec(value_col, "9,2")
-    s = F.sum(dec(value_col, "9,2")).over(w).cast("double")
-    sq = F.sum(v2).over(w).cast("double")
-    n = F.count(F.lit(1)).over(w)
+    wrow = Window.partitionBy(key_col).orderBy(*order)
+    wcum = wrow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = dec(value_col, "9,2")
+    v2 = v * v
+    cs = F.sum(v).over(wcum)
+    csq = F.sum(v2).over(wcum)
+    rn = F.row_number().over(wrow)
+
+    def trailing(cum):
+        return F.when(
+            rn > n_rows, cum - F.lag(cum, n_rows).over(wrow)
+        ).otherwise(cum)
+
+    s = trailing(cs).cast("double")
+    sq = trailing(csq).cast("double")
+    n = F.least(rn, F.lit(n_rows))
     mean = s / n
     var = (sq - s * s / n) / (n - F.lit(1))
     z = (F.col(value_col) - mean) / F.sqrt(var)
