@@ -54,3 +54,37 @@ def salted_agg(
             raise ValueError(f"non-decomposable aggregate {fn!r}")
     partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*stage1_cols)
     return partial.groupBy(*keys).agg(*stage2_cols)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: split each left-side key into ``n_salts``
+    deterministic subkeys (hash of the whole left row — not rand(),
+    so retried tasks salt identically and the result is reproducible)
+    and replicate the right side once per salt, turning one hot-key
+    reducer into ``n_salts`` even tasks.
+
+    This is the manual fallback for when AQE's skew-join splitting
+    can't apply (e.g. the skewed side is the output of an aggregation
+    in the same stage, or a non-shuffle join boundary). Replication
+    multiplies the right side ×n_salts — use with a dimension-or-
+    smaller right side; for fact×fact skew prefer AQE.
+
+    Supported ``how``: inner / left — right-side multiplicity is
+    preserved because each right row is replicated exactly once per
+    salt and each left row carries exactly one salt."""
+    keys = [key] if isinstance(key, str) else list(key)
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l = left.withColumn("_salt", lsalt.cast("int"))
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = l.join(r, keys + ["_salt"], how)
+    return out.drop("_salt")

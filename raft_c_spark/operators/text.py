@@ -137,3 +137,58 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(c).alias("quality"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k terms per document by tf-idf (idf = ln(N/df)) — the
+    keyword-extraction pass of a corpus pipeline.
+
+    Determinism contract: ln() is ranking-only (libm last-ulp
+    differences between engines cannot reorder terms whose (tf, df)
+    inputs differ — the score gap is ≥ ~tf/df, many orders of
+    magnitude above 1 ulp; equal inputs give equal scores and fall to
+    the term tie-break). Output columns are ints/strings only.
+
+    Scale shape: tokenize → one (doc, term) count aggregate → a
+    term-keyed doc-frequency aggregate REUSED from the tf frame (no
+    second corpus scan) → shuffle join on term (vocabulary grows with
+    the corpus — never broadcast) → per-doc top-k window. Three
+    shuffles total, all on natural keys, no driver materialization.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df_t")),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("doc").alias(id_col),
+            "term",
+            "tf",
+            "df_t",
+            "rank",
+        )
+    )

@@ -247,6 +247,36 @@ def q_ev_rollup_profile(spark, sf_dir):
     )
 
 
+HOUR_NS = 3_600_000_000_000
+
+
+def q_ev_trailing_window(spark, sf_dir):
+    """Per-user trailing-1h sum and count at every event — a RANGE
+    window frame over the ns timestamp (value-based bounds, unlike the
+    ROWS frames elsewhere). Frame membership depends only on timestamp
+    values, so ties need no tiebreak: both engines include all
+    equal-timestamp rows. Decimal sum cast to double once.
+
+    Scale: one shuffle (hash by user) + in-partition sort; range
+    frames over a sorted run are evaluated with a sliding two-pointer
+    pass, so cost is linear per partition."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("timestamp")
+        .rangeBetween(-HOUR_NS, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "timestamp",
+        F.sum(dec("value", "9,2")).over(w).cast("double").alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
 QUERIES = {
     "ev_topk_per_user": q_ev_topk_per_user,
     "ev_sessionize": q_ev_sessionize,
@@ -259,6 +289,7 @@ QUERIES = {
     "ev_cohort_retention": q_ev_cohort_retention,
     "ev_rolling_zscore": q_ev_rolling_zscore,
     "ev_rollup_profile": q_ev_rollup_profile,
+    "ev_trailing_window": q_ev_trailing_window,
 }
 
 _EV = (
@@ -425,5 +456,13 @@ ORACLES = {
                CAST(SUM({sql_dec('value', '12,2')}) AS DOUBLE) AS sum_value
         FROM ({_EV})
         GROUP BY ROLLUP (event_type, dow)
+    """,
+    "ev_trailing_window": f"""
+        SELECT event_id, user_id, timestamp,
+               CAST(SUM({sql_dec('value')}) OVER w AS DOUBLE) AS sum_1h,
+               COUNT(*) OVER w AS n_1h
+        FROM ({_EV})
+        WINDOW w AS (PARTITION BY user_id ORDER BY timestamp
+                     RANGE BETWEEN {HOUR_NS} PRECEDING AND CURRENT ROW)
     """,
 }

@@ -58,6 +58,35 @@ def q_ev_salted_agg(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_ev_salted_join(spark, sf_dir):
+    """Salted equi-join on the 5-value (pathologically hot) event_type
+    key: events × per-type averages, counting events above their
+    type's mean. Same rows as the plain join by construction —
+    the salt only re-partitions the work (deterministic row-hash
+    salt, not rand(), so retries reproduce)."""
+    from raft_c_spark.functions.exact import dec
+    from raft_c_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy(F.col("event_type").alias("et")).agg(
+        (F.sum(dec("value", "9,2")).cast("double") / F.count("value")).alias(
+            "type_avg"
+        )
+    )
+    joined = salted_join(
+        ev.select("event_type", "value"),
+        stats.withColumnRenamed("et", "event_type"),
+        "event_type",
+        n_salts=8,
+    )
+    return (
+        joined.filter(F.col("value") > F.col("type_avg"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+        .orderBy("event_type")
+    )
+
+
 def q_ev_approx_profile(spark, sf_dir):
     """Approximate distinct users (HLL++) + approximate value
     quantiles per event type — the sketch-based path for cardinality/
@@ -88,6 +117,7 @@ def q_ev_approx_profile(spark, sf_dir):
 QUERIES = {
     "ev_json_props": q_ev_json_props,
     "ev_salted_agg": q_ev_salted_agg,
+    "ev_salted_join": q_ev_salted_join,
     "ev_approx_profile": q_ev_approx_profile,
 }
 
@@ -107,6 +137,19 @@ ORACLES = {
                MAX(value) AS max_value
         FROM events
         GROUP BY event_type
+    """,
+    "ev_salted_join": """
+        WITH stats AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE)
+                       / COUNT(value) AS type_avg
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, COUNT(*) AS n_above
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE e.value > s.type_avg
+        GROUP BY e.event_type
+        ORDER BY e.event_type
     """,
     # ev_approx_profile: intentionally no oracle (sketch-specific)
 }

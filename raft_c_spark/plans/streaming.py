@@ -80,7 +80,61 @@ def q_stream_tumbling_avg(spark, sf_dir):
     )
 
 
-QUERIES = {"stream_tumbling_avg": q_stream_tumbling_avg}
+def q_stream_click_attribution(spark, sf_dir):
+    """Stream-stream attribution join (purchase ⋈ clicks in the
+    preceding hour, same user), executed as a REAL watermarked
+    Structured Streaming self-join over the events parquet — appended
+    pairs collected in a memory sink. Deterministic: the file arrives
+    as a single micro-batch, so no pair is dropped by the watermark,
+    and the result equals the batch theta join the oracle runs."""
+    from raft_c_spark.streaming.ingest import stream_stream_join
+
+    ensure_runtime_confs(spark)
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+
+    def _stream(event_type):
+        return (
+            spark.readStream.schema(_NS_EVENT_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                "event_id",
+                "user_id",
+                F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+            )
+        )
+
+    joined = stream_stream_join(
+        _stream("click"),
+        _stream("purchase"),
+        key="user_id",
+        ts_col="event_time",
+        lookback="1 hour",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_user_id").alias("user_id"),
+        (F.unix_micros(F.col("r_event_time")) * 1000).alias("purchase_ts"),
+        (F.unix_micros(F.col("l_event_time")) * 1000).alias("click_ts"),
+    )
+
+
+QUERIES = {
+    "stream_tumbling_avg": q_stream_tumbling_avg,
+    "stream_click_attribution": q_stream_click_attribution,
+}
 
 ORACLES = {
     "stream_tumbling_avg": f"""
@@ -91,5 +145,17 @@ ORACLES = {
                COUNT(*) AS n_points
         FROM events
         GROUP BY series, window_start, window_end
+    """,
+    "stream_click_attribution": """
+        SELECT p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.user_id AS user_id,
+               epoch_ns(p.ts) - epoch_ns(p.ts) % 1000 AS purchase_ts,
+               epoch_ns(c.ts) - epoch_ns(c.ts) % 1000 AS click_ts
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts <= p.ts
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     """,
 }

@@ -90,11 +90,20 @@ def q_text_redact_pii(spark, sf_dir):
     )
 
 
+def q_text_tfidf_terms(spark, sf_dir):
+    """Top-5 tf-idf terms per document (see
+    text.tfidf_top_terms for the determinism contract and the
+    three-shuffle scale shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
 QUERIES = {
     "text_analyze": q_text_analyze,
     "text_lang_profile": q_text_lang_profile,
     "text_clean_corpus": q_text_clean_corpus,
     "text_redact_pii": q_text_redact_pii,
+    "text_tfidf_terms": q_text_tfidf_terms,
 }
 
 
@@ -182,5 +191,31 @@ ORACLES = {
                    / COUNT(*) AS avg_quality
         FROM ({_ANALYZE_SQL})
         GROUP BY pred_lang
+    """,
+    "text_tfidf_terms": """
+        WITH toks AS (
+            SELECT doc_id AS doc, unnest(
+                regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc, term, COUNT(*) AS tf
+            FROM toks GROUP BY doc, term
+        ),
+        dfreq AS (
+            SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+        ),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+        SELECT doc AS doc_id, term, tf, df_t, rank
+        FROM (
+            SELECT doc, term, tf, df_t,
+                   row_number() OVER (
+                       PARTITION BY doc
+                       ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df_t) DESC,
+                                term
+                   ) AS rank
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        WHERE rank <= 5
     """,
 }

@@ -170,6 +170,42 @@ def stream_enrich(
     return stream.join(static_df, key, "left")
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each right-side row joins
+    left-side rows with the same key whose event time falls in
+    ``[right.ts - lookback, right.ts]`` — the streaming form of the
+    attribution join (click within the hour before a purchase).
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, so Spark can expire buffered state for
+    either side once the watermark passes its reach — the state-bound
+    requirement that makes this runnable forever. Without the range
+    condition the left buffer would grow without bound.
+
+    Columns from both sides are returned with ``l_`` / ``r_``
+    prefixes (the inputs share a schema in the common self-join
+    case)."""
+    l = left.withWatermark(ts_col, watermark).select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns]
+    )
+    r = right.withWatermark(ts_col, watermark).select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns]
+    )
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col(f"l_{ts_col}") >= F.expr(f"r_{ts_col} - INTERVAL {lookback}"))
+        & (F.col(f"l_{ts_col}") <= F.col(f"r_{ts_col}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def stream_session_agg(
     stream: DataFrame,
     gap: str = "30 minutes",

@@ -12,7 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from raft_c_spark.engine import Engine
-from raft_c_spark.plans import tpch, tpch2, tpch3
+from raft_c_spark.plans import tpch, tpch2, tpch3, tpch4
 from raft_c_spark.sources.testdata import load_table
 
 
@@ -101,6 +101,7 @@ _ALL_TPCH = {}
 _ALL_TPCH.update(tpch.QUERIES)
 _ALL_TPCH.update(tpch2.QUERIES)
 _ALL_TPCH.update(tpch3.QUERIES)
+_ALL_TPCH.update(tpch4.QUERIES)
 
 
 @pytest.mark.parametrize("name", sorted(_ALL_TPCH))

@@ -198,3 +198,38 @@ def test_cohort_retention_hand_case(spark):
         for r in cohort_retention(df, period_ns=wk).collect()
     }
     assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_salted_join_matches_plain(spark):
+    from raft_c_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [("a", i) for i in range(50)] + [("b", i) for i in range(5)] + [("c", 99)],
+        "k string, v int",
+    )
+    right = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("d", 4.0)], "k string, w double"
+    )
+    got = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in salted_join(left, right, "k", n_salts=4).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"], r["w"]) for r in left.join(right, "k").collect()
+    )
+    assert got == want
+
+    # left join keeps unmatched left rows exactly once
+    got_l = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in salted_join(left, right, "k", n_salts=4, how="left").collect()
+    )
+    want_l = sorted(
+        (r["k"], r["v"], r["w"]) for r in left.join(right, "k", "left").collect()
+    )
+    assert got_l == want_l
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")
