@@ -114,10 +114,54 @@ def q_ev_approx_profile(spark, sf_dir):
     )
 
 
+def q_ev_exact_percentiles(spark, sf_dir):
+    """EXACT per-group percentiles (the ground-truth companion to
+    ev_approx_profile's sketches): Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation definition and
+    bit-match on the same doubles (verified: interpolated values equal
+    to the last ulp). Exact percentiles need the full sorted group —
+    at 100 TB use ev_approx_profile; this is the small-group/audit
+    path."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.25)").alias("p25"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_ev_set_ops(spark, sf_dir):
+    """Set-operation surface over user cohorts: clickers INTERSECT
+    purchasers, clickers EXCEPT purchasers, and the UNION count —
+    compiled as semi/anti joins on distinct user sets (Spark rewrites
+    intersect/except to left-semi/left-anti over aggregated inputs —
+    two shuffles, no cartesian)."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchasers = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    both = clickers.intersect(purchasers)
+    only_click = clickers.exceptAll(purchasers)
+    all_users = clickers.union(purchasers).distinct()
+    return (
+        both.agg(F.count(F.lit(1)).alias("n_both"))
+        .crossJoin(only_click.agg(F.count(F.lit(1)).alias("n_click_only")))
+        .crossJoin(all_users.agg(F.count(F.lit(1)).alias("n_either")))
+    )
+
+
 QUERIES = {
     "ev_json_props": q_ev_json_props,
     "ev_salted_agg": q_ev_salted_agg,
     "ev_salted_join": q_ev_salted_join,
+    "ev_exact_percentiles": q_ev_exact_percentiles,
+    "ev_set_ops": q_ev_set_ops,
     "ev_approx_profile": q_ev_approx_profile,
 }
 
@@ -150,6 +194,33 @@ ORACLES = {
         WHERE e.value > s.type_avg
         GROUP BY e.event_type
         ORDER BY e.event_type
+    """,
+    "ev_exact_percentiles": """
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+    "ev_set_ops": """
+        WITH clickers AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        ),
+        purchasers AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        )
+        SELECT
+            (SELECT COUNT(*) FROM
+                (SELECT user_id FROM clickers
+                 INTERSECT SELECT user_id FROM purchasers)) AS n_both,
+            (SELECT COUNT(*) FROM
+                (SELECT user_id FROM clickers
+                 EXCEPT SELECT user_id FROM purchasers)) AS n_click_only,
+            (SELECT COUNT(*) FROM
+                (SELECT user_id FROM clickers
+                 UNION SELECT user_id FROM purchasers)) AS n_either
     """,
     # ev_approx_profile: intentionally no oracle (sketch-specific)
 }
