@@ -87,10 +87,35 @@ def q_language_multi_agg(spark, sf_dir):
     )
 
 
+def q_language_at_lookup(spark, sf_dir):
+    """AT <ns> point lookup through the parser — the S_SINGLE
+    selector the reference declares but never reaches from its
+    grammar (src/statement_parse.h:192-203). The probe timestamp is
+    data-derived (earliest click point)."""
+    eng = _engine_with_click_series(spark, sf_dir)
+    t = (
+        events_as_points(spark, sf_dir)
+        .filter(F.col("series") == "click")
+        .agg(F.min("timestamp"))
+        .collect()[0][0]
+    )
+    return eng.execute(f"SELECT value FROM click AT {t}")
+
+
+def q_language_earliest_k(spark, sf_dir):
+    """earliest(value, k) through the parser (grammar-doc-only in the
+    reference — src/statement_parse.h:97 allows an integer argument
+    its executor never reads)."""
+    eng = _engine_with_click_series(spark, sf_dir)
+    return eng.execute(f"SELECT earliest(value, 20) FROM click")
+
+
 QUERIES = {
     "lang_sample_by": q_language_sample_by,
     "lang_where_limit": q_language_where_limit,
     "lang_multi_agg": q_language_multi_agg,
+    "lang_at_lookup": q_language_at_lookup,
+    "lang_earliest_k": q_language_earliest_k,
 }
 
 _CLICK = f"SELECT timestamp, value FROM ({POINTS_SQL}) WHERE series = 'click'"
@@ -119,5 +144,14 @@ ORACLES = {
                {sql_avg('value')} AS avg_value
         FROM ({_CLICK})
         WHERE timestamp >= {T0_NS} AND timestamp <= {T1_NS}
+    """,
+    "lang_at_lookup": f"""
+        SELECT timestamp, value FROM ({_CLICK})
+        WHERE timestamp = (SELECT MIN(timestamp) FROM ({_CLICK}))
+        ORDER BY timestamp, value
+    """,
+    "lang_earliest_k": f"""
+        SELECT timestamp, value FROM ({_CLICK})
+        ORDER BY timestamp, value LIMIT 20
     """,
 }
