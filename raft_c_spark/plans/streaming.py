@@ -7,7 +7,9 @@ when the file arrives as one batch)."""
 
 from __future__ import annotations
 
+import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as Ty
@@ -32,6 +34,35 @@ _NS_EVENT_SCHEMA = Ty.StructType(
         Ty.StructField("props", Ty.StringType()),
     ]
 )
+
+
+def _state_partitions(spark, sf_dir: str) -> int:
+    """Stateful-operator partition count sized to the micro-batch
+    volume (~64 MB of input per state store, floor 8, capped at the
+    session's shuffle parallelism). Each stateful partition provisions
+    its own state store every micro-batch — on a one-file replay that
+    fixed cost dominates the query, while on a real cluster the same
+    rule keeps the session default because the input is large."""
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        size = 0
+    default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return min(default, max(8, size // (64 << 20)))
+
+
+@contextmanager
+def _shuffle_partitions(spark, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` to a streaming query —
+    the value is captured at query start, so restoring it after
+    ``stop()`` cannot affect the running stream."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def q_stream_tumbling_avg(spark, sf_dir):
@@ -60,16 +91,17 @@ def q_stream_tumbling_avg(spark, sf_dir):
             F.count(F.lit(1)).alias("n_points"),
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _shuffle_partitions(spark, _state_partitions(spark, sf_dir)):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.table(name)
     return out.select(
         "series",
@@ -112,16 +144,17 @@ def q_stream_click_attribution(spark, sf_dir):
         ts_col="event_time",
         lookback="1 hour",
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _shuffle_partitions(spark, _state_partitions(spark, sf_dir)):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name).select(
         F.col("r_event_id").alias("purchase_id"),
         F.col("l_event_id").alias("click_id"),
