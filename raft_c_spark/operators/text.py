@@ -139,6 +139,98 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def heavy_hitter_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams — the vocabulary/contamination
+    scan of a corpus pipeline (boilerplate detection, benchmark-leak
+    probes run on exactly this shape).
+
+    Exact, not sketched: per-doc gram counts first (map-side combine
+    on the (doc, ngram) aggregate), then one gram-keyed aggregate, then
+    a global top-k that Spark executes as TakeOrdered (per-partition
+    heap + driver merge of k rows — no global sort shuffle). Ties are
+    totally ordered by (count desc, ngram asc), so the k-boundary is
+    deterministic across engines and partitionings. N-gram generation
+    is a JVM higher-order transform over the token array — no UDF.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
+    # index sequence is kept ascending (floor 1) and over-long indices
+    # filtered out, so docs shorter than n yield no grams
+    idxs = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))),
+        lambda i: (i + (n - 1)) <= F.size("toks"),
+    )
+    grams = base.select(
+        "doc",
+        F.explode(
+            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice("toks", i, n)))
+        ).alias("ngram"),
+    )
+    per_doc = grams.groupBy("doc", "ngram").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_doc.groupBy("ngram")
+        .agg(
+            F.sum("n").alias("n_total"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document's token stream into fixed-size overlapping
+    chunks (context-window prep for training). Chunk j covers tokens
+    [j*stride, j*stride + chunk); the last start is the first one whose
+    chunk reaches the end of the doc, so no chunk is a strict subset of
+    its predecessor; empty documents yield no chunks.
+
+    Zero-shuffle scale shape: tokenize → per-row higher-order
+    transform → posexplode, all inside one projection (whole-stage
+    codegen, no UDF, no aggregation). Row growth is bounded by
+    ~len/stride per doc and stays distributed. The chunk text itself
+    leaves the operator only as an md5 fingerprint — at 100 TB the
+    rechunked corpus would be written straight to parquet, never
+    hauled to a driver."""
+    if not 0 < stride <= chunk:
+        raise ValueError("require 0 < stride <= chunk")
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("toks"))
+    n_starts_m1 = F.greatest(
+        F.floor((F.size("toks") - chunk + (stride - 1)) / stride).cast("int"),
+        F.lit(0),
+    )
+    idxs = F.filter(
+        F.sequence(F.lit(0), n_starts_m1),
+        lambda j: (j * stride) < F.size("toks"),
+    )
+    chunks = F.transform(
+        idxs, lambda j: F.concat_ws(" ", F.slice("toks", j * stride + 1, chunk))
+    )
+    out = base.select(
+        "_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        "chunk_idx",
+        (F.col("chunk_idx") * stride).alias("start_tok"),
+        whitespace_token_count(F.col("chunk_text")).alias("n_chunk_tokens"),
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_fp"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

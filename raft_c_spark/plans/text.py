@@ -98,12 +98,37 @@ def q_text_tfidf_terms(spark, sf_dir):
     return text.tfidf_top_terms(docs, "doc_id", "text", k=5)
 
 
+HH_N = 2
+HH_K = 50
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def q_text_heavy_hitters(spark, sf_dir):
+    """Corpus-wide top-50 bigrams (see text.heavy_hitter_ngrams for
+    the TakeOrdered scale shape and the deterministic tie-break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.heavy_hitter_ngrams(docs, "doc_id", "text", n=HH_N, k=HH_K)
+
+
+def q_text_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (32-token chunks, stride 24)
+    — context-window prep; chunk text is proven byte-identical to the
+    oracle via md5 fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(
+        docs, "doc_id", "text", chunk=CHUNK_TOKENS, stride=CHUNK_STRIDE
+    )
+
+
 QUERIES = {
     "text_analyze": q_text_analyze,
     "text_lang_profile": q_text_lang_profile,
     "text_clean_corpus": q_text_clean_corpus,
     "text_redact_pii": q_text_redact_pii,
     "text_tfidf_terms": q_text_tfidf_terms,
+    "text_heavy_hitters": q_text_heavy_hitters,
+    "text_chunks": q_text_chunks,
 }
 
 
@@ -191,6 +216,59 @@ ORACLES = {
                    / COUNT(*) AS avg_quality
         FROM ({_ANALYZE_SQL})
         GROUP BY pred_lang
+    """,
+    "text_heavy_hitters": f"""
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, unnest(list_transform(
+                list_filter(
+                    generate_series(1, greatest(len(toks) - {HH_N - 1}, 1)),
+                    i -> i + {HH_N - 1} <= len(toks)),
+                i -> array_to_string(list_slice(toks, i, i + {HH_N - 1}), ' ')
+            )) AS ngram
+            FROM t
+        ),
+        pg AS (SELECT doc_id, ngram, COUNT(*) AS n FROM g GROUP BY doc_id, ngram)
+        SELECT ngram,
+               CAST(SUM(n) AS BIGINT) AS n_total,
+               COUNT(*) AS n_docs
+        FROM pg GROUP BY ngram
+        ORDER BY n_total DESC, ngram
+        LIMIT {HH_K}
+    """,
+    "text_chunks": rf"""
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   toks,
+                   list_filter(
+                       generate_series(0, greatest(
+                           (len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1})
+                               // {CHUNK_STRIDE}, 0)),
+                       j -> j * {CHUNK_STRIDE} < len(toks)) AS idxs
+            FROM t
+        ),
+        c AS (
+            SELECT doc_id, unnest(list_transform(idxs, j -> {{
+                       'idx': j,
+                       'txt': array_to_string(
+                           list_slice(toks, j * {CHUNK_STRIDE} + 1,
+                                      j * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+                   }})) AS u
+            FROM s
+        )
+        SELECT doc_id,
+               u.idx AS chunk_idx,
+               u.idx * {CHUNK_STRIDE} AS start_tok,
+               len(regexp_extract_all(u.txt, '\S+')) AS n_chunk_tokens,
+               md5(u.txt) AS chunk_fp
+        FROM c
     """,
     "text_tfidf_terms": """
         WITH toks AS (

@@ -172,3 +172,64 @@ def test_pair_signatures_shape(emb):
     assert sigs.count() == n * 4
     r = sigs.limit(1).collect()[0]
     assert 0 <= r["sig"] < 64
+
+
+def test_heavy_hitter_ngrams_hand_case(spark):
+    rows = [
+        (1, "the cat sat on the cat"),   # "the cat" x2
+        (2, "the cat ran"),
+        (3, "solo"),                      # shorter than n → no grams
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.heavy_hitter_ngrams(df, n=2, k=3).collect()
+    assert [(r["ngram"], r["n_total"], r["n_docs"]) for r in out] == [
+        ("the cat", 3, 2),
+        ("cat ran", 1, 1),
+        ("cat sat", 1, 1),  # tie with others broken by ngram asc
+    ]
+
+
+def test_heavy_hitter_trigram_counts(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    out = text.heavy_hitter_ngrams(df, n=3, k=10).collect()
+    assert sorted(r["ngram"] for r in out) == ["a b c", "b c d"]
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    # 10 tokens, chunk=4, stride=3 → starts 0,3,6 (start 6 reaches the
+    # end; no start 9 because 9+4 window would be a strict subset tail)
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    out = text.chunk_documents(df, chunk=4, stride=3).orderBy("chunk_idx").collect()
+    assert [(r["chunk_idx"], r["start_tok"], r["n_chunk_tokens"]) for r in out] == [
+        (0, 0, 4),
+        (1, 3, 4),
+        (2, 6, 4),
+    ]
+
+
+def test_chunk_documents_short_and_empty(spark):
+    rows = [(1, "just three tokens"), (2, ""), (3, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.chunk_documents(df, chunk=32, stride=24).collect()
+    assert [(r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"]) for r in out] == [
+        (1, 0, 3)
+    ]
+
+
+def test_chunk_documents_exact_multiple(spark):
+    # exactly one chunk when len == chunk
+    df = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(8)))], "doc_id long, text string"
+    )
+    out = text.chunk_documents(df, chunk=8, stride=4).collect()
+    assert len(out) == 1 and out[0]["n_chunk_tokens"] == 8
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, chunk=4, stride=5)
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, chunk=4, stride=0)
