@@ -210,3 +210,23 @@ def test_lsh_index_probe_partition_prunes(spark, sf_dir, tmp_path):
     plan = plan_of(df)
     pf = [l for l in plan.splitlines() if "PartitionFilters: [(" in l]
     assert pf and "sig_hi" in pf[0], plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Token chunking is a pure per-row transform: no Exchange anywhere
+    in the plan, and the scan reads only (doc_id, text)."""
+    from raft_c_spark.plans.text import q_text_chunks
+
+    plan = plan_of(q_text_chunks(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "doc_id" in plan and "text" in plan
+
+
+def test_heavy_hitters_takeordered_topk(spark, sf_dir):
+    """Corpus top-k uses TakeOrdered (per-partition heap + driver
+    merge of k rows), never a global Sort over the gram counts."""
+    from raft_c_spark.plans.text import q_text_heavy_hitters
+
+    plan = plan_of(q_text_heavy_hitters(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial" in plan  # map-side combine on the gram aggregate
