@@ -63,6 +63,57 @@ def cosine_expr(va: str, vb: str, na: str, nb: str, dim: int) -> Column:
     return dot_unrolled(va, vb, dim) / (F.col(na) * F.col(nb))
 
 
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization — the compression pass an
+    embedding store runs before ANN indexing (4× smaller than float32,
+    SIMD-friendly dot products downstream).
+
+    q_i = round(x_i · 127/max|x|), per-vector scale; an all-zero
+    vector quantizes to all zeros (scale 0). Deterministic across
+    engines: float32→double promotion is exact, max/abs/divide/round
+    are single IEEE ops, and round-half-away-from-zero matches between
+    Spark (HALF_UP on doubles) and the DuckDB oracle (C round).
+
+    Zero-shuffle scale shape: one per-row higher-order transform in a
+    single codegen stage. The quantized vector itself is summarized to
+    scalars (sum/min/max + an md5 over the comma-joined ints) so the
+    result frame is compact; a production pipeline would instead write
+    the int8 column straight back to parquet."""
+    emb = F.col(vec_col)
+    maxabs = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    base = df.select(
+        F.col(id_col).alias("vec_id"), emb.alias("_v"), maxabs.alias("_maxabs")
+    )
+    scale = F.when(F.col("_maxabs") > 0, F.lit(127.0) / F.col("_maxabs")).otherwise(
+        F.lit(0.0)
+    )
+    withq = base.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.transform(
+            F.col("_v"), lambda x: F.round(x.cast("double") * scale).cast("int")
+        ).alias("_q"),
+    )
+    q = F.col("_q")
+    return withq.select(
+        "vec_id",
+        F.size(q).alias("dim"),
+        "scale",
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        F.md5(
+            F.concat_ws(",", F.transform(q, lambda v: v.cast("string"))).cast(
+                "binary"
+            )
+        ).alias("q_fp"),
+    )
+
+
 # Cap on the corpus vector matrix (rows·dim·8 B) below which pair
 # verification ships the matrix as a Spark broadcast variable and runs
 # a vectorized numpy kernel — the manual analog of a broadcast hash

@@ -65,10 +65,19 @@ def q_sim_topk_ivf(spark, sf_dir):
     )
 
 
+def q_sim_quantize_int8(spark, sf_dir):
+    """Int8 scalar quantization of the whole embedding corpus (see
+    similarity.quantize_int8) — per-vector scale plus scalar summary
+    columns; md5 over the quantized ints pins byte-exactness."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(emb, "vec_id", "embedding")
+
+
 QUERIES = {
     "sim_topk_exact": q_sim_topk_exact,
     "sim_topk_lsh": q_sim_topk_lsh,
     "sim_topk_ivf": q_sim_topk_ivf,
+    "sim_quantize_int8": q_sim_quantize_int8,
 }
 
 _Q = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
@@ -86,6 +95,36 @@ _NORM_Q = (
 )
 
 ORACLES = {
+    "sim_quantize_int8": """
+        WITH s AS (
+            SELECT vec_id,
+                   embedding,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+            FROM embeddings
+        ),
+        sc AS (
+            SELECT vec_id, embedding,
+                   CASE WHEN maxabs > 0 THEN 127.0 / maxabs
+                        ELSE 0.0 END AS scale
+            FROM s
+        ),
+        q AS (
+            SELECT vec_id, scale,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * scale)
+                                 AS INTEGER)) AS qv
+            FROM sc
+        )
+        SELECT vec_id,
+               len(qv) AS dim,
+               scale,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               list_min(qv) AS q_min,
+               list_max(qv) AS q_max,
+               md5(array_to_string(qv, ',')) AS q_fp
+        FROM q
+    """,
     "sim_topk_exact": f"""
         SELECT e.vec_id AS doc,
                {_DOT} / ({_NORM_E} * {_NORM_Q}) AS cosine

@@ -233,3 +233,25 @@ def test_chunk_documents_rejects_bad_stride(spark):
         text.chunk_documents(df, chunk=4, stride=5)
     with pytest.raises(ValueError):
         text.chunk_documents(df, chunk=4, stride=0)
+
+
+def test_quantize_int8_hand_case(spark):
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),   # scale 127; q = [127, -64, 32, 0]
+        (2, [0.0, 0.0, 0.0, 0.0]),     # zero vector → scale 0, all zeros
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in similarity.quantize_int8(df).collect()}
+    assert out[1]["scale"] == 127.0
+    assert (out[1]["q_sum"], out[1]["q_min"], out[1]["q_max"]) == (95, -64, 127)
+    assert out[2]["scale"] == 0.0
+    assert (out[2]["q_sum"], out[2]["q_min"], out[2]["q_max"]) == (0, 0, 0)
+    assert out[1]["dim"] == out[2]["dim"] == 4
+
+
+def test_quantize_int8_range_bound(spark, emb):
+    """Every quantized component must land in [-127, 127]."""
+    out = similarity.quantize_int8(emb).agg(
+        F.min("q_min").alias("lo"), F.max("q_max").alias("hi")
+    ).collect()[0]
+    assert -127 <= out["lo"] <= out["hi"] <= 127
