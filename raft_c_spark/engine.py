@@ -189,9 +189,26 @@ class Engine:
             # src/statement_parse.h:97): one row, one column per
             # aggregate, order preserved
             if stmt.sampling is not None:
-                raise ExecutionError(
-                    "multi-aggregate select cannot combine with SAMPLE BY"
+                # extension: bucketed multi-aggregate (the reference's
+                # sampler is avg-only, src/timeseries.c:1265-1308) —
+                # still a single partial+final hash aggregate
+                fns = tuple(fn.value for fn in stmt.functions)
+                bad = [f for f in fns if f not in tsdb._SAMPLE_AGGS]
+                if bad:
+                    raise ExecutionError(
+                        f"SAMPLE BY does not support aggregate(s): {bad}"
+                    )
+                interval = eval_timeunit(stmt.sampling, now)
+                out = tsdb.sample_by(
+                    points, interval, t0=t0, t1=t1,
+                    group_by_series=False, fns=fns,
+                ).select(
+                    F.col("bucket_ts").alias("timestamp"),
+                    *[f"{f}_value" for f in fns],
                 )
+                if stmt.limit is not None:
+                    out = out.limit(stmt.limit)
+                return out
             from raft_c_spark.functions.exact import exact_avg
 
             agg_map = {
@@ -211,9 +228,19 @@ class Engine:
 
         if stmt.sampling is not None:
             interval = eval_timeunit(stmt.sampling, now)
+            # honor the requested aggregate when the sampler supports
+            # it (extension — the reference always computes avg in
+            # sampling mode, whatever function was written); latest/
+            # earliest keep the reference's avg fallback
+            fn = stmt.function.value if stmt.function else "avg"
+            fn = fn if fn in tsdb._SAMPLE_AGGS else "avg"
             out = tsdb.sample_by(
-                points, interval, t0=t0, t1=t1, group_by_series=False
-            ).select(F.col("bucket_ts").alias("timestamp"), F.col("avg_value").alias("value"))
+                points, interval, t0=t0, t1=t1,
+                group_by_series=False, fns=(fn,),
+            ).select(
+                F.col("bucket_ts").alias("timestamp"),
+                F.col(f"{fn}_value").alias("value"),
+            )
         elif stmt.function is ast.Fn.MIN:
             out = tsdb.ts_min(points, group_by_series=False)
         elif stmt.function is ast.Fn.MAX:

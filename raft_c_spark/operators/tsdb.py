@@ -220,12 +220,22 @@ def ts_earliest(df: DataFrame, group_by_series: bool = True) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: aggregate vocabulary for SAMPLE BY — column name is ``<fn>_value``
+_SAMPLE_AGGS = {
+    "min": lambda: F.min("value"),
+    "max": lambda: F.max("value"),
+    "avg": lambda: exact_avg("value"),
+    "count": lambda: F.count(F.lit(1)),
+}
+
+
 def sample_by(
     df: DataFrame,
     interval_ns: int,
     t0: int | None = None,
     t1: int | None = None,
     group_by_series: bool = True,
+    fns: tuple[str, ...] = ("avg",),
 ) -> DataFrame:
     """Tumbling-window average with the reference's exact semantics
     (ts_avg_sample, src/timeseries.c:1265-1308):
@@ -241,9 +251,17 @@ def sample_by(
     Spark shape: one hash aggregate keyed (series, bucket_end) — the
     all-integer bucket label keeps the computation inside whole-stage
     codegen and exact at epoch-ns magnitudes.
+
+    ``fns`` extends the reference's avg-only sampling (ts_avg_sample is
+    its only bucketed aggregate) to any subset of min/max/avg/count —
+    still one partial+final hash aggregate regardless of how many are
+    requested.
     """
     if interval_ns <= 0:
         raise ValueError("interval must be positive")
+    unknown = [f for f in fns if f not in _SAMPLE_AGGS]
+    if unknown or not fns:
+        raise ValueError(f"unsupported SAMPLE BY aggregate(s): {unknown}")
     out = df
     if t0 is not None:
         t0n = t0 - t0 % interval_ns  # normalize (src/timeseries.c:1273)
@@ -257,11 +275,8 @@ def sample_by(
     if t1 is not None:
         out = out.filter(F.col("bucket_ts") < F.lit(t1))
     keys = ["series", "bucket_ts"] if group_by_series else ["bucket_ts"]
-    return (
-        out.groupBy(*keys)
-        .agg(exact_avg("value").alias("avg_value"))
-        .orderBy(*keys)
-    )
+    aggs = [_SAMPLE_AGGS[f]().alias(f"{f}_value") for f in fns]
+    return out.groupBy(*keys).agg(*aggs).orderBy(*keys)
 
 
 def sample_by_sliding(

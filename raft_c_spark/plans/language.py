@@ -110,8 +110,22 @@ def q_language_earliest_k(spark, sf_dir):
     return eng.execute(f"SELECT earliest(value, 20) FROM click")
 
 
+def q_language_sample_multi(spark, sf_dir):
+    """Bucketed multi-aggregate SAMPLE BY through the parser —
+    extension beyond the reference's avg-only sampler
+    (src/timeseries.c:1265-1308): min/max/avg per bucket in ONE hash
+    aggregate, reference bucket semantics (exclusive bounds, end
+    labels, tail drop) unchanged."""
+    eng = _engine_with_click_series(spark, sf_dir)
+    return eng.execute(
+        f"SELECT min(value), max(value), avg(value) FROM click"
+        f" BETWEEN {_T0} AND {_T1} SAMPLE BY 1d"
+    )
+
+
 QUERIES = {
     "lang_sample_by": q_language_sample_by,
+    "lang_sample_multi": q_language_sample_multi,
     "lang_where_limit": q_language_where_limit,
     "lang_multi_agg": q_language_multi_agg,
     "lang_at_lookup": q_language_at_lookup,
@@ -123,6 +137,21 @@ _CLICK = f"SELECT timestamp, value FROM ({POINTS_SQL}) WHERE series = 'click'"
 ORACLES = {
     "lang_sample_by": f"""
         SELECT bucket_ts AS timestamp, {sql_avg('value')} AS value
+        FROM (
+            SELECT timestamp - (timestamp % {DAY_NS}) + {DAY_NS} AS bucket_ts,
+                   value
+            FROM ({_CLICK})
+            WHERE timestamp % {DAY_NS} <> 0
+              AND timestamp >= {T0_NS} AND timestamp <= {T1_NS}
+        )
+        WHERE bucket_ts < {T1_NS}
+        GROUP BY bucket_ts
+    """,
+    "lang_sample_multi": f"""
+        SELECT bucket_ts AS timestamp,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               {sql_avg('value')} AS avg_value
         FROM (
             SELECT timestamp - (timestamp % {DAY_NS}) + {DAY_NS} AS bucket_ts,
                    value

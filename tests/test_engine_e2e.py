@@ -434,3 +434,36 @@ def test_f2_ooo_fixture_full(spark, tmp_path):
     for t_late, v_late in rng.sample(late, 10):
         found = _rows(e.execute(f"SELECT value FROM temperatures AT {t_late}"))
         assert (t_late, v_late) in found
+
+
+def test_sampled_min_honors_function(spark, tmp_path):
+    """Extension divergence: `SELECT min(value) ... SAMPLE BY` buckets
+    the requested aggregate (the reference's sampler always averages,
+    whatever function was written)."""
+    from raft_c_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh_sm"))
+    eng.execute("CREATEDB smdb")
+    eng.execute("USE smdb")
+    eng.execute("CREATE s")
+    eng.execute("INSERT INTO s VALUES (5, 9.0), (7, 1.0), (15, 4.0)")
+    out = {
+        r["timestamp"]: r["value"]
+        for r in eng.execute("SELECT min(value) FROM s SAMPLE BY 10").collect()
+    }
+    assert out == {10: 1.0, 20: 4.0}
+
+
+def test_sampled_multi_agg_through_parser(spark, tmp_path):
+    from raft_c_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh_smm"))
+    eng.execute("CREATEDB smmdb")
+    eng.execute("USE smmdb")
+    eng.execute("CREATE s")
+    eng.execute("INSERT INTO s VALUES (5, 9.0), (7, 1.0), (15, 4.0)")
+    rows = eng.execute(
+        "SELECT min(value), max(value), avg(value) FROM s SAMPLE BY 10"
+    ).collect()
+    got = {r["timestamp"]: (r["min_value"], r["max_value"], r["avg_value"]) for r in rows}
+    assert got == {10: (1.0, 9.0, 5.0), 20: (4.0, 4.0, 4.0)}

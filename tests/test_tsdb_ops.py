@@ -224,3 +224,28 @@ def test_sample_by_sliding_matches_tumbling_when_equal(points):
     rows = tsdb.sample_by_sliding(points, iv, iv).collect()
     # independent recount: every point lands in exactly one window
     assert sum(r["n_points"] for r in rows) == points.count()
+
+
+def test_sample_by_multi_aggregates(spark):
+    rows = [
+        ("s", 5, 1.0),
+        ("s", 11, 2.0),
+        ("s", 19, 4.0),
+        ("s", 55, 16.0),
+    ]
+    df = spark.createDataFrame(rows, "series string, timestamp long, value double")
+    out = {
+        r["bucket_ts"]: (r["min_value"], r["max_value"], r["avg_value"], r["count_value"])
+        for r in tsdb.sample_by(df, 10, fns=("min", "max", "avg", "count")).collect()
+    }
+    assert out == {
+        10: (1.0, 1.0, 1.0, 1),
+        20: (2.0, 4.0, 3.0, 2),
+        60: (16.0, 16.0, 16.0, 1),
+    }
+
+
+def test_sample_by_rejects_unknown_fn(spark):
+    df = spark.createDataFrame([("s", 1, 1.0)], "series string, timestamp long, value double")
+    with pytest.raises(ValueError):
+        tsdb.sample_by(df, 10, fns=("median",))
