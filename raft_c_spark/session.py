@@ -26,6 +26,11 @@ from pyspark.sql import SparkSession
 #: needs that does not require JVM restart.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # tz-naive parquet timestamps (isAdjustedToUTC=false) load as plain
+    # TIMESTAMP under the UTC session tz instead of TIMESTAMP_NTZ —
+    # keeps epoch arithmetic (unix_micros) and pushdown-friendly
+    # timestamp-literal comparisons working on the driver's µs columns
+    "spark.sql.parquet.inferTimestampNtz.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -4,10 +4,13 @@ Tables: region nation customer supplier part orders lineitem events
 documents embeddings — one parquet file each under
 ``/root/testdata/sf{0.001,0.01,0.1}/``.
 
-``events.ts`` is parquet INT64 TIMESTAMP(NANOS) — read as a plain long
-(nanoseconds) via ``spark.sql.legacy.parquet.nanosAsLong``, which is
-exactly the engine's canonical timestamp representation
-(reference: uint64 ns, src/timeseries.h:52).
+``events.ts`` is a parquet µs-precision timestamp (tz-naive) — loaded
+as TimestampType under the UTC session tz (inferTimestampNtz disabled,
+see session.RUNTIME_CONFS) and converted to epoch-nanosecond longs,
+the engine's canonical timestamp representation (reference: uint64 ns,
+src/timeseries.h:52). ns-int64 parquet columns (the reference's native
+layout) are equally supported via ``nanosAsLong`` — ``_ts_ns`` handles
+either physical type.
 """
 
 from __future__ import annotations
@@ -44,6 +47,16 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def _ts_ns(col: str = "ts") -> F.Column:
+    """``events.ts`` as an epoch-nanosecond long (the engine's
+    canonical representation). Exact for the driver's µs-precision
+    TimestampType column: unix_micros × 1000 (UTC session tz; NTZ
+    inference is disabled in session.RUNTIME_CONFS, and the inner cast
+    makes the expression valid even on sessions where that conf was
+    locked and the column surfaces as TIMESTAMP_NTZ)."""
+    return (F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)).cast("long")
+
+
 def events_as_points(
     spark: SparkSession,
     sf_dir: str,
@@ -58,28 +71,21 @@ def events_as_points(
     src/timeseries.h:101-110): series name ≙ event_type, timestamp ≙
     event time in ns, value ≙ the event's double payload.
 
-    ``t0``/``t1`` (inclusive ns bounds on the *truncated* timestamp)
-    are applied to the **raw physical column** so they reach the
-    parquet scan as PushedFilters — a filter on the derived truncated
-    column cannot push down. Truncation is monotone, giving exact
-    raw-column bounds: ``trunc(ts) ≥ t0 ⇔ ts ≥ ceil_µs(t0)`` and
-    ``trunc(ts) ≤ t1 ⇔ ts ≤ floor_µs(t1) + 999``.
+    ``t0``/``t1`` (inclusive ns bounds) are applied to the **raw
+    physical timestamp column** via folded timestamp literals so they
+    reach the parquet scan as PushedFilters — a filter on the derived
+    epoch-ns long cannot push down. µs truncation is monotone, giving
+    exact raw-column bounds: ``ns(ts) ≥ t0 ⇔ ts ≥ ceil_µs(t0)`` and
+    ``ns(ts) ≤ t1 ⇔ ts ≤ floor_µs(t1)``.
     """
     ev = load_table(spark, sf_dir, "events")
-    raw = F.col("ts").cast("long")
     if t0 is not None:
-        ev = ev.filter(raw >= F.lit(((t0 + 999) // 1000) * 1000))
+        ev = ev.filter(F.col("ts") >= F.timestamp_micros(F.lit((t0 + 999) // 1000)))
     if t1 is not None:
-        ev = ev.filter(raw <= F.lit((t1 // 1000) * 1000 + 999))
-    # Truncate ns → µs-resolution ns values: DuckDB (the correctness
-    # oracle) reads parquet TIMESTAMP(NANOS) as µs TIMESTAMP, so its
-    # epoch_ns(ts) is truncated to µs; match it exactly. Full-ns
-    # resolution paths are exercised by the pytest suite on
-    # self-generated data instead.
-    t = F.col("ts").cast("long")
+        ev = ev.filter(F.col("ts") <= F.timestamp_micros(F.lit(t1 // 1000)))
     return ev.select(
         F.col("event_type").alias("series"),
-        (t - (t % F.lit(1000))).alias("timestamp"),
+        _ts_ns().alias("timestamp"),
         F.col("value").cast("double").alias("value"),
     )
 
