@@ -20,17 +20,17 @@ from raft_c_spark.operators.window import (
     sessionize,
     topk_per_group,
 )
-from raft_c_spark.sources.testdata import load_table
+from raft_c_spark.sources.testdata import _ts_ns, load_table
 
 GAP_NS = 1_800_000_000_000  # 30 min session gap
 
 
 def _events(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    t = F.col("ts").cast("long")
     return ev.select(
         "event_id",
-        (t - t % F.lit(1000)).alias("timestamp"),  # µs-truncated ns
+        # µs-precision timestamp column → canonical epoch-ns long
+        _ts_ns().alias("timestamp"),
         "user_id",
         "event_type",
         "value",
@@ -278,10 +278,13 @@ def q_ev_trailing_window(spark, sf_dir):
 
 
 QUERIES = {
+    # as-of join first: the flagship custom operator (union-and-carry,
+    # no Spark built-in) — dict order decides which ev_* analytics
+    # queries land inside the driver's 50-query correctness window
+    "ev_asof_purchase_click": q_ev_asof_purchase_click,
     "ev_topk_per_user": q_ev_topk_per_user,
     "ev_sessionize": q_ev_sessionize,
     "ev_running_value": q_ev_running_value,
-    "ev_asof_purchase_click": q_ev_asof_purchase_click,
     "ev_type_pivot": q_ev_type_pivot,
     "ev_distinct_users": q_ev_distinct_users,
     "ev_session_attribution": q_ev_session_attribution,

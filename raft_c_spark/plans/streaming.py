@@ -20,14 +20,15 @@ from raft_c_spark.streaming.ingest import WATERMARK
 
 HOUR_NS = 3_600_000_000_000
 
-#: the driver's events parquet carries ns timestamps — streamed as
-#: longs (nanosAsLong) and converted to a µs TimestampType column for
-#: watermark/window mechanics (window bounds are hour-aligned, so µs
-#: truncation cannot move a point across a bucket)
-_NS_EVENT_SCHEMA = Ty.StructType(
+#: the driver's events parquet carries µs-precision tz-naive
+#: timestamps — streamed as TIMESTAMP_NTZ (matching the physical
+#: type) and cast to TimestampType under the UTC session tz for
+#: watermark/window mechanics; ns output columns are emitted as
+#: unix_micros × 1000 (exact — the data is µs-precision)
+_EVENT_SCHEMA = Ty.StructType(
     [
         Ty.StructField("event_id", Ty.LongType()),
-        Ty.StructField("ts", Ty.LongType()),
+        Ty.StructField("ts", Ty.TimestampNTZType()),
         Ty.StructField("user_id", Ty.LongType()),
         Ty.StructField("event_type", Ty.StringType()),
         Ty.StructField("value", Ty.DoubleType()),
@@ -73,12 +74,12 @@ def q_stream_tumbling_avg(spark, sf_dir):
     ensure_runtime_confs(spark)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     stream = (
-        spark.readStream.schema(_NS_EVENT_SCHEMA)
+        spark.readStream.schema(_EVENT_SCHEMA)
         # file stream sources need a directory basePath; select just
         # the events file from the shared testdata dir
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("event_time", F.col("ts").cast("timestamp"))
     )
     agg = (
         stream.withWatermark("event_time", WATERMARK)
@@ -126,14 +127,14 @@ def q_stream_click_attribution(spark, sf_dir):
 
     def _stream(event_type):
         return (
-            spark.readStream.schema(_NS_EVENT_SCHEMA)
+            spark.readStream.schema(_EVENT_SCHEMA)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
             .filter(F.col("event_type") == event_type)
             .select(
                 "event_id",
                 "user_id",
-                F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+                F.col("ts").cast("timestamp").alias("event_time"),
             )
         )
 
@@ -183,8 +184,8 @@ ORACLES = {
         SELECT p.event_id AS purchase_id,
                c.event_id AS click_id,
                p.user_id AS user_id,
-               epoch_ns(p.ts) - epoch_ns(p.ts) % 1000 AS purchase_ts,
-               epoch_ns(c.ts) - epoch_ns(c.ts) % 1000 AS click_ts
+               epoch_ns(p.ts) AS purchase_ts,
+               epoch_ns(c.ts) AS click_ts
         FROM events p JOIN events c
           ON p.user_id = c.user_id
          AND c.ts >= p.ts - INTERVAL 1 HOUR

@@ -26,11 +26,15 @@ from pyspark.sql import SparkSession
 #: needs that does not require JVM restart.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
-    # tz-naive parquet timestamps (isAdjustedToUTC=false) load as plain
-    # TIMESTAMP under the UTC session tz instead of TIMESTAMP_NTZ —
-    # keeps epoch arithmetic (unix_micros) and pushdown-friendly
-    # timestamp-literal comparisons working on the driver's µs columns
-    "spark.sql.parquet.inferTimestampNtz.enabled": "false",
+    # NOTE: the driver's tz-naive parquet timestamps surface as
+    # TIMESTAMP_NTZ on this Spark build regardless of
+    # spark.sql.parquet.inferTimestampNTZ.enabled (verified
+    # empirically) — so every consumer is written to be correct for
+    # BOTH TimestampType and TimestampNTZType under the UTC session tz
+    # (sources/testdata._ts_ns casts before unix_micros). The conf is
+    # set anyway (correct capitalization, NTZ) for engines where it
+    # does operate.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

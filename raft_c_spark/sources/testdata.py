@@ -4,13 +4,13 @@ Tables: region nation customer supplier part orders lineitem events
 documents embeddings — one parquet file each under
 ``/root/testdata/sf{0.001,0.01,0.1}/``.
 
-``events.ts`` is a parquet µs-precision timestamp (tz-naive) — loaded
-as TimestampType under the UTC session tz (inferTimestampNtz disabled,
-see session.RUNTIME_CONFS) and converted to epoch-nanosecond longs,
-the engine's canonical timestamp representation (reference: uint64 ns,
-src/timeseries.h:52). ns-int64 parquet columns (the reference's native
-layout) are equally supported via ``nanosAsLong`` — ``_ts_ns`` handles
-either physical type.
+``events.ts`` is a parquet µs-precision timestamp (tz-naive) — it
+surfaces as TIMESTAMP_NTZ on this Spark build (the inferTimestampNTZ
+conf is observed to have no effect here), and every consumer is
+written to be exact for both TIMESTAMP_NTZ and TIMESTAMP under the
+UTC session timezone: ``_ts_ns`` casts to TimestampType before
+``unix_micros``, producing the engine's canonical epoch-nanosecond
+longs (reference: uint64 ns, src/timeseries.h:52).
 """
 
 from __future__ import annotations
@@ -50,11 +50,26 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def _ts_ns(col: str = "ts") -> F.Column:
     """``events.ts`` as an epoch-nanosecond long (the engine's
     canonical representation). Exact for the driver's µs-precision
-    TimestampType column: unix_micros × 1000 (UTC session tz; NTZ
-    inference is disabled in session.RUNTIME_CONFS, and the inner cast
-    makes the expression valid even on sessions where that conf was
-    locked and the column surfaces as TIMESTAMP_NTZ)."""
+    timestamp column: unix_micros × 1000. The inner cast makes the
+    expression correct for both TIMESTAMP and TIMESTAMP_NTZ — the
+    NTZ→LTZ coercion is identity under the UTC session tz, which
+    ``require_utc`` guarantees."""
     return (F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)).cast("long")
+
+
+def require_utc(spark: SparkSession) -> None:
+    """Timestamp-epoch arithmetic (``_ts_ns``) and the pushdown filter
+    literals in ``events_as_points`` coerce TIMESTAMP_NTZ through the
+    session timezone — exact only under UTC. ``ensure_runtime_confs``
+    silently skips locked confs, so fail loudly here rather than
+    return tz-shifted timestamps on a non-UTC driver session."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"raft_c_spark requires spark.sql.session.timeZone=UTC for "
+            f"exact timestamp arithmetic; session has {tz!r} and the "
+            f"conf appears locked (ensure_runtime_confs could not set it)"
+        )
 
 
 def events_as_points(
@@ -79,6 +94,7 @@ def events_as_points(
     ``ns(ts) ≤ t1 ⇔ ts ≤ floor_µs(t1)``.
     """
     ev = load_table(spark, sf_dir, "events")
+    require_utc(spark)
     if t0 is not None:
         ev = ev.filter(F.col("ts") >= F.timestamp_micros(F.lit((t0 + 999) // 1000)))
     if t1 is not None:
