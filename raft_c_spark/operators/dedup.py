@@ -439,6 +439,22 @@ def _shingle_codes(text: str, n: int) -> "np.ndarray":
     return np.unique(ids)
 
 
+def minhash_perms(num_perm: int) -> tuple[list[int], list[int]]:
+    """The affine-permutation constants (aᵢ, bᵢ) mod the Mersenne
+    prime — plain integer arithmetic (no RNG state, no engine-specific
+    hash), so an external oracle can bake the same constants into SQL
+    and reproduce signatures bit-for-bit."""
+    a = [
+        ((2 * i + 1) * 0x9E3779B97F4A7C15 % _MERSENNE_P) or 1
+        for i in range(num_perm)
+    ]
+    b = [
+        (i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % _MERSENNE_P
+        for i in range(num_perm)
+    ]
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -462,20 +478,9 @@ def minhash_signatures(
     import numpy as np
     import pandas as pd
 
-    a = np.array(
-        [
-            ((2 * i + 1) * 0x9E3779B97F4A7C15 % _MERSENNE_P) or 1
-            for i in range(num_perm)
-        ],
-        dtype=np.int64,
-    )
-    b = np.array(
-        [
-            (i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % _MERSENNE_P
-            for i in range(num_perm)
-        ],
-        dtype=np.int64,
-    )
+    pa, pb = minhash_perms(num_perm)
+    a = np.array(pa, dtype=np.int64)
+    b = np.array(pb, dtype=np.int64)
 
     def kernel(batches):
         for pdf in batches:
@@ -610,11 +615,21 @@ def minhash_lsh_pairs(
     )
 
 
+#: SimHash width. 60 bits = 15 hex digits of md5 — md5 is the one
+#: hash both Spark and DuckDB compute identically, which makes the
+#: whole simhash pipeline oracle-replicable (the previous xxhash64
+#: token hash had no DuckDB equivalent, forcing a rows-only check).
+SIMHASH_BITS = 60
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document over BPE-ish tokens: per-bit
-    majority vote of token xxhash64s, as a bit-position aggregate —
-    explode tokens → per-bit sums → reassemble. Whole pipeline is one
-    aggregate; near-dup candidates are docs at small hamming distance."""
+    """60-bit SimHash per document over BPE-ish tokens: per-bit
+    majority vote of md5-derived token hashes, as a bit-position
+    aggregate — explode tokens → per-bit sums → reassemble. Whole
+    pipeline is one aggregate; near-dup candidates are docs at small
+    hamming distance. Token hash = first 15 hex digits of md5 parsed
+    as an integer: bit-identical in DuckDB as
+    ``CAST('0x' || substr(md5(tok),1,15) AS BIGINT)``."""
     tokens = _widen(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
         "doc",
         F.explode(
@@ -624,9 +639,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
         ).alias("tok"),
     )
-    h = F.xxhash64("tok")
-    # bit 63 as a python literal (1 << 63) doesn't fit a signed int64
-    # lit — shift JVM-side instead
+    h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
     one = F.lit(1).cast("long")
     bit_sums = [
         F.sum(
@@ -634,11 +649,11 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 F.lit(-1)
             )
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     agg = tokens.groupBy("doc").agg(*bit_sums)
     sim = None
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(
             F.lit(0).cast("long")
         )
@@ -650,10 +665,11 @@ def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance. Candidate blocking:
-    split the 64-bit hash into 4 × 16-bit chunks — any pair within
+    split the 60-bit hash into 4 × 15-bit chunks — any pair within
     hamming ≤ 3 shares at least one exact chunk (pigeonhole); larger
     ``max_hamming`` still prunes most of the n² space. Scale path:
     equi-join per chunk, never all-pairs."""
+    chunk_bits = SIMHASH_BITS // 4
     sig = simhash64(df, id_col, text_col).cache()
     chunks = sig.select(
         "doc",
@@ -663,8 +679,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("simhash", 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", chunk_bits * c)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
                         .alias("key"),
                     )
                     for c in range(4)

@@ -1,14 +1,16 @@
 """Driver-facing deduplication queries over ``documents`` and
 ``embeddings``.
 
-Oracle coverage:
-- exact dedup + n-gram Jaccard: fully SQL-expressible (DuckDB list
-  comprehension builds the same shingle sets; jaccard is int/int
-  division — bit-identical);
-- MinHash-LSH + SimHash: hash-function-dependent (xxhash64 has no
-  DuckDB equivalent) → rows-only driver check; their *quality* is
-  verified in tests/test_dedup.py against the exact-Jaccard oracle
-  (recall on the ≥0.8 planted near-dup pairs).
+Oracle coverage: every query here is hash-oracled. The sketch-based
+ops (MinHash-LSH, SimHash, hyperplane-LSH) are deterministic by
+construction — affine permutations mod a Mersenne prime, md5-derived
+token hashes, integer-hash hyperplanes — so the DuckDB oracle
+recomputes the *same signatures bit-for-bit* and replays banding /
+chunk-blocking / bucket-join semantics in SQL (band buckets compare
+the signature tuples directly where Spark equi-joins on their
+xxhash64, equivalent up to 64-bit hash collisions). Their *recall*
+against exact Jaccard/cosine is separately pinned in
+tests/test_dedup.py / tests/test_text_similarity.py.
 """
 
 from __future__ import annotations
@@ -49,8 +51,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(64)+LSH(8 bands of 8 rows) near-dup candidates at estimated
     jaccard ≥ 0.8 — the 100 TB path (bucket-join, not all-pairs).
-    Rows-only driver check; recall vs exact Jaccard tested in
-    tests/test_dedup.py."""
+    Hash-oracled: the DuckDB oracle rebuilds the same signatures from
+    the shared affine-permutation constants; recall vs exact Jaccard
+    additionally tested in tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_perm=64, bands=8,
@@ -59,8 +62,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash-64 near-dup pairs at hamming ≤ 6 with 16-bit-chunk
-    blocking. Rows-only driver check."""
+    """SimHash-60 near-dup pairs at hamming ≤ 6 with 15-bit-chunk
+    blocking. Hash-oracled: md5-derived token hashes are identical in
+    DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=6)
 
@@ -86,7 +90,9 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     operator's real win region (threshold ≥ 0.9, bits=10, recall
     ≈ 0.97 with far fewer candidates) is recall-pinned against exact
     all-pairs on planted duplicates in tests/test_text_similarity.py.
-    Rows-only driver check (hyperplane-dependent candidate set)."""
+    Hash-oracled: the hyperplanes are integer-hash-derived (no RNG),
+    so the DuckDB oracle regenerates them exactly in HUGEINT
+    arithmetic and replays the bucket join + cosine verify."""
     from raft_c_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -195,6 +201,155 @@ ORACLES = {
         SELECT src AS doc, LEAST(src, MIN(dst)) AS component
         FROM reach GROUP BY src
     """,
-    # dedup_minhash_lsh / dedup_simhash: intentionally no oracle —
-    # xxhash64-dependent; driver records rows-only, tests verify recall
 }
+
+
+def _minhash_oracle() -> str:
+    """DuckDB replication of minhash_lsh_pairs: same normalization as
+    _NORM, the same 3-codepoint perfect-hash shingle codes, the same
+    (aᵢ, bᵢ) affine permutations (baked as literals from
+    dedup.minhash_perms — single source of truth), banding by direct
+    8-tuple comparison (Spark equi-joins on xxhash64 of the tuple —
+    identical up to 64-bit hash collisions), then the same
+    equal-components/64 estimate. Validated bit-exact against the
+    Spark kernel at sf0.001/sf0.01 (tests/test_entry_contract.py)."""
+    num_perm, bands = 64, 8
+    rows = num_perm // bands
+    pa, pb = dedup.minhash_perms(num_perm)
+    perm_values = ", ".join(
+        f"({i}, {pa[i]}, {pb[i]})" for i in range(num_perm)
+    )
+    p = (1 << 31) - 1
+    m = 0x110000
+    return f"""
+WITH perms(i, a, b) AS (VALUES {perm_values}),
+docs_norm AS (
+  SELECT doc_id AS doc, {_NORM} AS t FROM documents
+),
+codes AS (
+  SELECT DISTINCT doc, c AS code FROM (
+    SELECT doc, unnest([
+        unicode(t[i:i])::BIGINT * {m * m}
+      + unicode(t[i + 1:i + 1])::BIGINT * {m}
+      + unicode(t[i + 2:i + 2])::BIGINT
+      FOR i IN range(1, greatest(length(t) - 1, 1))]) AS c
+    FROM docs_norm)
+),
+sigs AS (
+  SELECT d.doc, p.i,
+         COALESCE(MIN((((c.code % {p}) * p.a) % {p} + p.b) % {p}), {p}) AS v
+  FROM docs_norm d CROSS JOIN perms p
+  LEFT JOIN codes c ON c.doc = d.doc
+  GROUP BY d.doc, p.i
+),
+bands AS (
+  SELECT doc, i // {rows} AS band, list(v ORDER BY i) AS key
+  FROM sigs GROUP BY doc, i // {rows}
+),
+cand AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc < y.doc
+)
+SELECT c.a, c.b,
+       SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / {num_perm}.0 AS est_jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc = c.a
+JOIN sigs sb ON sb.doc = c.b AND sb.i = sa.i
+GROUP BY c.a, c.b
+HAVING est_jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+def _simhash_oracle() -> str:
+    """DuckDB replication of simhash_pairs: same tokenizer regex, the
+    same 60-bit md5-derived token hash (15 hex digits — md5 is
+    engine-portable), per-bit majority vote, 15-bit chunk blocking,
+    hamming via bit_count(xor)."""
+    nbits = dedup.SIMHASH_BITS
+    chunk_bits = nbits // 4
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
+),
+bitsums AS (
+  SELECT doc, bi.i, SUM(CASE WHEN (h >> bi.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(0, {nbits})) AS i) bi
+  GROUP BY doc, bi.i
+),
+sims AS (
+  SELECT doc, SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+  FROM bitsums GROUP BY doc
+),
+chunks AS (
+  SELECT doc, simhash, ci.c,
+         (simhash >> ({chunk_bits} * ci.c)) & {(1 << chunk_bits) - 1} AS key
+  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS c) ci
+),
+cand AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b, x.simhash AS ha, y.simhash AS hb
+  FROM chunks x JOIN chunks y ON x.c = y.c AND x.key = y.key AND x.doc < y.doc
+)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+"""
+
+
+def _embedding_lsh_oracle() -> str:
+    """DuckDB replication of similarity.lsh_bucketed_pairs(threshold=
+    0.40, bits=4, tables=12): hyperplane weights regenerated from the
+    same integer-hash formula (HUGEINT intermediate — the 64-bit
+    multiply overflows BIGINT), sign-of-dot signatures, bucket join,
+    sequential-fold cosine verify ≥ threshold (the Spark verify kernel
+    accumulates dimension-by-dimension in the same order)."""
+    bits, tables, dim = 4, 12, 64
+    return f"""
+WITH pl AS (
+  SELECT t.t, b.b, j.j,
+         (CAST(((b.b * 1000003 + j.j * 7919 + (1000 + t.t))::HUGEINT
+               * 11400714819323198485::HUGEINT) % 9223372036854775808::HUGEINT
+               AS DOUBLE) / 4611686018427387904.0) - 1.0 AS w
+  FROM (SELECT unnest(range(0, {tables})) AS t) t
+  CROSS JOIN (SELECT unnest(range(0, {bits})) AS b) b
+  CROSS JOIN (SELECT unnest(range(0, {dim})) AS j) j
+),
+planes AS (
+  SELECT t, b, list(w ORDER BY j) AS pw FROM pl GROUP BY t, b
+),
+sigs AS (
+  SELECT e.vec_id AS doc, p.t,
+         SUM(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * p.pw[i]
+                                 FOR i IN range(1, {dim} + 1)]) > 0
+                  THEN (1::BIGINT << p.b) ELSE 0 END) AS sig
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.t
+),
+cand AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM sigs x JOIN sigs y ON x.t = y.t AND x.sig = y.sig AND x.doc < y.doc
+),
+v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                        FOR i IN range(1, len(embedding) + 1)])) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT c.a, c.b,
+         list_sum([CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE)
+                   FOR i IN range(1, len(va.embedding) + 1)]) / (va.nrm * vb.nrm)
+         AS cosine
+  FROM cand c JOIN v va ON va.vec_id = c.a JOIN v vb ON vb.vec_id = c.b
+)
+SELECT a, b, cosine FROM scored WHERE cosine >= 0.40
+"""
+
+
+ORACLES["dedup_minhash_lsh"] = _minhash_oracle()
+ORACLES["dedup_simhash"] = _simhash_oracle()
+ORACLES["dedup_embedding_lsh"] = _embedding_lsh_oracle()

@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# Pre-round gate: refuse to snapshot with a red suite or a broken
+# bench. Round 2 shipped with 14 failures its own suite catches in
+# ~6 minutes — this script makes that impossible to repeat silently.
+#
+# Usage: scripts/preflight.sh [sf_dir]
+#   sf_dir defaults to /root/testdata/sf0.01 (fast); pass
+#   /root/testdata/sf0.1 for the driver-scale bench.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_DIR="${1:-/root/testdata/sf0.01}"
+
+echo "== preflight: pytest =="
+python -m pytest tests/ -x -q
+
+echo "== preflight: bench (${SF_DIR}) =="
+OUT=$(SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_BENCH_PASSES=1 python bench.py 2>/dev/null | tail -1)
+echo "$OUT" | python -c '
+import json, sys
+d = json.loads(sys.stdin.read())
+assert d["unit"] == "sec" and d["queries"], d
+print(f"bench OK: {d[\"value\"]}s over {len(d[\"queries\"])} queries at sf={d[\"sf\"]}")
+'
+
+echo "== preflight: PASS =="
