@@ -639,19 +639,31 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
         ).alias("tok"),
     )
-    h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10).cast(
-        "long"
+    # collapse to distinct (doc, token) + occurrence count BEFORE
+    # hashing: md5 is ~10x costlier than the old xxhash64, but the
+    # per-bit vote only needs each distinct token hashed once with its
+    # count as the vote weight — the groupBy is map-side combinable,
+    # so the shuffle carries (doc, tok, cnt) rows, not occurrences
+    counted = tokens.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # project the hash once per (doc, tok) row — as a subexpression of
+    # the 60 aggregate expressions it could be re-evaluated per bit
+    hashed = counted.select(
+        "doc",
+        "cnt",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
     one = F.lit(1).cast("long")
     bit_sums = [
         F.sum(
-            F.when(h.bitwiseAND(F.shiftleft(one, i)) != 0, F.lit(1)).otherwise(
-                F.lit(-1)
-            )
+            F.when(
+                F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, F.col("cnt")
+            ).otherwise(-F.col("cnt"))
         ).alias(f"b{i}")
         for i in range(SIMHASH_BITS)
     ]
-    agg = tokens.groupBy("doc").agg(*bit_sums)
+    agg = hashed.groupBy("doc").agg(*bit_sums)
     sim = None
     for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(

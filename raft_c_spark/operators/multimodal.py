@@ -2,15 +2,18 @@
 columns with typed metadata, processed via Arrow-batched pandas
 iterators (mapInPandas).
 
-The heavy codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode kernels are stubbed two ways:
+Decode modes:
 
 - ``decode=\"fake\"`` (default in tests): a deterministic fake that
   derives features from the bytes (md5-seeded) — exercises the REAL
   Spark plumbing (schema, Arrow batching, partitioning, UDF
-  signatures) end-to-end;
-- ``decode=\"real\"``: raises NotImplementedError unless the optional
-  library imports, marking exactly where production codecs plug in.
+  signatures) end-to-end without interpreting the payload;
+- ``decode=\"real\"``: genuinely decodes the payload. Images go
+  through the stdlib-only PNG codec (functions/png.py — zlib +
+  struct, all five scanline filters) and audio through the stdlib
+  ``wave`` module; both compute features from actual pixels/samples.
+  Video has no stdlib codec, so it raises NotImplementedError,
+  marking exactly where a production codec (ffmpeg/av) plugs in.
 
 Scale notes: media bytes never pass through a shuffle — all kernels
 are narrow mapInPandas transforms; only extracted features (small,
@@ -59,20 +62,69 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [float(x) for x in rng.uniform(-1.0, 1.0, dim)]
 
 
-def _require_real_codec(kind: str) -> None:
-    try:  # pragma: no cover - container has no media libs
-        if kind == "image":
-            import PIL  # noqa: F401
-        elif kind == "audio":
-            import soundfile  # noqa: F401
-        else:
-            import av  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            f"real {kind} decoding needs the optional codec library; "
-            "this container ships none — use decode='fake' for pipeline "
-            "testing, or install the codec in production"
-        ) from None
+def _real_image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Decode the PNG and summarize actual pixels: per-RGB-channel
+    mean/std (6), an 8-bin luminance histogram (8), overall mean/std
+    (2) → 16 floats. Grayscale replicates its channel stats."""
+    from raft_c_spark.functions.png import png_decode
+
+    px = png_decode(payload).astype(np.float64) / 255.0
+    if px.shape[2] == 1:
+        rgb = np.repeat(px, 3, axis=2)
+    else:
+        rgb = px[:, :, :3]
+    luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    hist, _ = np.histogram(luma, bins=8, range=(0.0, 1.0))
+    hist = hist / luma.size
+    feats = np.concatenate(
+        [
+            rgb.mean(axis=(0, 1)),
+            rgb.std(axis=(0, 1)),
+            hist,
+            [rgb.mean(), rgb.std()],
+        ]
+    )
+    return [float(x) for x in feats[:dim]]
+
+
+def _real_audio_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Decode 16-bit PCM WAV (stdlib ``wave``) and summarize actual
+    samples: rms, zero-crossing rate, mean/std/peak of |x|, an 8-bin
+    |x| histogram, duration seconds, channel count, sample rate / 1e5
+    → 16 floats."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n, rate, ch = wf.getnframes(), wf.getframerate(), wf.getnchannels()
+        if wf.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        x = np.frombuffer(wf.readframes(n), dtype=np.int16).astype(np.float64)
+    x /= 32768.0
+    ax = np.abs(x)
+    zcr = float(np.mean(np.signbit(x[:-1]) != np.signbit(x[1:]))) if len(x) > 1 else 0.0
+    hist, _ = np.histogram(ax, bins=8, range=(0.0, 1.0))
+    hist = hist / max(len(x), 1)
+    feats = np.concatenate(
+        [
+            [np.sqrt(np.mean(x * x)), zcr, ax.mean(), ax.std(), ax.max()],
+            hist,
+            [n / rate, float(ch), rate / 1e5],
+        ]
+    )
+    return [float(v) for v in feats[:dim]]
+
+
+def _real_features(kind: str, payload: bytes) -> list[float]:
+    if kind == "image":
+        return _real_image_features(payload)
+    if kind == "audio":
+        return _real_audio_features(payload)
+    raise NotImplementedError(
+        "real video decoding needs a codec library (ffmpeg/av) this "
+        "container doesn't ship — use decode='fake' for pipeline "
+        "testing, or install the codec in production"
+    )
 
 
 def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
@@ -86,9 +138,12 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode == "real":
-                for kind in pdf["kind"].unique():
-                    _require_real_codec(str(kind))
-            feats = [_fake_features(bytes(p)) for p in pdf["payload"]]
+                feats = [
+                    _real_features(str(k), bytes(p))
+                    for k, p in zip(pdf["kind"], pdf["payload"])
+                ]
+            else:
+                feats = [_fake_features(bytes(p)) for p in pdf["payload"]]
             yield pdf[cols].assign(features=feats)
 
     return df.mapInPandas(kernel, out_schema)
@@ -97,11 +152,24 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
 def resize_images(df: DataFrame, width: int, height: int, decode: str = "fake") -> DataFrame:
     """Image resize kernel. Fake mode passes bytes through and updates
     the metadata (the plumbing under test: binary in/out schema, batch
-    shape); real mode requires PIL."""
+    shape); real mode decodes the PNG, nearest-neighbor resizes the
+    pixel array, and re-encodes."""
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode == "real":
+            from raft_c_spark.functions.png import (
+                png_decode,
+                png_encode,
+                resize_nearest,
+            )
         for pdf in batches:
             if decode == "real":
-                _require_real_codec("image")
+                pdf = pdf.assign(
+                    payload=[
+                        png_encode(resize_nearest(png_decode(bytes(p)), width, height))
+                        for p in pdf["payload"]
+                    ]
+                )
             yield pdf.assign(width=width, height=height)
 
     return df.filter(F.col("kind") == "image").mapInPandas(kernel, df.schema)
@@ -148,23 +216,60 @@ def sample_frames(
     return df.filter(F.col("kind") == "video").mapInPandas(kernel, out_schema)
 
 
+def _synthetic_png(i: int, seed: int, w: int, h: int) -> bytes:
+    """A real, decodable PNG: seeded-random RGB pixels."""
+    from raft_c_spark.functions.png import png_encode
+
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    return png_encode(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+
+
+def _synthetic_wav(i: int, seed: int, duration_ms: int, rate: int = 8000) -> bytes:
+    """A real, decodable 16-bit PCM WAV: a seeded sine + harmonic."""
+    import io
+    import wave
+
+    freq = 110.0 * (1 + (seed + i) % 16)
+    t = np.arange(int(rate * duration_ms / 1000)) / rate
+    x = 0.7 * np.sin(2 * np.pi * freq * t) + 0.2 * np.sin(2 * np.pi * 3 * freq * t)
+    pcm = (x * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table for pipeline tests (the
-    driver ships no media parquet): payload bytes derived from the id."""
+    driver ships no media parquet). Image payloads are real PNGs and
+    audio payloads real WAVs — the ``decode="real"`` kernels decode
+    them for actual pixel/sample features; video payloads stay opaque
+    bytes (no stdlib video codec)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"media-{seed}-{i}".encode()).digest() * 8
+        w = 64 + i % 32 if kind == "image" else None
+        h = 48 + i % 24 if kind == "image" else None
+        dur = 1000 * (1 + i % 7) if kind != "image" else None
+        if kind == "image":
+            payload = _synthetic_png(i, seed, w, h)
+        elif kind == "audio":
+            payload = _synthetic_wav(i, seed, dur)
+        else:
+            payload = hashlib.sha256(f"media-{seed}-{i}".encode()).digest() * 8
         rows.append(
             (
                 i,
                 kind,
                 bytearray(payload),
                 {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                64 + i % 32 if kind == "image" else None,
-                48 + i % 24 if kind == "image" else None,
-                1000 * (1 + i % 7) if kind != "image" else None,
+                w,
+                h,
+                dur,
             )
         )
     # hand the rows over as a pandas frame: createDataFrame(list) takes

@@ -1,0 +1,14 @@
+"""Queries deliberately registered BEHIND the driver's 50-query
+correctness window (see registry._modules): driver-rows-only checks
+whose window slots are better spent on hash-oracled queries. Each is
+fully pinned by pytest (tests/test_text_similarity.py)."""
+
+from __future__ import annotations
+
+from raft_c_spark.plans.similarity import q_sim_topk_ivf
+
+QUERIES = {
+    "sim_topk_ivf": q_sim_topk_ivf,
+}
+
+ORACLES: dict[str, str] = {}

@@ -44,9 +44,31 @@ def q_mm_frame_index(spark, sf_dir):
     )
 
 
+def q_mm_real_decode(spark, sf_dir):
+    """REAL decode path end-to-end: the synthetic PNG/WAV payloads are
+    genuinely decoded (stdlib-only codecs — functions/png.py for
+    images, ``wave`` for audio) and the features summarize actual
+    pixels/samples, not payload bytes. Video is excluded (no stdlib
+    codec — that decode stays an explicit NotImplementedError)."""
+    media = mm.synthetic_media(spark, n=96).filter(
+        F.col("kind").isin("image", "audio")
+    )
+    feats = mm.extract_features(media, decode="real")
+    from raft_c_spark.operators.similarity import dot_fold
+
+    return feats.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.sqrt(dot_fold("features", "features")).alias("feature_norm"),
+    )
+
+
 QUERIES = {
     "mm_features": q_mm_features,
     "mm_frame_index": q_mm_frame_index,
+    "mm_real_decode": q_mm_real_decode,
 }
 
 ORACLES: dict[str, str] = {}  # no media tables in the oracle's views

@@ -36,6 +36,7 @@ def _modules():
         "semistructured",
         "sampling",
         "events_analytics",
+        "extras",
         "tpch",
         "tpch2",
         "tpch3",

@@ -76,8 +76,11 @@ def q_sim_quantize_int8(spark, sf_dir):
 QUERIES = {
     "sim_topk_exact": q_sim_topk_exact,
     "sim_topk_lsh": q_sim_topk_lsh,
-    "sim_topk_ivf": q_sim_topk_ivf,
     "sim_quantize_int8": q_sim_quantize_int8,
+    # sim_topk_ivf registers via plans.extras (behind the driver's
+    # 50-query correctness window): it is rows-only for the driver
+    # either way (approximate, centroid-dependent) and pytest-pinned,
+    # so its window slot goes to a hash-oracled query instead
 }
 
 _Q = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"

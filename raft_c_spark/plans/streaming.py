@@ -40,16 +40,22 @@ _EVENT_SCHEMA = Ty.StructType(
 def _state_partitions(spark, sf_dir: str) -> int:
     """Stateful-operator partition count sized to the micro-batch
     volume (~64 MB of input per state store, floor 8, capped at the
-    session's shuffle parallelism). Each stateful partition provisions
+    cluster's core parallelism). Each stateful partition provisions
     its own state store every micro-batch — on a one-file replay that
     fixed cost dominates the query, while on a real cluster the same
-    rule keeps the session default because the input is large."""
+    rule scales with input volume up to the core count.
+
+    Deliberately independent of ``spark.sql.shuffle.partitions``: the
+    verification driver builds its own session with an arbitrary
+    default (e.g. 200), and sizing state stores from a conf this
+    module doesn't control made the query's cost nondeterministic
+    across harnesses."""
     try:
         size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
     except OSError:
         size = 0
-    default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    return min(default, max(8, size // (64 << 20)))
+    cores = spark.sparkContext.defaultParallelism
+    return min(max(8, size // (64 << 20)), max(8, cores))
 
 
 @contextmanager

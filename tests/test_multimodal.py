@@ -57,9 +57,52 @@ def test_frame_sampling_explodes_rows(media):
         assert idxs == list(range(len(frs)))
 
 
-def test_real_decode_is_explicitly_stubbed(media):
+def test_real_decode_images_and_audio(media):
+    """decode='real' genuinely decodes: image features are pixel
+    statistics (bounded in [0,1]-ish ranges), audio features are
+    sample statistics — and both differ from the fake md5 features."""
+    ia = media.filter(F.col("kind").isin("image", "audio"))
+    real = {r["media_id"]: r for r in mm.extract_features(ia, decode="real").collect()}
+    fake = {r["media_id"]: r for r in mm.extract_features(ia).collect()}
+    assert len(real) == len(fake) > 0
+    for mid, r in real.items():
+        assert len(r["features"]) == mm.FEATURE_DIM
+        assert r["features"] != fake[mid]["features"]
+        if r["kind"] == "image":
+            # channel means of uniform-random pixels: near 0.5
+            assert all(0.3 < v < 0.7 for v in r["features"][:3]), r
+        else:
+            # rms of a 0.7-amp sine + 0.2-amp harmonic: ~0.51
+            assert 0.3 < r["features"][0] < 0.7, r
+
+
+def test_real_video_decode_is_explicitly_stubbed(media):
+    vid = media.filter(F.col("kind") == "video")
     with pytest.raises(Exception) as ei:
-        mm.extract_features(media, decode="real").collect()
+        mm.extract_features(vid, decode="real").collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_real_resize_reencodes_pixels(media):
+    """Real resize: output payloads are valid PNGs of the new size
+    whose pixels are a nearest-neighbor selection of the originals."""
+    import numpy as np
+
+    from raft_c_spark.functions.png import png_decode, resize_nearest
+
+    out = {
+        r["media_id"]: r
+        for r in mm.resize_images(media, 16, 12, decode="real").collect()
+    }
+    orig = {
+        r["media_id"]: r
+        for r in media.filter(F.col("kind") == "image").collect()
+    }
+    assert set(out) == set(orig)
+    for mid, r in out.items():
+        px = png_decode(bytes(r["payload"]))
+        assert px.shape == (12, 16, 3)
+        expect = resize_nearest(png_decode(bytes(orig[mid]["payload"])), 16, 12)
+        assert np.array_equal(px, expect)

@@ -230,3 +230,38 @@ def test_heavy_hitters_takeordered_topk(spark, sf_dir):
     plan = plan_of(q_text_heavy_hitters(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial" in plan  # map-side combine on the gram aggregate
+
+
+def test_stream_state_partitions_ignore_session_conf(spark, sf_dir):
+    """State-store sizing must not inherit the *driver's* session
+    shuffle default (the verification harness builds its own session
+    with arbitrary confs): the count is a pure function of input
+    volume and core parallelism."""
+    from raft_c_spark.plans.streaming import _state_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "200")
+        n200 = _state_partitions(spark, sf_dir)
+        spark.conf.set(key, "3")
+        n3 = _state_partitions(spark, sf_dir)
+    finally:
+        spark.conf.set(key, prev)
+    assert n200 == n3, "state partitions must not depend on session conf"
+    assert n200 == 8  # tiny test file → floor
+    cores = spark.sparkContext.defaultParallelism
+    assert n200 <= max(8, cores)
+
+
+def test_stream_query_restores_shuffle_conf(spark, sf_dir):
+    """The scoped shuffle-partition override used for the streaming
+    state stores must restore the session value afterwards — the
+    driver runs ~50 more queries in the same session."""
+    from raft_c_spark.plans.streaming import q_stream_tumbling_avg
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    out = q_stream_tumbling_avg(spark, sf_dir)
+    assert out.count() > 0
+    assert spark.conf.get(key) == prev
