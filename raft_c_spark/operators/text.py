@@ -284,3 +284,62 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+def _word_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Distinct (doc, gram) word n-grams — JVM higher-order transform
+    over the token array (same generation as heavy_hitter_ngrams;
+    docs shorter than n yield no grams)."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
+    idxs = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))),
+        lambda i: (i + (n - 1)) <= F.size("toks"),
+    )
+    return base.select(
+        "doc",
+        F.explode(
+            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice("toks", i, n)))
+        ).alias("gram"),
+    ).distinct()
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    broadcast_max_eval_docs: int = 100_000,
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing any word
+    n-gram with the eval/benchmark set, with the count of distinct
+    shared grams — the overlap filter every serious pretraining
+    pipeline runs before training (the classic form checks 8-13-gram
+    collisions against held-out benchmarks).
+
+    Scale shape: the eval side is benchmarks — thousands of docs
+    against a 100 TB corpus — so its distinct gram set broadcasts
+    (size-gated on the eval row count; above the gate it falls back
+    to a shuffle equi-join on gram). The training side streams
+    through tokenize → explode → the gram join at scan parallelism;
+    per-doc distinct + the final count aggregate are map-side
+    combinable. Never all-pairs, no driver materialization.
+    """
+    eval_grams = (
+        _word_ngrams(eval_df, id_col, text_col, n).select("gram").distinct()
+    )
+    right = eval_grams
+    if eval_df.count() <= broadcast_max_eval_docs:
+        right = F.broadcast(eval_grams)
+    return (
+        _word_ngrams(train, id_col, text_col, n)
+        .join(right, "gram")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("overlap_grams"))
+        .select(F.col("doc").alias("doc_id"), "overlap_grams")
+    )

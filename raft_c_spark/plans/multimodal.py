@@ -67,8 +67,10 @@ def q_mm_real_decode(spark, sf_dir):
 
 QUERIES = {
     "mm_features": q_mm_features,
-    "mm_frame_index": q_mm_frame_index,
     "mm_real_decode": q_mm_real_decode,
+    # mm_frame_index registers via plans.extras (behind the driver's
+    # 50-query window): rows-only either way and pytest-pinned, so its
+    # slot goes to the hash-oracled ds_decontaminate
 }
 
 ORACLES: dict[str, str] = {}  # no media tables in the oracle's views

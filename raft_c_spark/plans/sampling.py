@@ -47,10 +47,33 @@ def q_ds_pack_sequences(spark, sf_dir):
     ).select("doc_id", "n_chars", "seq_start", "bin", "bin_offset")
 
 
+DECON_N = 4  # word-gram width (production runs 8-13; the synthetic
+#              corpus is short-doc, so 4 keeps planted overlaps visible
+#              — 8 docs flagged at sf0.01, 727 at sf0.1 — while 3 hits
+#              the coincidental-overlap noise floor)
+DECON_MOD = 97  # doc_id % 97 == 0 → the held-out "benchmark" set
+
+
+def q_ds_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any
+    4-word-gram with the held-out set (doc_id % 97 == 0), with the
+    distinct shared-gram count. Broadcast gram semi-join — see
+    operators/text.decontaminate for the 100 TB shape."""
+    from pyspark.sql import functions as F
+
+    from raft_c_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    tr = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    return text.decontaminate(tr, ev, "doc_id", "text", n=DECON_N)
+
+
 QUERIES = {
     "ds_mixture_sample": q_ds_mixture_sample,
     "ds_source_topk": q_ds_source_topk,
     "ds_pack_sequences": q_ds_pack_sequences,
+    "ds_decontaminate": q_ds_decontaminate,
 }
 
 _KEY = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)"
@@ -96,5 +119,27 @@ ORACLES = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) - n_chars) % {PACK_BUDGET} AS BIGINT) AS bin_offset
         FROM documents
+    """,
+    "ds_decontaminate": f"""
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT DISTINCT doc_id, unnest(list_transform(
+                list_filter(
+                    generate_series(1, greatest(len(toks) - {DECON_N - 1}, 1)),
+                    i -> i + {DECON_N - 1} <= len(toks)),
+                i -> array_to_string(list_slice(toks, i, i + {DECON_N - 1}), ' ')
+            )) AS gram
+            FROM t
+        ),
+        eg AS (
+            SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_MOD} = 0
+        )
+        SELECT g.doc_id, COUNT(*) AS overlap_grams
+        FROM g JOIN eg USING (gram)
+        WHERE g.doc_id % {DECON_MOD} <> 0
+        GROUP BY g.doc_id
     """,
 }
