@@ -641,19 +641,22 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     # collapse to distinct (doc, token) + occurrence count BEFORE
     # hashing: md5 is ~10x costlier than the old xxhash64, but the
-    # per-bit vote only needs each distinct token hashed once with its
-    # count as the vote weight — the groupBy is map-side combinable,
-    # so the shuffle carries (doc, tok, cnt) rows, not occurrences
+    # per-bit vote only needs each token's hash once with the count
+    # as the vote weight — the groupBy is map-side combinable, so the
+    # shuffle carries (doc, tok, cnt) rows, not occurrences
     counted = tokens.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    # project the hash once per (doc, tok) row — as a subexpression of
-    # the 60 aggregate expressions it could be re-evaluated per bit
-    hashed = counted.select(
-        "doc",
-        "cnt",
+    # hash the corpus VOCABULARY (distinct tokens — Zipf: orders of
+    # magnitude fewer than (doc, tok) pairs) and join the hashes back;
+    # md5 cost becomes O(|vocab|), not O(corpus). No broadcast hint:
+    # text vocabulary is unbounded at 100 TB, and AQE converts the
+    # join to broadcast at runtime whenever the vocab side is small
+    vocab = counted.select("tok").distinct().select(
+        "tok",
         F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10)
         .cast("long")
         .alias("h"),
     )
+    hashed = counted.join(vocab, "tok").select("doc", "cnt", "h")
     one = F.lit(1).cast("long")
     bit_sums = [
         F.sum(
