@@ -32,8 +32,10 @@ def q_sim_topk_lsh(spark, sf_dir):
     """Multi-table hyperplane-LSH approximate top-20 probing the
     PERSISTED bucket-partitioned signature index (built once per
     corpus, partition-pruned reads per query — the at-scale shape).
-    Rows-only driver check (seeded hyperplanes); recall vs exact and
-    index-vs-inline equivalence verified in tests."""
+    Hash-oracled: the DuckDB oracle regenerates the hyperplanes and
+    replays bucket membership + the exact-cosine top-k; recall vs
+    exact and index-vs-inline equivalence additionally verified in
+    tests."""
     import os
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -136,3 +138,49 @@ ORACLES = {
         LIMIT {TOP_K}
     """,
 }
+
+
+def _lsh_topk_oracle(bits: int = 8, tables: int = 16, dim: int = 64) -> str:
+    """DuckDB replication of lsh_bucketed_topk(bits=8, tables=16):
+    regenerate the hyperplanes from the shared integer-hash formula
+    (HUGEINT intermediate), signature per (vector, table), candidates
+    = vectors sharing any (table, sig) with the query (vec_id 0) —
+    exactly the buckets the partition-pruned index probe reads — then
+    the same exact-cosine top-k as sim_topk_exact. The persisted
+    index layout (sig_hi partitioning) is physical only; bucket
+    membership is what it encodes."""
+    return f"""
+WITH pl AS (
+  SELECT t.t, b.b, j.j,
+         (CAST(((b.b * 1000003 + j.j * 7919 + (1000 + t.t))::HUGEINT
+               * 11400714819323198485::HUGEINT) % 9223372036854775808::HUGEINT
+               AS DOUBLE) / 4611686018427387904.0) - 1.0 AS w
+  FROM (SELECT unnest(range(0, {tables})) AS t) t
+  CROSS JOIN (SELECT unnest(range(0, {bits})) AS b) b
+  CROSS JOIN (SELECT unnest(range(0, {dim})) AS j) j
+),
+planes AS (
+  SELECT t, b, list(w ORDER BY j) AS pw FROM pl GROUP BY t, b
+),
+sigs AS (
+  SELECT e.vec_id AS doc, p.t,
+         SUM(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * p.pw[i]
+                                 FOR i IN range(1, {dim} + 1)]) > 0
+                  THEN (1::BIGINT << p.b) ELSE 0 END) AS sig
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.t
+),
+qsig AS (SELECT t, sig FROM sigs WHERE doc = 0),
+cand AS (
+  SELECT DISTINCT s.doc FROM sigs s JOIN qsig USING (t, sig)
+)
+SELECT e.vec_id AS doc,
+       {_DOT} / ({_NORM_E} * {_NORM_Q}) AS cosine
+FROM embeddings e JOIN cand ON cand.doc = e.vec_id,
+     (SELECT {_Q} AS qv) q
+ORDER BY cosine DESC, doc ASC
+LIMIT {TOP_K}
+"""
+
+
+ORACLES["sim_topk_lsh"] = _lsh_topk_oracle()
