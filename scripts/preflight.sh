@@ -20,7 +20,8 @@ echo "$OUT" | python -c '
 import json, sys
 d = json.loads(sys.stdin.read())
 assert d["unit"] == "sec" and d["queries"], d
-print(f"bench OK: {d[\"value\"]}s over {len(d[\"queries\"])} queries at sf={d[\"sf\"]}")
+print("bench OK: %ss over %d queries at sf=%s"
+      % (d["value"], len(d["queries"]), d["sf"]))
 '
 
 echo "== preflight: PASS =="
