@@ -343,3 +343,43 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("overlap_grams"))
         .select(F.col("doc").alias("doc_id"), "overlap_grams")
     )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition (the Gopher/MassiveText quality
+    rules, adapted to single-line docs): fraction of duplicated
+    tokens / bigrams / trigrams per document. High repetition marks
+    boilerplate and degenerate generations — a standard pre-training
+    quality filter.
+
+    Zero-shuffle scale shape: tokenize + gram windows + distinct
+    counts are all JVM higher-order functions in one codegen stage —
+    runs at scan speed like the rest of the text-analysis family.
+    Every fraction is (int - int) / int — one IEEE division of exact
+    integers, bit-identical in the DuckDB oracle."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    base = df.select(F.col(id_col), toks.alias("toks"))
+
+    def grams(n: int) -> F.Column:
+        if n == 1:
+            return F.col("toks")
+        idxs = F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))),
+            lambda i: (i + (n - 1)) <= F.size("toks"),
+        )
+        return F.transform(idxs, lambda i: F.concat_ws(" ", F.slice("toks", i, n)))
+
+    cols = [F.col(id_col), F.size("toks").alias("n_tokens")]
+    for n, name in ((1, "dup_word_frac"), (2, "dup_bigram_frac"), (3, "dup_trigram_frac")):
+        g = grams(n)
+        total, distinct = F.size(g), F.size(F.array_distinct(g))
+        cols.append(
+            F.when(
+                total > 0, (total - distinct).cast("double") / total
+            ).otherwise(F.lit(0.0)).alias(name)
+        )
+    return base.select(*cols)

@@ -162,7 +162,10 @@ QUERIES = {
     "ev_salted_join": q_ev_salted_join,
     "ev_exact_percentiles": q_ev_exact_percentiles,
     "ev_set_ops": q_ev_set_ops,
-    "ev_approx_profile": q_ev_approx_profile,
+    # ev_approx_profile registers via plans.extras (behind the
+    # driver's 50-query window): its HLL/quantile sketches are
+    # engine-specific (rows-only either way, error-bound-pinned in
+    # tests), so its slot goes to the hash-oracled text_repetition
 }
 
 ORACLES = {

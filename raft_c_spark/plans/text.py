@@ -121,6 +121,14 @@ def q_text_chunks(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Per-document duplicated token/bigram/trigram fractions — the
+    Gopher-style repetition quality filter (see
+    text.repetition_metrics for the zero-shuffle scale shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_metrics(docs, "doc_id", "text")
+
+
 QUERIES = {
     "text_analyze": q_text_analyze,
     "text_lang_profile": q_text_lang_profile,
@@ -129,6 +137,7 @@ QUERIES = {
     "text_tfidf_terms": q_text_tfidf_terms,
     "text_heavy_hitters": q_text_heavy_hitters,
     "text_chunks": q_text_chunks,
+    "text_repetition": q_text_repetition,
 }
 
 
@@ -238,6 +247,38 @@ ORACLES = {
         FROM pg GROUP BY ngram
         ORDER BY n_total DESC, ngram
         LIMIT {HH_K}
+    """,
+    "text_repetition": """
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, toks,
+                   list_transform(list_filter(
+                       generate_series(1, greatest(len(toks) - 1, 1)),
+                       i -> i + 1 <= len(toks)),
+                       i -> array_to_string(list_slice(toks, i, i + 1), ' ')
+                   ) AS g2,
+                   list_transform(list_filter(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> i + 2 <= len(toks)),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+                   ) AS g3
+            FROM t
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                         / len(toks) ELSE 0.0 END AS dup_word_frac,
+               CASE WHEN len(g2) > 0
+                    THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                         / len(g2) ELSE 0.0 END AS dup_bigram_frac,
+               CASE WHEN len(g3) > 0
+                    THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                         / len(g3) ELSE 0.0 END AS dup_trigram_frac
+        FROM g
     """,
     "text_chunks": rf"""
         WITH t AS (
