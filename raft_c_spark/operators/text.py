@@ -289,9 +289,9 @@ def tfidf_top_terms(
 def _word_ngrams(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """Distinct (doc, gram) word n-grams — JVM higher-order transform
-    over the token array (same generation as heavy_hitter_ngrams;
-    docs shorter than n yield no grams)."""
+    """(doc, gram) word n-grams (with per-doc repeats) — JVM
+    higher-order transform over the token array (same generation as
+    heavy_hitter_ngrams; docs shorter than n yield no grams)."""
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
     )
@@ -305,7 +305,7 @@ def _word_ngrams(
         F.explode(
             F.transform(idxs, lambda i: F.concat_ws(" ", F.slice("toks", i, n)))
         ).alias("gram"),
-    ).distinct()
+    )
 
 
 def decontaminate(
@@ -326,9 +326,10 @@ def decontaminate(
     against a 100 TB corpus — so its distinct gram set broadcasts
     (size-gated on the eval row count; above the gate it falls back
     to a shuffle equi-join on gram). The training side streams
-    through tokenize → explode → the gram join at scan parallelism;
-    per-doc distinct + the final count aggregate are map-side
-    combinable. Never all-pairs, no driver materialization.
+    tokenize → explode → broadcast-hash join at scan parallelism
+    with NO pre-shuffle: the join acts as a map-side filter, and
+    only the surviving (rare) hit rows shuffle into the final
+    distinct-gram count. Never all-pairs, no driver materialization.
     """
     eval_grams = (
         _word_ngrams(eval_df, id_col, text_col, n).select("gram").distinct()
@@ -340,7 +341,7 @@ def decontaminate(
         _word_ngrams(train, id_col, text_col, n)
         .join(right, "gram")
         .groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("overlap_grams"))
+        .agg(F.count_distinct(F.col("gram")).alias("overlap_grams"))
         .select(F.col("doc").alias("doc_id"), "overlap_grams")
     )
 

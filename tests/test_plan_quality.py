@@ -265,3 +265,36 @@ def test_stream_query_restores_shuffle_conf(spark, sf_dir):
     out = q_stream_tumbling_avg(spark, sf_dir)
     assert out.count() > 0
     assert spark.conf.get(key) == prev
+
+
+def test_decontaminate_broadcast_filter_no_train_preshuffle(spark, sf_dir):
+    """The training gram stream must reach the eval-gram join WITHOUT
+    a shuffle of its own (the join is a broadcast map-side filter;
+    only hit rows shuffle into the count). A distinct/exchange on the
+    train side before the join would shuffle the whole corpus's grams
+    at scale."""
+    from raft_c_spark.plans.sampling import q_ds_decontaminate
+
+    plan = plan_of(q_ds_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    # In the formatted tree, the join's stream side is the ":-" branch
+    # printed between the BroadcastHashJoin line and its build-side
+    # "+- BroadcastExchange" sibling — no Exchange may appear there.
+    lines = plan.splitlines()
+    join_i = next(i for i, l in enumerate(lines) if "BroadcastHashJoin" in l)
+    stream_branch = []
+    for line in lines[join_i + 1 :]:
+        if "BroadcastExchange" in line:
+            break
+        stream_branch.append(line)
+    assert stream_branch, plan
+    assert not any("Exchange" in l for l in stream_branch), plan
+
+
+def test_repetition_metrics_shuffle_free(spark, sf_dir):
+    """Repetition fractions are pure per-row expressions: no Exchange
+    anywhere in the plan."""
+    from raft_c_spark.plans.text import q_text_repetition
+
+    plan = plan_of(q_text_repetition(spark, sf_dir))
+    assert "Exchange" not in plan, plan
