@@ -298,3 +298,21 @@ def test_repetition_metrics_shuffle_free(spark, sf_dir):
 
     plan = plan_of(q_text_repetition(spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_no_cartesian_in_any_window_query(spark, sf_dir):
+    """Sweep every batch query in the driver's correctness window:
+    no CartesianProduct anywhere (a BroadcastNestedLoopJoin over a
+    1-row scalar frame is fine — the scalar-attach pattern — but a
+    true cartesian is always a scale bug)."""
+    from raft_c_spark.plans.registry import all_queries
+
+    qs = list(all_queries().items())[:50]
+    offenders = []
+    for name, fn in qs:
+        if name.startswith(("stream_", "mm_")):
+            continue  # eager streaming execution / generated media
+        plan = plan_of(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
