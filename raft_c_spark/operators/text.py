@@ -374,13 +374,21 @@ def repetition_metrics(
         )
         return F.transform(idxs, lambda i: F.concat_ws(" ", F.slice("toks", i, n)))
 
-    cols = [F.col(id_col), F.size("toks").alias("n_tokens")]
-    for n, name in ((1, "dup_word_frac"), (2, "dup_bigram_frac"), (3, "dup_trigram_frac")):
-        g = grams(n)
+    # materialize each gram array once: higher-order lambdas evaluate
+    # interpreted, and referencing grams(n) from both size() and
+    # array_distinct() in one projection rebuilds the array twice
+    staged = base.select(
+        F.col(id_col),
+        F.col("toks").alias("g1"),
+        grams(2).alias("g2"),
+        grams(3).alias("g3"),
+    )
+    cols = [F.col(id_col), F.size("g1").alias("n_tokens")]
+    for g, name in (("g1", "dup_word_frac"), ("g2", "dup_bigram_frac"), ("g3", "dup_trigram_frac")):
         total, distinct = F.size(g), F.size(F.array_distinct(g))
         cols.append(
             F.when(
                 total > 0, (total - distinct).cast("double") / total
             ).otherwise(F.lit(0.0)).alias(name)
         )
-    return base.select(*cols)
+    return staged.select(*cols)
