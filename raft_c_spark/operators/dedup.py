@@ -639,30 +639,27 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
         ).alias("tok"),
     )
-    # collapse to distinct (doc, token) + occurrence count BEFORE
-    # hashing: md5 is ~10x costlier than the old xxhash64, but the
-    # per-bit vote only needs each token's hash once with the count
-    # as the vote weight — the groupBy is map-side combinable, so the
-    # shuffle carries (doc, tok, cnt) rows, not occurrences
-    counted = tokens.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    # hash the corpus VOCABULARY (distinct tokens — Zipf: orders of
-    # magnitude fewer than (doc, tok) pairs) and join the hashes back;
-    # md5 cost becomes O(|vocab|), not O(corpus). No broadcast hint:
-    # text vocabulary is unbounded at 100 TB, and AQE converts the
-    # join to broadcast at runtime whenever the vocab side is small
-    vocab = counted.select("tok").distinct().select(
+    # hash the corpus VOCABULARY once (md5 is ~10x costlier than the
+    # old xxhash64; Zipf's law makes distinct tokens orders of
+    # magnitude fewer than occurrences) and join the hashes back onto
+    # the raw token stream. No broadcast hint: text vocabulary is
+    # unbounded at 100 TB, and AQE converts the join to broadcast at
+    # runtime whenever the vocab side is small. The per-bit votes then
+    # flow into ONE map-side-combined aggregate — the shuffle carries
+    # 60 partial sums per (partition, doc), not token rows.
+    vocab = tokens.select("tok").distinct().select(
         "tok",
         F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10)
         .cast("long")
         .alias("h"),
     )
-    hashed = counted.join(vocab, "tok").select("doc", "cnt", "h")
+    hashed = tokens.join(vocab, "tok").select("doc", "h")
     one = F.lit(1).cast("long")
     bit_sums = [
         F.sum(
             F.when(
-                F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, F.col("cnt")
-            ).otherwise(-F.col("cnt"))
+                F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, F.lit(1)
+            ).otherwise(F.lit(-1))
         ).alias(f"b{i}")
         for i in range(SIMHASH_BITS)
     ]
