@@ -1,0 +1,87 @@
+"""Semantic unit tests for repetition metrics and decontamination —
+hand-constructed corpora with known answers (the oracle contract
+proves Spark≡DuckDB; these prove both compute the RIGHT thing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from raft_c_spark.operators import text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestRepetitionMetrics:
+    def test_all_unique_tokens_zero_fractions(self, spark):
+        out = text.repetition_metrics(
+            _docs(spark, [(1, "alpha beta gamma delta epsilon")])
+        ).collect()[0]
+        assert out["n_tokens"] == 5
+        assert out["dup_word_frac"] == 0.0
+        assert out["dup_bigram_frac"] == 0.0
+        assert out["dup_trigram_frac"] == 0.0
+
+    def test_fully_repeated_token(self, spark):
+        out = text.repetition_metrics(_docs(spark, [(1, "spam " * 6)])).collect()[0]
+        # 6 tokens 1 distinct → 5/6; 5 bigrams 1 distinct → 4/5; 4 trigrams → 3/4
+        assert out["n_tokens"] == 6
+        assert out["dup_word_frac"] == pytest.approx(5 / 6)
+        assert out["dup_bigram_frac"] == pytest.approx(4 / 5)
+        assert out["dup_trigram_frac"] == pytest.approx(3 / 4)
+
+    def test_repeated_phrase_detected_at_gram_level(self, spark):
+        # "a b c a b c": words all repeat; bigrams: ab bc ca ab bc →
+        # 5 total 3 distinct; trigrams: abc bca cab abc → 4 total 3 distinct
+        out = text.repetition_metrics(_docs(spark, [(1, "a b c a b c")])).collect()[0]
+        assert out["dup_word_frac"] == pytest.approx(3 / 6)
+        assert out["dup_bigram_frac"] == pytest.approx(2 / 5)
+        assert out["dup_trigram_frac"] == pytest.approx(1 / 4)
+
+    def test_short_and_empty_docs(self, spark):
+        rows = text.repetition_metrics(
+            _docs(spark, [(1, ""), (2, "solo"), (3, "two words")])
+        ).collect()
+        by_id = {r["doc_id"]: r for r in rows}
+        assert by_id[1]["n_tokens"] == 0 and by_id[1]["dup_word_frac"] == 0.0
+        assert by_id[2]["dup_bigram_frac"] == 0.0  # no bigrams
+        assert by_id[3]["dup_trigram_frac"] == 0.0
+
+
+class TestDecontaminate:
+    def test_planted_overlap_flagged(self, spark):
+        bench = _docs(spark, [(100, "the quick brown fox jumps over")])
+        train = _docs(
+            spark,
+            [
+                (1, "padding text then the quick brown fox appears here"),
+                (2, "completely unrelated words nothing shared at all"),
+            ],
+        )
+        out = {r["doc_id"]: r["overlap_grams"] for r in
+               text.decontaminate(train, bench, n=4).collect()}
+        assert 1 in out and 2 not in out
+        # shares exactly "the quick brown fox" (1 distinct 4-gram)
+        assert out[1] == 1
+
+    def test_overlap_counts_distinct_grams_once(self, spark):
+        bench = _docs(spark, [(100, "x y z w x y z w")])
+        # doc repeats the shared 4-gram twice — still ONE distinct gram
+        train = _docs(spark, [(1, "x y z w and again x y z w")])
+        out = text.decontaminate(train, bench, n=4).collect()
+        assert len(out) == 1
+        # train grams overlapping bench's gram set: "x y z w" only
+        assert out[0]["overlap_grams"] == 1
+
+    def test_disjoint_corpora_empty(self, spark):
+        bench = _docs(spark, [(100, "one two three four five")])
+        train = _docs(spark, [(1, "six seven eight nine ten")])
+        assert text.decontaminate(train, bench, n=4).count() == 0
+
+    def test_case_and_punct_normalized(self, spark):
+        bench = _docs(spark, [(100, "The Quick BROWN Fox!")])
+        train = _docs(spark, [(1, "...the quick brown fox...")])
+        out = text.decontaminate(train, bench, n=4).collect()
+        assert len(out) == 1 and out[0]["doc_id"] == 1
