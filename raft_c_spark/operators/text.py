@@ -392,3 +392,111 @@ def repetition_metrics(
             ).otherwise(F.lit(0.0)).alias(name)
         )
     return staged.select(*cols)
+
+
+#: winnowing constants: polynomial rolling-hash base/modulus (Rabin-
+#: Karp over codepoints), engine-portable integer arithmetic
+WINNOW_B = 257
+WINNOW_M = (1 << 31) - 1
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    as_sets: bool = False,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): polynomial rolling hashes of
+    char k-grams, then per window of ``w`` consecutive hashes select
+    the RIGHTMOST minimum; the distinct selected (position, hash)
+    pairs are the document's fingerprint set. Guarantees a match for
+    any shared substring of length ≥ k + w - 1 while storing ~2/(w+1)
+    of the hashes.
+
+    Output per doc: the fingerprint count and an md5 digest of the
+    ordered "pos:hash" pairs (compact, fully deterministic); with
+    ``as_sets`` the raw selected hash-value set instead (for pair
+    joins / intersection tests). Docs shorter than k fingerprint as
+    the empty set.
+
+    Scale shape: one narrow Arrow kernel pass (mapInPandas) — text
+    in, fingerprints out, no shuffle; the rolling hashes and window
+    minima vectorize per document (sliding_window_view), which beats
+    the equivalent JVM higher-order-lambda expression tree ~10x
+    (nested lambdas run interpreted per element). The hash is
+    h(i) = Σ cp(i+j)·B^(k-1-j) mod M with B=257, M=2³¹-1: every term
+    < 2⁵³ in int64, and the identical formula runs in the DuckDB
+    oracle (list comprehensions + the same power-of-B literals)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    pw_arr = [pow(WINNOW_B, k - 1 - j, WINNOW_M) for j in range(k)]
+
+    def _fps(text: str) -> "np.ndarray":
+        import numpy as np
+
+        norm = " ".join((text or "").lower().split())
+        cps = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        if len(cps) < k:
+            return np.empty(0, dtype=np.int64)
+        sw = np.lib.stride_tricks.sliding_window_view(cps, k)
+        # cp < 2²¹ and pw < 2³¹ → every product < 2⁵², k-sum < 2⁵⁵
+        hs = (sw * np.asarray(pw_arr, dtype=np.int64)).sum(axis=1) % WINNOW_M
+        wlen = min(w, len(hs))
+        wv = np.lib.stride_tricks.sliding_window_view(hs, wlen)
+        mins = wv.min(axis=1)
+        # rightmost occurrence of the min (winnowing tie rule):
+        # argmin of the reversed window finds it from the right
+        ridx = wlen - 1 - np.argmin(wv[:, ::-1], axis=1)
+        pos = np.arange(len(wv), dtype=np.int64) + ridx + 1  # 1-based
+        return np.unique(pos * (np.int64(1) << 31) + mins)
+
+    if as_sets:
+
+        def kernel_sets(batches):
+            for pdf in batches:
+                mask = (1 << 31) - 1
+                yield pd.DataFrame(
+                    {
+                        "doc": pdf[id_col],
+                        "fps": [
+                            sorted({int(v) & mask for v in _fps(t)})
+                            for t in pdf[text_col]
+                        ],
+                    }
+                )
+
+        from raft_c_spark.operators.dedup import _widen
+
+        return (
+            _widen(df.select(F.col(id_col), F.col(text_col)))
+            .mapInPandas(kernel_sets, "doc long, fps array<long>")
+            .select(F.col("doc").alias(id_col), "fps")
+        )
+
+    def kernel(batches):
+        mask = (1 << 31) - 1
+        for pdf in batches:
+            out_doc, out_n, out_dig = [], [], []
+            for doc, t in zip(pdf[id_col], pdf[text_col]):
+                sel = _fps(t)
+                src = ",".join(f"{int(v) >> 31}:{int(v) & mask}" for v in sel)
+                out_doc.append(doc)
+                out_n.append(len(sel))
+                out_dig.append(hashlib.md5(src.encode()).hexdigest())
+            yield pd.DataFrame(
+                {id_col: out_doc, "n_fps": out_n, "fp_digest": out_dig}
+            )
+
+    from raft_c_spark.operators.dedup import _widen
+
+    return _widen(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        kernel, f"{id_col} long, n_fps long, fp_digest string"
+    )

@@ -66,11 +66,12 @@ def q_mm_real_decode(spark, sf_dir):
 
 
 QUERIES = {
-    "mm_features": q_mm_features,
+    # mm_real_decode (the stronger demonstration: genuinely decoded
+    # pixels/samples) holds the multimodal family's window slot;
+    # mm_features and mm_frame_index register via plans.extras behind
+    # the driver's 50-query window — rows-only either way and
+    # pytest-pinned, so their slots go to hash-oracled queries
     "mm_real_decode": q_mm_real_decode,
-    # mm_frame_index registers via plans.extras (behind the driver's
-    # 50-query window): rows-only either way and pytest-pinned, so its
-    # slot goes to the hash-oracled ds_decontaminate
 }
 
 ORACLES: dict[str, str] = {}  # no media tables in the oracle's views

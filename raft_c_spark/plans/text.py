@@ -129,6 +129,21 @@ def q_text_repetition(spark, sf_dir):
     return text.repetition_metrics(docs, "doc_id", "text")
 
 
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+def q_text_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS, SIGMOD'03): rolling k-gram
+    hashes → rightmost-min per window — the rolling-hash document
+    fingerprint set, summarized as count + ordered digest (see
+    text.winnow_fingerprints)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(
+        docs, "doc_id", "text", k=WINNOW_K, w=WINNOW_W
+    )
+
+
 QUERIES = {
     "text_analyze": q_text_analyze,
     "text_lang_profile": q_text_lang_profile,
@@ -138,6 +153,7 @@ QUERIES = {
     "text_heavy_hitters": q_text_heavy_hitters,
     "text_chunks": q_text_chunks,
     "text_repetition": q_text_repetition,
+    "text_winnow": q_text_winnow,
 }
 
 
@@ -196,6 +212,54 @@ _PII_CLEAN = (
     f" '{_PII_URL}', '<URL>', 'g'),"
     f" '{_PII_PHONE}', '<PHONE>', 'g')"
 )
+
+
+#: winnowing oracle: identical rolling-hash formula (power-of-B
+#: literals baked from operators.text), same rightmost-min window
+#: rule, same count+digest summary
+_WLEN = "LEAST(4, len(hs))"
+_WIN = f"hs[p : p + {_WLEN} - 1]"
+_WINNOW_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               [unicode(t[i:i])::BIGINT FOR i IN range(1, length(t) + 1)] AS cps
+        FROM t
+    ),
+    h AS (
+        SELECT doc_id,
+               [list_sum([cps[i + j - 1] * ([623063367, 336663071, 168429323,
+                          67503107, 16974593, 66049, 257, 1])[j]
+                          FOR j IN range(1, 8 + 1)]) % 2147483647
+                FOR i IN range(1, greatest(len(cps) - 7, 1) + 1)
+                IF i + 7 <= len(cps)] AS hs
+        FROM c
+    ),
+    sel AS (
+        -- (pos, fp) packed into one BIGINT (pos*2^31 + fp, both < 2^31):
+        -- struct lists cannot be list_distinct'ed, and the composite
+        -- sorts in the same (pos, fp) order as the Spark side
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   [(p + {_WLEN} - list_position(
+                         list_reverse({_WIN}), list_min({_WIN})))::BIGINT
+                      * 2147483648 + list_min({_WIN})::BIGINT
+                    FOR p IN range(1, greatest(len(hs) - 3, 1) + 1)
+                    IF p + {_WLEN} - 1 <= len(hs) AND {_WLEN} >= 1]
+               )) AS sel
+        FROM h
+    )
+    SELECT doc_id,
+           len(sel)::BIGINT AS n_fps,
+           md5(array_to_string(
+               list_transform(sel, s ->
+                   (s // 2147483648) || ':' || (s % 2147483648)), ',')) AS fp_digest
+    FROM sel
+"""
 
 ORACLES = {
     "text_analyze": _ANALYZE_SQL,
@@ -280,6 +344,7 @@ ORACLES = {
                          / len(g3) ELSE 0.0 END AS dup_trigram_frac
         FROM g
     """,
+    "text_winnow": _WINNOW_SQL,
     "text_chunks": rf"""
         WITH t AS (
             SELECT doc_id, regexp_extract_all(text, '\S+') AS toks

@@ -85,3 +85,43 @@ class TestDecontaminate:
         train = _docs(spark, [(1, "...the quick brown fox...")])
         out = text.decontaminate(train, bench, n=4).collect()
         assert len(out) == 1 and out[0]["doc_id"] == 1
+
+
+class TestWinnowFingerprints:
+    def test_identical_docs_identical_digests(self, spark):
+        out = text.winnow_fingerprints(
+            _docs(spark, [(1, "the quick brown fox jumps over the lazy dog"),
+                          (2, "The  Quick   Brown fox jumps over the lazy dog")])
+        ).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        # whitespace/case normalization → identical fingerprint sets
+        assert by_id[1]["fp_digest"] == by_id[2]["fp_digest"]
+        assert by_id[1]["n_fps"] == by_id[2]["n_fps"] > 0
+
+    def test_winnowing_guarantee_on_shared_substring(self, spark):
+        """The winnowing guarantee: any shared substring of length
+        ≥ k + w - 1 (= 11 here) produces at least one shared
+        selected hash between the two documents."""
+        shared = "abcdefghijklmnop"  # 16 chars >> 11
+        out = text.winnow_fingerprints(
+            _docs(spark, [(1, "xx " + shared + " yy"),
+                          (2, "completely other prefix " + shared)]),
+            k=8, w=4, as_sets=True,
+        ).collect()
+        sets = {r["doc_id"]: set(r["fps"]) for r in out}
+        assert sets[1] & sets[2], "guarantee violated: no shared fingerprint"
+
+    def test_disjoint_texts_disjoint_fingerprints(self, spark):
+        out = text.winnow_fingerprints(
+            _docs(spark, [(1, "aaaa bbbb cccc dddd eeee"),
+                          (2, "zzzz yyyy xxxx wwww vvvv")]),
+            as_sets=True,
+        ).collect()
+        sets = {r["doc_id"]: set(r["fps"]) for r in out}
+        assert sets[1] and sets[2] and not (sets[1] & sets[2])
+
+    def test_short_docs_empty_fingerprints(self, spark):
+        out = {r["doc_id"]: r for r in text.winnow_fingerprints(
+            _docs(spark, [(1, "1234567"), (2, "")])
+        ).collect()}
+        assert out[1]["n_fps"] == 0 and out[2]["n_fps"] == 0
