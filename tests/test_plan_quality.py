@@ -301,13 +301,13 @@ def test_repetition_metrics_shuffle_free(spark, sf_dir):
 
 
 def test_no_cartesian_in_any_window_query(spark, sf_dir):
-    """Sweep every batch query in the driver's correctness window:
-    no CartesianProduct anywhere (a BroadcastNestedLoopJoin over a
+    """Sweep every registered batch query (window and beyond): no
+    CartesianProduct anywhere (a BroadcastNestedLoopJoin over a
     1-row scalar frame is fine — the scalar-attach pattern — but a
     true cartesian is always a scale bug)."""
     from raft_c_spark.plans.registry import all_queries
 
-    qs = list(all_queries().items())[:50]
+    qs = list(all_queries().items())
     offenders = []
     for name, fn in qs:
         if name.startswith(("stream_", "mm_")):
