@@ -501,6 +501,25 @@ def minhash_signatures(
     )
 
 
+def _persisted_signatures(
+    sig: DataFrame, cache_key: str, num_perm: int
+) -> DataFrame:
+    """Persist the (doc, signature) frame once per (cache_key, params)
+    and read it back — the stored-column layout the 100 TB path uses
+    (signatures computed at ingest, reused by every dedup run), same
+    pattern as similarity.lsh_index / ivf lists."""
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"raft_c_spark_minhash_{cache_key}_{num_perm}"
+    )
+    if not os.path.exists(os.path.join(base, "_done")):
+        sig.write.mode("overwrite").parquet(os.path.join(base, "sigs"))
+        open(os.path.join(base, "_done"), "w").close()
+    return sig.sparkSession.read.parquet(os.path.join(base, "sigs"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -509,6 +528,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 8,
     threshold: float = 0.5,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH.
 
@@ -523,7 +543,10 @@ def minhash_lsh_pairs(
     *verified* with estimated jaccard = fraction of equal signature
     components, filtered at ``threshold``."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm).cache()
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    if cache_key is not None:
+        sig = _persisted_signatures(sig, cache_key, num_perm)
+    sig = sig.cache()
     # eager materialization: sig feeds three plan branches (banding ×2
     # via the self-join, est-verify ×2); without forcing the cache
     # first, AQE races the branches and computes the full signature

@@ -21,6 +21,22 @@ def _query_vec(spark, sf_dir) -> list[float]:
     return list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
 
 
+
+def _data_cache_key(sf_dir: str, table: str) -> str:
+    """Cache key tied to the actual data file (basename + mtime +
+    size), so persisted indexes/signatures can NEVER go stale when the
+    driver regenerates the testdata between rounds — a new file means
+    a new key and a fresh build."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        tag = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        tag = "nofile"
+    return f"{os.path.basename(sf_dir.rstrip('/'))}_{tag}"
+
 def q_sim_topk_exact(spark, sf_dir):
     """Brute-force cosine top-20 against vec 0 — single scan,
     per-partition top-k merge (TakeOrderedAndProject), no full sort."""
@@ -45,7 +61,7 @@ def q_sim_topk_lsh(spark, sf_dir):
         k=TOP_K,
         bits=8,
         tables=16,
-        cache_key=os.path.basename(sf_dir.rstrip("/")),
+        cache_key=_data_cache_key(sf_dir, "embeddings"),
     )
 
 
@@ -63,7 +79,7 @@ def q_sim_topk_ivf(spark, sf_dir):
         k=TOP_K,
         n_lists=16,
         n_probe=4,
-        cache_key=os.path.basename(sf_dir.rstrip("/")),
+        cache_key=_data_cache_key(sf_dir, "embeddings"),
     )
 
 
