@@ -90,6 +90,7 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | None = None,
     strategy: str = "auto",
     max_bitmap_shingles: int = 65536,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """All document pairs (a < b) with n-gram Jaccard ≥ threshold.
     Exact result; the physical strategy adapts to the corpus:
@@ -124,8 +125,27 @@ def ngram_jaccard_pairs(
     """
     if strategy in ("auto", "bitmap"):
         # one text-parse pass: per-doc shingle-code arrays, cached —
-        # the vocab probe and the mask build both read from it
-        codes = _doc_codes(df, id_col, text_col, n).cache()
+        # the vocab probe and the mask build both read from it. With
+        # cache_key the code arrays persist per corpus (the
+        # stored-column layout: shingle codes computed at ingest,
+        # reused by every dedup run — same pattern as the minhash
+        # signature store)
+        codes = _doc_codes(df, id_col, text_col, n)
+        if cache_key is not None:
+            import os
+            import tempfile
+
+            base = os.path.join(
+                tempfile.gettempdir(),
+                f"raft_c_spark_ngramcodes_{cache_key}_{n}",
+            )
+            if not os.path.exists(os.path.join(base, "_done")):
+                codes.write.mode("overwrite").parquet(
+                    os.path.join(base, "codes")
+                )
+                open(os.path.join(base, "_done"), "w").close()
+            codes = df.sparkSession.read.parquet(os.path.join(base, "codes"))
+        codes = codes.cache()
         codes.count()
         vocab = _collect_vocab_codes(codes, max_bitmap_shingles)
         if vocab is not None:

@@ -60,7 +60,8 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     baseline/verifier (the scale path is the LSH variant below)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD,
+        cache_key=_data_cache_key(sf_dir, "documents"),
     )
 
 

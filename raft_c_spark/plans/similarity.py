@@ -2,8 +2,9 @@
 
 The query vector is the stored embedding of vec_id=0 (data-derived on
 both sides, so Spark and the oracle rank the identical vector set).
-Exact top-k has a full oracle; the LSH variant is hash-seeded →
-rows-only driver check, recall-verified in tests/test_similarity.py.
+Exact top-k, the LSH probe (integer-hash hyperplanes, replayed in
+SQL) and int8 quantization are hash-oracled; IVF is rows-only
+(k-means-dependent), recall-verified in tests.
 """
 
 from __future__ import annotations
