@@ -400,6 +400,32 @@ WINNOW_B = 257
 WINNOW_M = (1 << 31) - 1
 
 
+def _winnow_packed(text: str, k: int, w: int) -> "np.ndarray":
+    """The winnowing kernel math, importable for direct property
+    tests: sorted distinct selected fingerprints packed as
+    pos·2³¹ + hash (1-based positions)."""
+    import numpy as np
+
+    pw_arr = [pow(WINNOW_B, k - 1 - j, WINNOW_M) for j in range(k)]
+    norm = " ".join((text or "").lower().split())
+    cps = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    if len(cps) < k:
+        return np.empty(0, dtype=np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(cps, k)
+    # cp < 2²¹ and pw < 2³¹ → every product < 2⁵², k-sum < 2⁵⁵
+    hs = (sw * np.asarray(pw_arr, dtype=np.int64)).sum(axis=1) % WINNOW_M
+    wlen = min(w, len(hs))
+    wv = np.lib.stride_tricks.sliding_window_view(hs, wlen)
+    mins = wv.min(axis=1)
+    # rightmost occurrence of the min (winnowing tie rule): argmin of
+    # the reversed window finds it from the right
+    ridx = wlen - 1 - np.argmin(wv[:, ::-1], axis=1)
+    pos = np.arange(len(wv), dtype=np.int64) + ridx + 1  # 1-based
+    return np.unique(pos * (np.int64(1) << 31) + mins)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -435,28 +461,8 @@ def winnow_fingerprints(
     import numpy as np
     import pandas as pd
 
-    pw_arr = [pow(WINNOW_B, k - 1 - j, WINNOW_M) for j in range(k)]
-
     def _fps(text: str) -> "np.ndarray":
-        import numpy as np
-
-        norm = " ".join((text or "").lower().split())
-        cps = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(
-            np.int64
-        )
-        if len(cps) < k:
-            return np.empty(0, dtype=np.int64)
-        sw = np.lib.stride_tricks.sliding_window_view(cps, k)
-        # cp < 2²¹ and pw < 2³¹ → every product < 2⁵², k-sum < 2⁵⁵
-        hs = (sw * np.asarray(pw_arr, dtype=np.int64)).sum(axis=1) % WINNOW_M
-        wlen = min(w, len(hs))
-        wv = np.lib.stride_tricks.sliding_window_view(hs, wlen)
-        mins = wv.min(axis=1)
-        # rightmost occurrence of the min (winnowing tie rule):
-        # argmin of the reversed window finds it from the right
-        ridx = wlen - 1 - np.argmin(wv[:, ::-1], axis=1)
-        pos = np.arange(len(wv), dtype=np.int64) + ridx + 1  # 1-based
-        return np.unique(pos * (np.int64(1) << 31) + mins)
+        return _winnow_packed(text, k, w)
 
     if as_sets:
 

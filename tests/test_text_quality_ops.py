@@ -125,3 +125,64 @@ class TestWinnowFingerprints:
             _docs(spark, [(1, "1234567"), (2, "")])
         ).collect()}
         assert out[1]["n_fps"] == 0 and out[2]["n_fps"] == 0
+
+
+class TestWinnowKernelProperties:
+    """Hypothesis: the vectorized numpy kernel ≡ a straightforward
+    O(n·w) reference implementation, over arbitrary ASCII text and
+    (k, w) parameters. This is the stride-tricks logic's safety net —
+    no Spark involved, so hundreds of examples run in seconds."""
+
+    @staticmethod
+    def _reference(text, k, w):
+        import hashlib  # noqa: F401  (parity of imports with kernel)
+
+        from raft_c_spark.operators.text import WINNOW_B, WINNOW_M
+
+        pw = [pow(WINNOW_B, k - 1 - j, WINNOW_M) for j in range(k)]
+        norm = " ".join((text or "").lower().split())
+        cps = [ord(c) for c in norm]
+        hs = [
+            sum(cps[i + j] * pw[j] for j in range(k)) % WINNOW_M
+            for i in range(len(cps) - k + 1)
+        ]
+        if not hs:
+            return []
+        wlen = min(w, len(hs))
+        sel = set()
+        for p in range(len(hs) - wlen + 1):
+            win = hs[p : p + wlen]
+            mv = min(win)
+            last = max(i for i, v in enumerate(win) if v == mv)
+            sel.add(((p + last + 1) << 31) + mv)
+        return sorted(sel)
+
+    def test_kernel_matches_reference(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from raft_c_spark.operators.text import _winnow_packed
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            text=st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=120,
+            ),
+            k=st.integers(min_value=2, max_value=10),
+            w=st.integers(min_value=1, max_value=8),
+        )
+        def check(text, k, w):
+            got = [int(v) for v in _winnow_packed(text, k, w)]
+            assert got == self._reference(text, k, w)
+
+        check()
+
+    def test_kernel_handles_repeated_chars(self):
+        # constant text → all hashes equal → rightmost-min rule picks
+        # the LAST position of every window; selections collapse
+        from raft_c_spark.operators.text import _winnow_packed
+
+        got = _winnow_packed("aaaaaaaaaaaaaaaa", 8, 4)
+        ref = self._reference("aaaaaaaaaaaaaaaa", 8, 4)
+        assert [int(v) for v in got] == ref
