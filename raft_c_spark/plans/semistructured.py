@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from raft_c_spark.functions.exact import exact_avg, sql_avg
 from raft_c_spark.operators.skew import salted_agg
 from raft_c_spark.sources.testdata import load_table
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 import socket
 import socketserver
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 QUERYSIZE = 512  # src/encoding.h:10
 CRLF = b"\r\n"

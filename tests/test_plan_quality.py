@@ -155,7 +155,7 @@ def test_whole_stage_codegen_covers_text_analysis(spark, sf_dir):
 def test_events_adapter_range_pushdown(spark, sf_dir):
     """Range-bounded adapter loads push the window to the raw physical
     ts column (a filter on the derived truncated column cannot)."""
-    from raft_c_spark.plans.parity import T0, T1, q_range_scan
+    from raft_c_spark.plans.parity import q_range_scan
 
     plan = plan_of(q_range_scan(spark, sf_dir))
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
