@@ -1,5 +1,6 @@
 """Point-frame interchange: read/write the canonical
-``(series, timestamp, value)`` schema as parquet, CSV, or JSON lines.
+``(series, timestamp, value)`` schema as parquet, ORC, CSV, or JSON
+lines.
 
 Parquet is the engine's native store (tsstore.py handles the
 partitioned layout); CSV/JSON are the interchange formats — explicit
@@ -15,7 +16,7 @@ from pyspark.sql import functions as F
 
 from raft_c_spark.sources.tsstore import POINT_SCHEMA
 
-FORMATS = ("parquet", "csv", "json")
+FORMATS = ("parquet", "orc", "csv", "json")
 
 
 def write_points(df: DataFrame, path: str, fmt: str = "parquet") -> None:
@@ -29,6 +30,8 @@ def write_points(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     writer = out.write.mode("overwrite")
     if fmt == "parquet":
         writer.parquet(path)
+    elif fmt == "orc":
+        writer.orc(path)
     elif fmt == "csv":
         writer.option("header", "true").csv(path)
     else:
@@ -40,6 +43,8 @@ def read_points(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFra
         raise ValueError(f"unsupported format {fmt!r}")
     if fmt == "parquet":
         return spark.read.schema(POINT_SCHEMA).parquet(path)
+    if fmt == "orc":
+        return spark.read.schema(POINT_SCHEMA).orc(path)
     if fmt == "csv":
         return (
             spark.read.schema(POINT_SCHEMA)

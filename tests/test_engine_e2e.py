@@ -375,7 +375,7 @@ def test_point_io_roundtrip(spark, tmp_path):
         [("s", 1_700_000_000_123_456_789, 1.5), ("t", 1_700_000_001_000_000_001, -2.25)],
         "series string, timestamp long, value double",
     )
-    for fmt in ("parquet", "csv", "json"):
+    for fmt in ("parquet", "orc", "csv", "json"):
         path = str(tmp_path / f"pts_{fmt}")
         write_points(df, path, fmt)
         back = read_points(spark, path, fmt)
