@@ -1,7 +1,9 @@
 """Queries deliberately registered BEHIND the driver's 50-query
 correctness window (see registry._modules): driver-rows-only checks
-whose window slots are better spent on hash-oracled queries. Each is
-fully pinned by pytest (tests/test_text_similarity.py)."""
+whose window slots are better spent on hash-oracled queries, plus
+late additions once the window filled. Everything here is still
+pytest-pinned — oracled entries run the same DuckDB comparison in
+tests/test_entry_contract.py as in-window queries."""
 
 from __future__ import annotations
 
@@ -9,11 +11,66 @@ from raft_c_spark.plans.multimodal import q_mm_features, q_mm_frame_index
 from raft_c_spark.plans.semistructured import q_ev_approx_profile
 from raft_c_spark.plans.similarity import q_sim_topk_ivf
 
+SPAN_LEN = 40
+
+
+def q_dedup_repeated_spans(spark, sf_dir):
+    """Exact repeated-substring spans (Lee et al. ACL'22 ExactSubstr
+    dedup): maximal intervals covered by 40-char substrings occurring
+    ≥2 times anywhere in the corpus — the cut-the-span (rather than
+    drop-the-doc) dedup pass. See dedup.repeated_substring_spans for
+    the gram-join + gaps-and-islands shape."""
+    from raft_c_spark.operators import dedup
+    from raft_c_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.repeated_substring_spans(
+        docs, "doc_id", "text", min_len=SPAN_LEN
+    )
+
+
 QUERIES = {
     "sim_topk_ivf": q_sim_topk_ivf,
     "mm_features": q_mm_features,
     "mm_frame_index": q_mm_frame_index,
     "ev_approx_profile": q_ev_approx_profile,
+    "dedup_repeated_spans": q_dedup_repeated_spans,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "dedup_repeated_spans": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, i AS pos, substring(t, i, {SPAN_LEN}) AS gram
+            FROM t, LATERAL (SELECT unnest(range(1,
+                 greatest(length(t) - {SPAN_LEN} + 2, 1))) AS i)
+            WHERE length(t) >= {SPAN_LEN}
+        ),
+        r AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        p AS (SELECT doc_id, pos FROM g JOIN r USING (gram)),
+        m AS (
+            SELECT doc_id, pos,
+                   MAX(pos + {SPAN_LEN}) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_end
+            FROM p
+        ),
+        i AS (
+            SELECT doc_id, pos,
+                   SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS island
+            FROM m
+        )
+        SELECT doc_id,
+               MIN(pos)::BIGINT AS span_start,
+               (MAX(pos) + {SPAN_LEN})::BIGINT AS span_end,
+               COUNT(*)::BIGINT AS n_grams
+        FROM i GROUP BY doc_id, island
+    """,
+}

@@ -128,3 +128,30 @@ def test_embedding_neardup_planted(spark, sf_dir):
         emb.unionByName(clone), "vec_id", "embedding", threshold=0.99
     ).collect()
     assert {(r["a"], r["b"]) for r in pairs} == {(7, 90001)}
+
+
+def test_repeated_substring_spans_semantics(spark):
+    """Planted 61-char shared substring across two docs → one maximal
+    span each at the right offsets; a unique doc gets none; a doc
+    repeating a substring WITHIN itself is flagged too."""
+    shared = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    rows = [
+        (1, "x" * 10 + shared + "y" * 10),
+        (2, "abc " + shared + " def"),
+        (3, "nothing shared here at all with anyone else in this corpus"),
+        (4, "Z" * 45 + " filler " + "Z" * 45),  # self-repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.repeated_substring_spans(df, "doc_id", "text", min_len=40)
+    spans = {}
+    for r in out.collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    # doc 1: shared sits at 1-based offset 11, length 61
+    assert spans[1] == [(11, 11 + len(shared))]
+    assert spans[2] == [(5, 5 + len(shared))]
+    assert 3 not in spans
+    # doc 4: both Z-runs repeat (45-char run contains repeated
+    # 40-grams); lowercased text is 98 chars with spans at each end
+    assert len(spans[4]) >= 1
