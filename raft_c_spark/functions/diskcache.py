@@ -1,0 +1,77 @@
+"""Repo-local atomic parquet cache for derived columnar state
+(minhash signatures, shingle codes, simhash vocabularies, expected
+multimodal decode stats).
+
+This is the local stand-in for the 100 TB deployment's stored-column /
+materialized-index layout: expensive derived columns are computed once
+per corpus and read back by every subsequent run. Three properties the
+shared-/tmp + ``_done``-marker scheme it replaces lacked:
+
+- **complete keys** — callers must fold every output-affecting
+  parameter (shingle width, permutation count, algorithm version)
+  into the cache key; the helper just namespaces it;
+- **atomic publish** — the frame is written to a ``.tmp.<pid>``
+  staging dir and ``os.replace``d into place, so a concurrent reader
+  can never observe a half-written parquet and a concurrent writer
+  race resolves to exactly one winner;
+- **private location** — defaults to ``<repo>/.cache`` (overridable
+  via ``RAFT_C_SPARK_CACHE_DIR``) instead of the world-writable
+  system tempdir, so another user on a shared host cannot pre-create
+  a poisoned cache path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def cache_root() -> str:
+    return os.environ.get(
+        "RAFT_C_SPARK_CACHE_DIR", os.path.join(_REPO_ROOT, ".cache")
+    )
+
+
+def cache_path(key: str) -> str:
+    """Absolute path for a cache entry. ``key`` must encode every
+    parameter that affects the cached content (data fingerprint,
+    algorithm params, format version)."""
+    if not key or "/" in key or key.startswith("."):
+        raise ValueError(f"bad cache key: {key!r}")
+    return os.path.join(cache_root(), key)
+
+
+def publish_atomic(staging: str, final: str) -> None:
+    """Atomically move a fully-written staging path into place; if a
+    concurrent writer already published, keep theirs and discard
+    ours (content is deterministic per key, so either copy is
+    correct)."""
+    try:
+        os.replace(staging, final)
+    except OSError:
+        if os.path.isfile(staging):
+            os.unlink(staging)
+        else:
+            shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.exists(final):
+            raise
+
+
+def cached_parquet(df: DataFrame, key: str) -> DataFrame:
+    """Materialize ``df`` as parquet under ``cache_path(key)`` once
+    and return the read-back frame. Subsequent calls (any process)
+    skip the compute entirely — the caller should build ``df``
+    lazily so a cache hit never triggers its job."""
+    final = cache_path(key)
+    if not os.path.isdir(final):
+        os.makedirs(cache_root(), exist_ok=True)
+        staging = f"{final}.tmp.{os.getpid()}"
+        df.write.mode("overwrite").parquet(staging)
+        publish_atomic(staging, final)
+    return df.sparkSession.read.parquet(final)

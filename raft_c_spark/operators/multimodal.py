@@ -100,6 +100,11 @@ def _real_audio_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
         if wf.getsampwidth() != 2:
             raise ValueError("only 16-bit PCM WAV supported")
         x = np.frombuffer(wf.readframes(n), dtype=np.int16).astype(np.float64)
+    if len(x) == 0:
+        # a zero-frame WAV is valid; all-zero features instead of the
+        # ValueError ax.max() would raise on an empty array (one
+        # malformed row must not fail the whole mapInPandas task)
+        return [0.0] * dim
     x /= 32768.0
     ax = np.abs(x)
     zcr = float(np.mean(np.signbit(x[:-1]) != np.signbit(x[1:]))) if len(x) > 1 else 0.0
@@ -147,6 +152,117 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
             yield pdf[cols].assign(features=feats)
 
     return df.mapInPandas(kernel, out_schema)
+
+
+#: exact-integer decode summary — hash-stable across engines (no
+#: float arithmetic), so the driver's DuckDB oracle can verify the
+#: real decode path bit-for-bit
+DECODE_STATS_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("media_id", Ty.LongType(), False),
+        Ty.StructField("kind", Ty.StringType(), False),
+        Ty.StructField("width", Ty.LongType(), True),
+        Ty.StructField("height", Ty.LongType(), True),
+        Ty.StructField("n_units", Ty.LongType(), False),
+        Ty.StructField("val_sum", Ty.LongType(), False),
+        Ty.StructField("val_min", Ty.LongType(), True),
+        Ty.StructField("val_max", Ty.LongType(), True),
+    ]
+)
+
+_DECODE_STATS_COLS = [f.name for f in DECODE_STATS_SCHEMA.fields]
+
+
+def _pixel_stats(px: "np.ndarray") -> dict:
+    """Exact integer stats over a decoded (h, w, ch) uint8 array.
+    n_units counts samples (w*h*ch); sums are exact int64."""
+    flat = px.astype(np.int64)
+    return {
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "n_units": int(px.size),
+        "val_sum": int(flat.sum()),
+        "val_min": int(px.min()) if px.size else None,
+        "val_max": int(px.max()) if px.size else None,
+    }
+
+
+def _sample_stats(pcm: "np.ndarray") -> dict:
+    """Exact integer stats over int16 PCM samples: n_units = sample
+    count, val_sum = sum of |sample| (int64-exact)."""
+    x = np.asarray(pcm, dtype=np.int64)
+    return {
+        "width": None,
+        "height": None,
+        "n_units": int(len(x)),
+        "val_sum": int(np.abs(x).sum()),
+        "val_min": int(x.min()) if len(x) else None,
+        "val_max": int(x.max()) if len(x) else None,
+    }
+
+
+def decode_stats(df: DataFrame) -> DataFrame:
+    """Genuinely decode every image/audio payload (stdlib PNG codec /
+    ``wave``) and emit exact-integer pixel/sample statistics — the
+    driver-verifiable face of the real decode path: the numbers match
+    the pre-encode ground truth (``expected_decode_stats``) only if
+    the PNG/WAV encode→decode round-trip is lossless.
+
+    Arrow-batched ``mapInPandas``; payload bytes never shuffle."""
+    from raft_c_spark.functions.png import png_decode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind == "image":
+                    stats = _pixel_stats(png_decode(bytes(payload)))
+                elif kind == "audio":
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+                        if wf.getsampwidth() != 2:
+                            raise ValueError("only 16-bit PCM WAV supported")
+                        pcm = np.frombuffer(
+                            wf.readframes(wf.getnframes()), dtype="<i2"
+                        )
+                    stats = _sample_stats(pcm)
+                else:
+                    raise NotImplementedError(
+                        f"decode_stats: no stdlib codec for kind={kind}"
+                    )
+                rows.append({"media_id": int(mid), "kind": str(kind), **stats})
+            yield pd.DataFrame(rows, columns=_DECODE_STATS_COLS)
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        kernel, DECODE_STATS_SCHEMA
+    )
+
+
+def expected_decode_stats(n: int = 64, seed: int = 42) -> list[dict]:
+    """Ground-truth decode stats for ``synthetic_media(n, seed)``,
+    computed directly from the PRE-ENCODE raw arrays (synthetic_pixels
+    / synthetic_pcm) — deliberately never touching the PNG/WAV codecs,
+    so comparing against ``decode_stats`` verifies the whole
+    encode→decode round-trip. Pure Python+numpy (no Spark): the
+    oracle side materializes this without a session."""
+    out = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        if kind == "image":
+            w, h = 64 + i % 32, 48 + i % 24
+            stats = _pixel_stats(synthetic_pixels(i, seed, w, h))
+        elif kind == "audio":
+            dur = 1000 * (1 + i % 7)
+            stats = _sample_stats(synthetic_pcm(i, seed, dur))
+        else:
+            continue  # video payloads are opaque (no stdlib codec)
+        out.append({"media_id": i, "kind": kind, **stats})
+    return out
 
 
 def resize_images(df: DataFrame, width: int, height: int, decode: str = "fake") -> DataFrame:
@@ -216,12 +332,30 @@ def sample_frames(
     return df.filter(F.col("kind") == "video").mapInPandas(kernel, out_schema)
 
 
+def synthetic_pixels(i: int, seed: int, w: int, h: int) -> "np.ndarray":
+    """Raw (h, w, 3) uint8 pixel array for synthetic image ``i`` —
+    the pre-encode ground truth that ``expected_decode_stats`` and
+    the PNG payload both derive from."""
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def synthetic_pcm(
+    i: int, seed: int, duration_ms: int, rate: int = 8000
+) -> "np.ndarray":
+    """Raw little-endian int16 PCM samples (seeded sine + harmonic)
+    for synthetic audio ``i`` — the pre-encode ground truth."""
+    freq = 110.0 * (1 + (seed + i) % 16)
+    t = np.arange(int(rate * duration_ms / 1000)) / rate
+    x = 0.7 * np.sin(2 * np.pi * freq * t) + 0.2 * np.sin(2 * np.pi * 3 * freq * t)
+    return (x * 32767).astype("<i2")
+
+
 def _synthetic_png(i: int, seed: int, w: int, h: int) -> bytes:
     """A real, decodable PNG: seeded-random RGB pixels."""
     from raft_c_spark.functions.png import png_encode
 
-    rng = np.random.default_rng(seed * 1_000_003 + i)
-    return png_encode(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+    return png_encode(synthetic_pixels(i, seed, w, h))
 
 
 def _synthetic_wav(i: int, seed: int, duration_ms: int, rate: int = 8000) -> bytes:
@@ -229,16 +363,12 @@ def _synthetic_wav(i: int, seed: int, duration_ms: int, rate: int = 8000) -> byt
     import io
     import wave
 
-    freq = 110.0 * (1 + (seed + i) % 16)
-    t = np.arange(int(rate * duration_ms / 1000)) / rate
-    x = 0.7 * np.sin(2 * np.pi * freq * t) + 0.2 * np.sin(2 * np.pi * 3 * freq * t)
-    pcm = (x * 32767).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(1)
         wf.setsampwidth(2)
         wf.setframerate(rate)
-        wf.writeframes(pcm.tobytes())
+        wf.writeframes(synthetic_pcm(i, seed, duration_ms, rate).tobytes())
     return buf.getvalue()
 
 

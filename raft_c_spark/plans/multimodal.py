@@ -44,34 +44,77 @@ def q_mm_frame_index(spark, sf_dir):
     )
 
 
+MM_N = 96  # media rows in the driver-facing corpus (64 image+audio)
+MM_SEED = 42
+#: bump when DECODE_STATS_SCHEMA or the generation params change —
+#: part of the expected-parquet cache key
+MM_EXPECTED_VERSION = 2
+
+
 def q_mm_real_decode(spark, sf_dir):
-    """REAL decode path end-to-end: the synthetic PNG/WAV payloads are
-    genuinely decoded (stdlib-only codecs — functions/png.py for
-    images, ``wave`` for audio) and the features summarize actual
-    pixels/samples, not payload bytes. Video is excluded (no stdlib
-    codec — that decode stays an explicit NotImplementedError)."""
-    media = mm.synthetic_media(spark, n=96).filter(
+    """REAL decode path end-to-end, driver-hash-verifiable: the
+    synthetic PNG/WAV payloads are genuinely decoded (stdlib-only
+    codecs — functions/png.py for images, ``wave`` for audio) and
+    summarized as exact-integer pixel/sample statistics. The DuckDB
+    oracle reads the pre-encode ground truth
+    (``expected_decode_stats`` → parquet), so a hash match proves the
+    encode→decode round-trip is lossless — no floats, no tolerance.
+    Video is excluded here (its real path is the frame sampler)."""
+    media = mm.synthetic_media(spark, n=MM_N, seed=MM_SEED).filter(
         F.col("kind").isin("image", "audio")
     )
-    feats = mm.extract_features(media, decode="real")
-    from raft_c_spark.operators.similarity import dot_fold
+    return mm.decode_stats(media)
 
-    return feats.select(
-        "media_id",
-        "kind",
-        "width",
-        "height",
-        F.sqrt(dot_fold("features", "features")).alias("feature_norm"),
+
+def expected_parquet_path() -> str:
+    """Materialize the ground-truth decode stats as parquet (pure
+    pyarrow, no Spark — the oracle side runs without a session) under
+    the repo-local cache, atomically, keyed by every generation
+    parameter; return the absolute path for read_parquet()."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raft_c_spark.functions import diskcache
+
+    key = (
+        f"mm_decode_expected_v{MM_EXPECTED_VERSION}"
+        f"_n{MM_N}_seed{MM_SEED}.parquet"
     )
+    final = diskcache.cache_path(key)
+    if not os.path.exists(final):
+        os.makedirs(diskcache.cache_root(), exist_ok=True)
+        rows = mm.expected_decode_stats(n=MM_N, seed=MM_SEED)
+        schema = pa.schema(
+            [
+                ("media_id", pa.int64()),
+                ("kind", pa.string()),
+                ("width", pa.int64()),
+                ("height", pa.int64()),
+                ("n_units", pa.int64()),
+                ("val_sum", pa.int64()),
+                ("val_min", pa.int64()),
+                ("val_max", pa.int64()),
+            ]
+        )
+        staging = f"{final}.tmp.{os.getpid()}"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), staging)
+        diskcache.publish_atomic(staging, final)
+    return final
 
 
 QUERIES = {
     # mm_real_decode (the stronger demonstration: genuinely decoded
-    # pixels/samples) holds the multimodal family's window slot;
-    # mm_features and mm_frame_index register via plans.extras behind
-    # the driver's 50-query window — rows-only either way and
-    # pytest-pinned, so their slots go to hash-oracled queries
+    # pixels/samples, exact-integer oracle) holds the multimodal
+    # family's window slot; mm_features and mm_frame_index register
+    # via plans.extras behind the driver's 50-query window
     "mm_real_decode": q_mm_real_decode,
 }
 
-ORACLES: dict[str, str] = {}  # no media tables in the oracle's views
+ORACLES: dict[str, str] = {
+    "mm_real_decode": (
+        "SELECT media_id, kind, width, height, n_units, "
+        f"val_sum, val_min, val_max FROM read_parquet('{expected_parquet_path()}')"
+    ),
+}

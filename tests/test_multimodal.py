@@ -76,6 +76,35 @@ def test_real_decode_images_and_audio(media):
             assert 0.3 < r["features"][0] < 0.7, r
 
 
+def test_decode_stats_matches_preencode_ground_truth(media):
+    """decode_stats (encode→PNG/WAV→decode→integer stats) must equal
+    expected_decode_stats (stats straight off the pre-encode arrays):
+    a lossless-roundtrip proof with no float tolerance anywhere."""
+    ia = media.filter(F.col("kind").isin("image", "audio"))
+    got = {
+        r["media_id"]: r.asDict() for r in mm.decode_stats(ia).collect()
+    }
+    want = {d["media_id"]: d for d in mm.expected_decode_stats(n=30)}
+    assert got.keys() == want.keys()
+    for mid, w in want.items():
+        assert got[mid] == w, (mid, got[mid], w)
+
+
+def test_audio_features_empty_wav_guard():
+    """A zero-frame WAV yields all-zero features, not a ValueError."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"")
+    feats = mm._real_audio_features(buf.getvalue())
+    assert feats == [0.0] * mm.FEATURE_DIM
+
+
 def test_real_video_decode_is_explicitly_stubbed(media):
     vid = media.filter(F.col("kind") == "video")
     with pytest.raises(Exception) as ei:
