@@ -82,19 +82,52 @@ def main() -> None:
             timings[name] = min(timings[name], dt)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    sf = _sf_from_dir(SF_DIR)
+    # complete artifact (full precision, every query) → repo-root file:
+    # the driver's stdout record keeps only the LAST 2000 CHARS, so the
+    # final printed line must stay under that — the full per-query map
+    # for all ~84 queries does not fit. The file carries the full map;
+    # the line carries every non-tpch query (the perf-critical dedup/
+    # text/sim/stream/ds families) plus the tpch-family subtotal.
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "passes": passes,
+        "aggregation": "min_per_query",
+    }
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    def compact_line(decimals: int) -> str:
+        qs = {
+            n: round(t, decimals)
+            for n, t in sorted(timings.items())
+            if not n.startswith("tpch_")
+        }
+        tpch = round(
+            sum(t for n, t in timings.items() if n.startswith("tpch_")), 2
+        )
+        return json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-                "passes": passes,
-                "aggregation": "min_per_query",
-            }
+                "sf": sf,
+                "tpch_sec": tpch,
+                "full": "BENCH_FULL.json",
+                "queries": qs,
+            },
+            separators=(",", ":"),
         )
-    )
+
+    line = compact_line(2)
+    if len(line) > 1900:  # tail-window guard: degrade precision, never parse
+        line = compact_line(1)
+    assert len(line) <= 1990, f"bench line too long for driver tail: {len(line)}"
+    print(line)
     spark.stop()
 
 
