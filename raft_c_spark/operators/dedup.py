@@ -132,19 +132,9 @@ def ngram_jaccard_pairs(
         # signature store)
         codes = _doc_codes(df, id_col, text_col, n)
         if cache_key is not None:
-            import os
-            import tempfile
+            from raft_c_spark.functions.diskcache import cached_parquet
 
-            base = os.path.join(
-                tempfile.gettempdir(),
-                f"raft_c_spark_ngramcodes_{cache_key}_{n}",
-            )
-            if not os.path.exists(os.path.join(base, "_done")):
-                codes.write.mode("overwrite").parquet(
-                    os.path.join(base, "codes")
-                )
-                open(os.path.join(base, "_done"), "w").close()
-            codes = df.sparkSession.read.parquet(os.path.join(base, "codes"))
+            codes = cached_parquet(codes, f"ngramcodes_{cache_key}_n{n}_v1")
         codes = codes.cache()
         codes.count()
         vocab = _collect_vocab_codes(codes, max_bitmap_shingles)
@@ -522,22 +512,18 @@ def minhash_signatures(
 
 
 def _persisted_signatures(
-    sig: DataFrame, cache_key: str, num_perm: int
+    sig: DataFrame, cache_key: str, n: int, num_perm: int
 ) -> DataFrame:
     """Persist the (doc, signature) frame once per (cache_key, params)
     and read it back — the stored-column layout the 100 TB path uses
     (signatures computed at ingest, reused by every dedup run), same
-    pattern as similarity.lsh_index / ivf lists."""
-    import os
-    import tempfile
+    pattern as similarity.lsh_index / ivf lists. The key folds in
+    every signature-affecting parameter (shingle width ``n``,
+    permutation count, algorithm version) so a caller reusing a
+    corpus key with different params can never read stale state."""
+    from raft_c_spark.functions.diskcache import cached_parquet
 
-    base = os.path.join(
-        tempfile.gettempdir(), f"raft_c_spark_minhash_{cache_key}_{num_perm}"
-    )
-    if not os.path.exists(os.path.join(base, "_done")):
-        sig.write.mode("overwrite").parquet(os.path.join(base, "sigs"))
-        open(os.path.join(base, "_done"), "w").close()
-    return sig.sparkSession.read.parquet(os.path.join(base, "sigs"))
+    return cached_parquet(sig, f"minhash_{cache_key}_n{n}_p{num_perm}_v1")
 
 
 def minhash_lsh_pairs(
@@ -565,7 +551,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_perm)
     if cache_key is not None:
-        sig = _persisted_signatures(sig, cache_key, num_perm)
+        sig = _persisted_signatures(sig, cache_key, n, num_perm)
     sig = sig.cache()
     # eager materialization: sig feeds three plan branches (banding ×2
     # via the self-join, est-verify ×2); without forcing the cache
@@ -665,7 +651,7 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 60
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash per document over BPE-ish tokens: per-bit
     majority vote of md5-derived token hashes, as a bit-position
     aggregate — explode tokens → per-bit sums → reassemble. Whole
@@ -716,16 +702,40 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select("doc", sim.alias("simhash"))
 
 
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deprecated alias for :func:`simhash60`. The hash narrowed from
+    64 to 60 bits (and the token hash changed xxhash64 → md5) when the
+    pipeline became oracle-replicable in DuckDB — output values and
+    candidate sets are NOT compatible with the old 64-bit variant."""
+    return simhash60(df, id_col, text_col)
+
+
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance. Candidate blocking:
     split the 60-bit hash into 4 × 15-bit chunks — any pair within
     hamming ≤ 3 shares at least one exact chunk (pigeonhole); larger
     ``max_hamming`` still prunes most of the n² space. Scale path:
-    equi-join per chunk, never all-pairs."""
+    equi-join per chunk, never all-pairs.
+
+    ``cache_key`` persists the (doc, simhash) signature frame per
+    corpus (same stored-column layout as the minhash signatures) —
+    the md5 vocabulary hashing that makes the signatures
+    oracle-replicable is paid once per corpus, not per run."""
     chunk_bits = SIMHASH_BITS // 4
-    sig = simhash64(df, id_col, text_col).cache()
+    sig = simhash60(df, id_col, text_col)
+    if cache_key is not None:
+        from raft_c_spark.functions.diskcache import cached_parquet
+
+        sig = cached_parquet(
+            sig, f"simhash{SIMHASH_BITS}_{cache_key}_v1"
+        )
+    sig = sig.cache()
     chunks = sig.select(
         "doc",
         "simhash",

@@ -86,7 +86,10 @@ def q_dedup_simhash(spark, sf_dir):
     blocking. Hash-oracled: md5-derived token hashes are identical in
     DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=6)
+    return dedup.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=6,
+        cache_key=_data_cache_key(sf_dir, "documents"),
+    )
 
 
 def q_dedup_embedding(spark, sf_dir):

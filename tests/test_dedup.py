@@ -71,8 +71,8 @@ def test_simhash_finds_near_dups(docs):
 
 
 def test_simhash_deterministic(docs):
-    a = {r["doc"]: r["simhash"] for r in dedup.simhash64(docs, "doc_id", "text").collect()}
-    b = {r["doc"]: r["simhash"] for r in dedup.simhash64(docs, "doc_id", "text").collect()}
+    a = {r["doc"]: r["simhash"] for r in dedup.simhash60(docs, "doc_id", "text").collect()}
+    b = {r["doc"]: r["simhash"] for r in dedup.simhash60(docs, "doc_id", "text").collect()}
     assert a == b
 
 
