@@ -985,21 +985,98 @@ def embedding_neardup_pairs(
         return probe.mapInPandas(kernel, "a long, b long, cosine double")
 
     v = with_norm(df, id_col, vec_col, dim)
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    a = v.repartition(n_part).select(
-        F.col("doc").alias("a"), F.col("vec").alias("va"), F.col("norm").alias("na")
-    )
-    b = v.select(
-        F.col("doc").alias("b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
-    )
-    from raft_c_spark.operators.similarity import dot_fold
+    return _blocked_exact_pairs(v, dim, n, threshold)
 
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", dot_fold("va", "vb") / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine") >= threshold)
-        .select("a", "b", "cosine")
+
+def _blocked_exact_pairs(
+    v: DataFrame,
+    dim: int,
+    n: int,
+    threshold: float,
+    block_bytes: int = 32 << 20,
+) -> DataFrame:
+    """Exact all-pairs cosine above the broadcast cap: block-pair
+    decomposition. Rows hash into B blocks sized so one block's
+    matrix is ~``block_bytes``; every unordered block pair (pa ≤ pb)
+    becomes one task whose rows arrive via two equi-joins against a
+    tiny broadcast (pa, pb) frame, and the task scores its two blocks
+    with the same dimension-by-dimension numpy accumulation as the
+    under-cap kernel (identical fp-add order → identical cosines).
+
+    Work stays O(n²·dim) — that is what exact all-pairs means — but
+    the physical plan is broadcast-join + one shuffle of n·(B+1)/2
+    replicated rows + embarrassingly-parallel numpy blocks: no
+    CartesianProduct, no per-pair interpreted fold, no driver-side
+    corpus. B grows as √(total work) per block budget, so executor
+    memory stays flat at any n."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    spark = v.sparkSession
+    B = int(max(2, math.ceil(n * dim * 8 / block_bytes)))
+    id_t = v.schema["doc"].dataType.simpleString()
+    blocked = v.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("doc")), F.lit(B)).cast("int")
+    )
+    pair_rows = [(i, j) for i in range(B) for j in range(i, B)]
+    pairs_all = spark.createDataFrame(pair_rows, "pa int, pb int")
+    pairs_off = pairs_all.filter(F.col("pa") < F.col("pb"))
+    side_a = F.broadcast(pairs_all).join(
+        blocked.withColumnRenamed("blk", "pa"), "pa"
+    ).select("pa", "pb", F.lit("a").alias("side"), "doc", "vec", "norm")
+    # diagonal block-pairs (pa == pb) self-score their 'a' rows, so
+    # the 'b' side ships only off-diagonal pairs — no double shuffle
+    side_b = F.broadcast(pairs_off).join(
+        blocked.withColumnRenamed("blk", "pb"), "pb"
+    ).select("pa", "pb", F.lit("b").alias("side"), "doc", "vec", "norm")
+    work = side_a.unionByName(side_b)
+
+    def kernel(key, pdf):
+        pa, pb = key
+        rows_a = pdf[pdf["side"] == "a"]
+        ids_a = rows_a["doc"].to_numpy()
+        if len(ids_a) == 0:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        ma = np.stack(rows_a["vec"].to_numpy()).astype(np.float64)
+        na = rows_a["norm"].to_numpy(dtype=np.float64)
+        if pa == pb:
+            ids_b, mb, nb = ids_a, ma, na
+        else:
+            rows_b = pdf[pdf["side"] == "b"]
+            ids_b = rows_b["doc"].to_numpy()
+            if len(ids_b) == 0:
+                return pd.DataFrame({"a": [], "b": [], "cosine": []})
+            mb = np.stack(rows_b["vec"].to_numpy()).astype(np.float64)
+            nb = rows_b["norm"].to_numpy(dtype=np.float64)
+        acc = np.zeros((len(ids_a), len(ids_b)))
+        for i in range(dim):
+            acc += np.outer(ma[:, i], mb[:, i])
+        cos = acc / np.outer(na, nb)
+        xi, yi = np.nonzero((cos >= threshold) & (ids_a[:, None] < ids_b[None, :]))
+        out = pd.DataFrame(
+            {"a": ids_a[xi], "b": ids_b[yi], "cosine": cos[xi, yi]}
+        )
+        if pa != pb:
+            # hash-blocking doesn't align with id order: pairs where
+            # the pb-side id is the smaller one live here too
+            xj, yj = np.nonzero(
+                (cos >= threshold) & (ids_a[:, None] > ids_b[None, :])
+            )
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {"a": ids_b[yj], "b": ids_a[xj], "cosine": cos[xj, yj]}
+                    ),
+                ],
+                ignore_index=True,
+            )
+        return out
+
+    return work.groupBy("pa", "pb").applyInPandas(
+        kernel, f"a {id_t}, b {id_t}, cosine double"
     )
 
 

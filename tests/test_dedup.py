@@ -130,6 +130,32 @@ def test_embedding_neardup_planted(spark, sf_dir):
     assert {(r["a"], r["b"]) for r in pairs} == {(7, 90001)}
 
 
+def test_embedding_neardup_blocked_matches_broadcast(spark, sf_dir, monkeypatch):
+    """The above-cap blocked block-pair path must return exactly the
+    under-cap broadcast-kernel result (same fp accumulation order),
+    and its plan must contain no CartesianProduct."""
+    from raft_c_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 120
+    )
+    want = {
+        (r["a"], r["b"], r["cosine"])
+        for r in dedup.embedding_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.2
+        ).collect()
+    }
+    assert want, "threshold too high: empty baseline makes the test vacuous"
+    monkeypatch.setattr(similarity, "_VERIFY_BROADCAST_BYTES", 1)
+    blocked = dedup.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.2
+    )
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan, plan
+    got = {(r["a"], r["b"], r["cosine"]) for r in blocked.collect()}
+    assert got == want
+
+
 def test_repeated_substring_spans_semantics(spark):
     """Planted 61-char shared substring across two docs → one maximal
     span each at the right offsets; a unique doc gets none; a doc
