@@ -308,13 +308,25 @@ def _word_ngrams(
     )
 
 
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's logical-plan size estimate (file statistics — no
+    job runs). Unknown stats report as huge, which safely disables
+    size-gated broadcasts."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:
+        return 1 << 62
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
-    broadcast_max_eval_docs: int = 100_000,
+    broadcast_max_eval_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Benchmark decontamination: training documents sharing any word
     n-gram with the eval/benchmark set, with the count of distinct
@@ -323,19 +335,24 @@ def decontaminate(
     collisions against held-out benchmarks).
 
     Scale shape: the eval side is benchmarks — thousands of docs
-    against a 100 TB corpus — so its distinct gram set broadcasts
-    (size-gated on the eval row count; above the gate it falls back
-    to a shuffle equi-join on gram). The training side streams
-    tokenize → explode → broadcast-hash join at scan parallelism
-    with NO pre-shuffle: the join acts as a map-side filter, and
-    only the surviving (rare) hit rows shuffle into the final
-    distinct-gram count. Never all-pairs, no driver materialization.
+    against a 100 TB corpus — so its distinct gram set broadcasts.
+    The gate is the eval side's *byte* size from Catalyst file
+    statistics (zero jobs at plan time; a byte gate also catches the
+    few-huge-docs corpus a row-count gate would wave through —
+    ~64 MB of raw text bounds the gram-string set at a few hundred
+    MB). Above the gate no hint is planted and AQE picks the join
+    strategy from the gram set's measured runtime size. The training
+    side streams tokenize → explode → broadcast-hash join at scan
+    parallelism with NO pre-shuffle: the join acts as a map-side
+    filter, and only the surviving (rare) hit rows shuffle into the
+    final distinct-gram count. Never all-pairs, no driver
+    materialization.
     """
     eval_grams = (
         _word_ngrams(eval_df, id_col, text_col, n).select("gram").distinct()
     )
     right = eval_grams
-    if eval_df.count() <= broadcast_max_eval_docs:
+    if _estimated_bytes(eval_df) <= broadcast_max_eval_bytes:
         right = F.broadcast(eval_grams)
     return (
         _word_ngrams(train, id_col, text_col, n)
