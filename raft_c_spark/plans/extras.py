@@ -7,7 +7,12 @@ tests/test_entry_contract.py as in-window queries."""
 
 from __future__ import annotations
 
-from raft_c_spark.plans.multimodal import q_mm_features, q_mm_frame_index
+from raft_c_spark.plans.multimodal import (
+    frames_expected_parquet_path,
+    q_mm_features,
+    q_mm_frame_index,
+    q_mm_real_frames,
+)
 from raft_c_spark.plans.semistructured import q_ev_approx_profile
 from raft_c_spark.plans.similarity import q_sim_topk_ivf
 
@@ -33,6 +38,7 @@ QUERIES = {
     "sim_topk_ivf": q_sim_topk_ivf,
     "mm_features": q_mm_features,
     "mm_frame_index": q_mm_frame_index,
+    "mm_real_frames": q_mm_real_frames,
     "ev_approx_profile": q_ev_approx_profile,
     "dedup_repeated_spans": q_dedup_repeated_spans,
 }
@@ -73,4 +79,9 @@ ORACLES: dict[str, str] = {
                COUNT(*)::BIGINT AS n_grams
         FROM i GROUP BY doc_id, island
     """,
+    "mm_real_frames": (
+        "SELECT media_id, frame_idx, frame_ts_ms, width, height, "
+        "y_sum, y_min, y_max "
+        f"FROM read_parquet('{frames_expected_parquet_path()}')"
+    ),
 }

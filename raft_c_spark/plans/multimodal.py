@@ -66,11 +66,14 @@ def q_mm_real_decode(spark, sf_dir):
     return mm.decode_stats(media)
 
 
-def expected_parquet_path() -> str:
-    """Materialize the ground-truth decode stats as parquet (pure
-    pyarrow, no Spark — the oracle side runs without a session) under
-    the repo-local cache, atomically, keyed by every generation
-    parameter; return the absolute path for read_parquet()."""
+MM_EVERY_MS = 500  # frame-sampling stride for the real video query
+
+
+def _ground_truth_parquet(key: str, rows: list[dict], fields: list) -> str:
+    """Materialize ground-truth rows as parquet (pure pyarrow, no
+    Spark — the oracle side runs without a session) under the
+    repo-local cache, atomically; return the absolute path for
+    read_parquet()."""
     import os
 
     import pyarrow as pa
@@ -78,30 +81,69 @@ def expected_parquet_path() -> str:
 
     from raft_c_spark.functions import diskcache
 
-    key = (
-        f"mm_decode_expected_v{MM_EXPECTED_VERSION}"
-        f"_n{MM_N}_seed{MM_SEED}.parquet"
-    )
     final = diskcache.cache_path(key)
     if not os.path.exists(final):
         os.makedirs(diskcache.cache_root(), exist_ok=True)
-        rows = mm.expected_decode_stats(n=MM_N, seed=MM_SEED)
-        schema = pa.schema(
-            [
-                ("media_id", pa.int64()),
-                ("kind", pa.string()),
-                ("width", pa.int64()),
-                ("height", pa.int64()),
-                ("n_units", pa.int64()),
-                ("val_sum", pa.int64()),
-                ("val_min", pa.int64()),
-                ("val_max", pa.int64()),
-            ]
-        )
         staging = f"{final}.tmp.{os.getpid()}"
-        pq.write_table(pa.Table.from_pylist(rows, schema=schema), staging)
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=pa.schema(fields)), staging
+        )
         diskcache.publish_atomic(staging, final)
     return final
+
+
+def expected_parquet_path() -> str:
+    """Ground-truth decode stats (pre-encode pixel/sample arrays) for
+    the mm_real_decode oracle, keyed by every generation parameter."""
+    import pyarrow as pa
+
+    return _ground_truth_parquet(
+        f"mm_decode_expected_v{MM_EXPECTED_VERSION}"
+        f"_n{MM_N}_seed{MM_SEED}.parquet",
+        mm.expected_decode_stats(n=MM_N, seed=MM_SEED),
+        [
+            ("media_id", pa.int64()),
+            ("kind", pa.string()),
+            ("width", pa.int64()),
+            ("height", pa.int64()),
+            ("n_units", pa.int64()),
+            ("val_sum", pa.int64()),
+            ("val_min", pa.int64()),
+            ("val_max", pa.int64()),
+        ],
+    )
+
+
+def frames_expected_parquet_path() -> str:
+    """Ground-truth sampled-frame stats (pre-encode frame arrays) for
+    the mm_real_frames oracle."""
+    import pyarrow as pa
+
+    return _ground_truth_parquet(
+        f"mm_frames_expected_v{MM_EXPECTED_VERSION}"
+        f"_n{MM_N}_seed{MM_SEED}_e{MM_EVERY_MS}.parquet",
+        mm.expected_frame_stats(n=MM_N, seed=MM_SEED, every_ms=MM_EVERY_MS),
+        [
+            ("media_id", pa.int64()),
+            ("frame_idx", pa.int64()),
+            ("frame_ts_ms", pa.int64()),
+            ("width", pa.int64()),
+            ("height", pa.int64()),
+            ("y_sum", pa.int64()),
+            ("y_min", pa.int64()),
+            ("y_max", pa.int64()),
+        ],
+    )
+
+
+def q_mm_real_frames(spark, sf_dir):
+    """REAL video decode end-to-end: y4m payloads genuinely decoded
+    (stdlib codec — functions/y4m.py), one row of exact-integer
+    Y-plane stats per sampled frame. The oracle reads the pre-encode
+    ground truth, so a hash match proves the y4m round-trip and the
+    ts→frame mapping are exact."""
+    media = mm.synthetic_media(spark, n=MM_N, seed=MM_SEED)
+    return mm.frame_stats(media, every_ms=MM_EVERY_MS)
 
 
 QUERIES = {
