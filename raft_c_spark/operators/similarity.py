@@ -475,13 +475,40 @@ def pair_signatures(
     )
 
 
+def auto_lsh_params(
+    n: int,
+    threshold: float,
+    bucket_target: int = 32,
+    target_recall: float = 0.95,
+) -> tuple[int, int]:
+    """Corpus-size-aware hyperplane-LSH parameters. ``bits`` grows
+    with log(n) so the expected bucket stays ~``bucket_target`` rows
+    (candidates per table ≈ n·bucket_target/2 — linear in n instead
+    of n²/2^bits with fixed bits); ``tables`` then compensates the
+    longer signatures to hold per-true-pair recall at
+    ``target_recall`` via 1-(1-p^bits)^tables with p = 1 - θ/π."""
+    import math
+
+    bits = max(4, math.ceil(math.log2(max(n, 2) / bucket_target)))
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    per_table = p**bits
+    if per_table >= 1.0:
+        tables = 1
+    else:
+        tables = min(
+            64,
+            max(2, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_table))),
+        )
+    return bits, tables
+
+
 def lsh_bucketed_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.9,
-    bits: int = 10,
-    tables: int = 8,
+    bits: int | None = 10,
+    tables: int | None = 8,
 ) -> DataFrame:
     """Embedding near-duplicate *pairs* via multi-table hyperplane LSH
     — the 100 TB path for pair-dedup (mirrors the MinHash shape):
@@ -494,9 +521,17 @@ def lsh_bucketed_pairs(
        (≈0.97 at cosine 0.95 with the defaults).
 
     Candidate count tracks bucket density (n²/2^bits per table for
-    random data), so ``bits`` is the scale knob; the verify joins are
-    plain equi-joins on doc id and shuffle at corpus size."""
+    random data), so ``bits`` is the scale knob; pass ``bits=None``
+    (and/or ``tables=None``) to size both from the corpus via
+    :func:`auto_lsh_params` — fixed bits at 10× the data means 100×
+    the candidates, auto bits keeps candidates linear. The verify
+    joins are plain equi-joins on doc id and shuffle at corpus
+    size."""
     dim = vec_dim(df, vec_col)
+    if bits is None or tables is None:
+        a_bits, a_tables = auto_lsh_params(df.count(), threshold)
+        bits = a_bits if bits is None else bits
+        tables = a_tables if tables is None else tables
     sigs = pair_signatures(df, id_col, vec_col, bits, tables).cache()
     n_rows = sigs.count()  # forces cache + prices the broadcast hint
     y_side = sigs.alias("y")

@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""10x scaling soak: measure per-query runtime at two corpus scales
+generated from the SAME process, and report the scaling ratio.
+
+The driver's synthetic documents have a 31-word vocabulary, which
+forces exact n-gram Jaccard onto its bitmap (all-pairs, O(n^2) by
+design) branch and makes scaling exponents meaningless for the
+100 TB question. This soak instead generates a Zipfian ~5000-word
+corpus (realistic char-trigram space -> the prefix AllPairs path,
+the branch a real corpus rides) with planted exact/near duplicates
+at fixed RATES, at 5k and 50k docs, and times the scale-relevant
+operators at both.
+
+Usage: python scripts/soak.py [--small 5000] [--big 50000]
+Writes parquet under <repo>/.soak/ and prints a markdown table for
+SCALING.md. A 10x data ratio with near-linear cost shows ~10x time;
+the quadratic baselines are expected and annotated as such.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+LANGS = [("en", 0.41), ("zh", 0.15), ("fr", 0.15), ("es", 0.15), ("de", 0.14)]
+
+
+def gen_documents(n_docs: int, seed: int, out_dir: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    # Zipfian vocabulary of random letter words (3-8 chars): char
+    # trigram space is large, so ngram_jaccard auto-dispatches to the
+    # prefix path like real text
+    vocab_n = 5000
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    vocab = [
+        "".join(rng.choice(letters, size=rng.integers(3, 9)))
+        for _ in range(vocab_n)
+    ]
+    ranks = np.arange(1, vocab_n + 1, dtype=np.float64)
+    probs = (1.0 / ranks) / (1.0 / ranks).sum()
+
+    texts: list[str] = []
+    for i in range(n_docs):
+        ln = max(8, int(rng.normal(50, 15)))
+        words = rng.choice(vocab_n, size=ln, p=probs)
+        texts.append(" ".join(vocab[w] for w in words))
+    # planted duplicates at fixed rates so output size scales
+    # linearly with the corpus: 0.5% exact clones, 2% near clones
+    # (~6% of words resampled -> Jaccard ~0.85 on trigrams)
+    n_exact, n_near = int(n_docs * 0.005), int(n_docs * 0.02)
+    clone_src = rng.choice(n_docs - n_exact - n_near, size=n_exact + n_near)
+    for k in range(n_exact):
+        texts[n_docs - 1 - k] = texts[clone_src[k]]
+    for k in range(n_near):
+        src = texts[clone_src[n_exact + k]].split()
+        for j in rng.choice(len(src), size=max(1, len(src) // 16)):
+            src[j] = vocab[rng.choice(vocab_n, p=probs)]
+        texts[n_docs - 1 - n_exact - k] = " ".join(src)
+
+    langs = rng.choice(
+        [l for l, _ in LANGS], size=n_docs, p=[p for _, p in LANGS]
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array([str(x) for x in langs]),
+            "source": pa.array([f"src{i % 20}" for i in range(n_docs)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
+
+
+def gen_embeddings(n_vecs: int, seed: int, out_dir: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed + 1)
+    m = rng.normal(size=(n_vecs, 64)).astype(np.float32)
+    n_near = int(n_vecs * 0.01)
+    src = rng.choice(n_vecs - n_near, size=n_near)
+    m[n_vecs - n_near :] = m[src] * 1.001
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in m], pa.list_(pa.float32())),
+            "label": pa.array(
+                rng.integers(0, 10, size=n_vecs).tolist(), pa.int32()
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
+
+
+def _q_ngram_word(spark, sf_dir):
+    """The 100 TB exact-Jaccard branch: word-gram shingles (large
+    universe keeps the prefix filter selective). Char-gram exact
+    Jaccard is inherently ~quadratic at scale (few-thousand-entry
+    universe saturates every candidate join — both strategies
+    measured super-linear) and is served by the bitmap branch /
+    minhash instead. Threshold 0.6: the planted near-clones resample
+    ~6% of words, which costs ~18% of word trigrams."""
+    from raft_c_spark.operators import dedup
+    from raft_c_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, strategy="prefix",
+        unit="word",
+    )
+
+
+def _q_embedding_lsh_auto(spark, sf_dir):
+    """Hyperplane LSH in its win region (high threshold, planted
+    near-dups) with corpus-sized bits/tables — the registry query's
+    fixed bits=4 / threshold=0.40 regime is near-quadratic by
+    construction on random vectors."""
+    from raft_c_spark.operators import similarity
+    from raft_c_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_pairs(
+        emb, "vec_id", "embedding", threshold=0.9, bits=None, tables=None
+    )
+
+
+#: (label, registry-name-or-callable, scaling expectation note)
+SOAK_QUERIES = [
+    ("dedup_exact_groups", None, "linear (one hash aggregate)"),
+    ("ngram_jaccard_word", _q_ngram_word,
+     "near-linear (word-gram prefix⋈prefix, candidates ~ dup rate)"),
+    ("dedup_minhash_lsh", None, "near-linear (band bucket join ~ dup density)"),
+    ("dedup_simhash", None, "near-linear (chunk-key equi-join)"),
+    ("embedding_lsh_auto", _q_embedding_lsh_auto,
+     "near-linear (auto-sized hyperplane buckets)"),
+    ("dedup_components", None,
+     "input = exact embedding pair baseline: quadratic by construction"),
+    ("text_analyze", None, "linear (codegen column exprs)"),
+    ("text_winnow", None, "linear (Arrow numpy kernel)"),
+    ("text_tfidf_terms", None, "linear + top-k"),
+    ("text_chunks", None, "linear, shuffle-free"),
+    ("ds_pack_sequences", None, "linear (two-phase prefix sum)"),
+    ("ds_mixture_sample", None, "linear, shuffle-free"),
+    ("sim_topk_lsh", None, "probe-side ~constant, index build linear"),
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", type=int, default=5000)
+    ap.add_argument("--big", type=int, default=50000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--passes", type=int, default=2)
+    args = ap.parse_args()
+
+    scales = {"small": args.small, "big": args.big}
+    dirs = {}
+    for name, n in scales.items():
+        d = os.path.join(REPO, ".soak", f"docs{n}")
+        os.makedirs(d, exist_ok=True)
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            gen_documents(n, args.seed, d)
+            gen_embeddings(max(200, n * 2 // 5), args.seed, d)
+        dirs[name] = d
+
+    from raft_c_spark.plans.registry import all_queries
+    from raft_c_spark.session import get_spark
+
+    spark = get_spark(app_name="soak")
+    # the soak corpora are single parquet files; without a smaller
+    # split size one file = one input split and every ratio silently
+    # measures parallelism loss instead of the algorithm
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 20))
+    spark.range(8).mapInPandas(lambda it: it, "id long").count()
+    qs = all_queries()
+
+    results: dict[str, dict[str, float]] = {}
+    for scale in ("small", "big"):
+        for label, fn, _ in SOAK_QUERIES:
+            call = fn if fn is not None else qs[label]
+            best = None
+            for _ in range(args.passes):
+                t0 = time.perf_counter()
+                df = call(spark, dirs[scale])
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(label, {})[scale] = best
+            print(f"[{scale}:{scales[scale]}] {label}: {best:.2f}s", flush=True)
+
+    ratio_data = scales["big"] / scales["small"]
+    print(f"\n| query | {scales['small']} docs (s) | {scales['big']} docs (s) "
+          f"| ratio (data {ratio_data:.0f}x) | expectation |")
+    print("|---|---|---|---|---|")
+    for label, _, note in SOAK_QUERIES:
+        s, b = results[label]["small"], results[label]["big"]
+        print(f"| {label} | {s:.2f} | {b:.2f} | {b / max(s, 1e-9):.1f}x | {note} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

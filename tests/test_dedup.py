@@ -117,6 +117,23 @@ def test_shingle_df_cap_is_usable(docs):
     assert len(t & c) / len(t) >= 0.8
 
 
+def test_word_unit_prefix_matches_join(docs):
+    """Word-gram shingles (the corpus-dedup standard unit): the
+    prefix-filter path must agree exactly with the plain equi-join
+    verifier."""
+    got = {}
+    for s in ("prefix", "join"):
+        got[s] = {
+            (r["a"], r["b"], round(r["jaccard"], 9))
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.5,
+                strategy=s, unit="word",
+            ).collect()
+        }
+    assert got["prefix"] == got["join"]
+    assert got["join"], "threshold too high: empty result is vacuous"
+
+
 def test_embedding_neardup_planted(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
