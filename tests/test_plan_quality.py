@@ -237,7 +237,7 @@ def test_stream_state_partitions_ignore_session_conf(spark, sf_dir):
     shuffle default (the verification harness builds its own session
     with arbitrary confs): the count is a pure function of input
     volume and core parallelism."""
-    from raft_c_spark.plans.streaming import _state_partitions
+    from raft_c_spark.plans.streaming import STATE_FLOOR, _state_partitions
 
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
@@ -249,9 +249,9 @@ def test_stream_state_partitions_ignore_session_conf(spark, sf_dir):
     finally:
         spark.conf.set(key, prev)
     assert n200 == n3, "state partitions must not depend on session conf"
-    assert n200 == 8  # tiny test file → floor
+    assert n200 == STATE_FLOOR  # tiny test file → floor
     cores = spark.sparkContext.defaultParallelism
-    assert n200 <= max(8, cores)
+    assert n200 <= max(STATE_FLOOR, cores)
 
 
 def test_stream_query_restores_shuffle_conf(spark, sf_dir):
