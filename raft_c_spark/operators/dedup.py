@@ -62,8 +62,11 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     entry universe saturates every candidate join. Column-expression
     sliding window — no UDF."""
     toks = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
+    # guarded index list: sequence(1, 0) would DESCEND ([1, 0]) for
+    # docs shorter than n words, so clamp to 1 and filter instead
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)),"
+        f"transform(filter(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
+        f" i -> i + {n - 1} <= size(_toks)),"
         f" i -> concat_ws(' ', slice(_toks, i, {n})))"
     )
     return (

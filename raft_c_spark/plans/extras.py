@@ -17,6 +17,24 @@ from raft_c_spark.plans.semistructured import q_ev_approx_profile
 from raft_c_spark.plans.similarity import q_sim_topk_ivf
 
 SPAN_LEN = 40
+WORD_JACCARD_T = 0.5  # word-trigram threshold (Gopher-style overlap)
+
+
+def q_dedup_ngram_word(spark, sf_dir):
+    """Word-trigram exact Jaccard pairs via the prefix⋈prefix
+    AllPairs path — the 100 TB branch for exact text dedup (the
+    word-gram universe ~vocab^n keeps the prefix filter selective at
+    any corpus size; measured near-linear in the 10x soak, see
+    SCALING.md). Hash-oracled against a DuckDB replay of the same
+    normalization + gram construction."""
+    from raft_c_spark.operators import dedup
+    from raft_c_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=WORD_JACCARD_T,
+        strategy="prefix", unit="word",
+    )
 
 
 def q_dedup_repeated_spans(spark, sf_dir):
@@ -39,6 +57,7 @@ QUERIES = {
     "mm_features": q_mm_features,
     "mm_frame_index": q_mm_frame_index,
     "mm_real_frames": q_mm_real_frames,
+    "dedup_ngram_word": q_dedup_ngram_word,
     "ev_approx_profile": q_ev_approx_profile,
     "dedup_repeated_spans": q_dedup_repeated_spans,
 }
@@ -84,4 +103,29 @@ ORACLES: dict[str, str] = {
         "y_sum, y_min, y_max "
         f"FROM read_parquet('{frames_expected_parquet_path()}')"
     ),
+    "dedup_ngram_word": f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id AS doc, g AS shingle FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(toks[i:i+2], ' ')
+                               FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS g
+                FROM (SELECT doc_id,
+                             string_split(lower(trim(regexp_replace(text,
+                                 '\\s+', ' ', 'g'))), ' ') AS toks
+                      FROM documents)
+            )
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+        common AS (
+            SELECT x.doc AS a, y.doc AS b, COUNT(*) AS c
+            FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc < y.doc
+            GROUP BY x.doc, y.doc
+        )
+        SELECT a, b,
+               CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc = a
+        JOIN sizes sb ON sb.doc = b
+        WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= {WORD_JACCARD_T}
+    """,
 }
