@@ -134,6 +134,18 @@ def test_word_unit_prefix_matches_join(docs):
     assert got["join"], "threshold too high: empty result is vacuous"
 
 
+def test_word_shingles_short_docs(spark):
+    """Docs shorter than n words yield zero shingles (sequence(1, 0)
+    descends in Spark — the guard must filter, not emit junk)."""
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "three words here"), (4, " ")],
+        "doc_id long, text string",
+    )
+    rows = dedup.word_shingles(df, "doc_id", "text", n=3).collect()
+    assert {r["doc"] for r in rows} == {3}
+    assert [r["shingle"] for r in rows] == ["three words here"]
+
+
 def test_embedding_neardup_planted(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
