@@ -17,11 +17,18 @@ from raft_c_spark.plans.semistructured import q_ev_approx_profile
 from raft_c_spark.plans.similarity import q_sim_topk_ivf
 
 SPAN_LEN = 40
-WORD_JACCARD_T = 0.5  # word-trigram threshold (Gopher-style overlap)
+# Word n-gram Jaccard params. The driver corpus draws from a 31-word
+# vocabulary, so SHORT word grams are as hot as char grams and the
+# prefix filter saturates (n=3/t=0.5 measured 6.6s at sf0.1, n=3/
+# t=0.8 still 4.2s); 5-grams make the universe selective again (the
+# published corpus-dedup configs use 8-13-grams for the same reason).
+# Real Zipfian corpora are near-linear even at n=3 (SCALING.md soak).
+WORD_JACCARD_N = 5
+WORD_JACCARD_T = 0.8
 
 
 def q_dedup_ngram_word(spark, sf_dir):
-    """Word-trigram exact Jaccard pairs via the prefix⋈prefix
+    """Word 5-gram exact Jaccard pairs via the prefix⋈prefix
     AllPairs path — the 100 TB branch for exact text dedup (the
     word-gram universe ~vocab^n keeps the prefix filter selective at
     any corpus size; measured near-linear in the 10x soak, see
@@ -32,7 +39,7 @@ def q_dedup_ngram_word(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=WORD_JACCARD_T,
+        docs, "doc_id", "text", n=WORD_JACCARD_N, threshold=WORD_JACCARD_T,
         strategy="prefix", unit="word",
     )
 
@@ -107,8 +114,8 @@ ORACLES: dict[str, str] = {
         WITH sh AS (
             SELECT DISTINCT doc_id AS doc, g AS shingle FROM (
                 SELECT doc_id,
-                       unnest([array_to_string(toks[i:i+2], ' ')
-                               FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS g
+                       unnest([array_to_string(toks[i:i+{WORD_JACCARD_N - 1}], ' ')
+                               FOR i IN range(1, greatest(len(toks) - {WORD_JACCARD_N - 1}, 0) + 1)]) AS g
                 FROM (SELECT doc_id,
                              string_split(lower(trim(regexp_replace(text,
                                  '\\s+', ' ', 'g'))), ' ') AS toks
