@@ -342,6 +342,8 @@ def sample_frames(
                 dur = int(r["duration_ms"] or 0)
                 if decode == "real":
                     frames, (fnum, fden) = y4m_decode(bytes(r["payload"]))
+                    if len(frames) == 0:
+                        continue  # zero-frame stream: nothing to sample
                 for idx, ts in enumerate(range(0, max(dur, 1), every_ms)):
                     if decode == "real":
                         fi = min(
@@ -432,6 +434,8 @@ def frame_stats(df: DataFrame, every_ms: int) -> DataFrame:
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
                 frames, (fnum, fden) = y4m_decode(bytes(payload))
+                if len(frames) == 0:
+                    continue  # zero-frame stream: nothing to sample
                 for ts in range(0, max(int(dur or 0), 1), every_ms):
                     fi = min(len(frames) - 1, ts * fnum // (1000 * max(fden, 1)))
                     rows.append(_y_plane_stats(mid, fi, ts, frames[fi]))
