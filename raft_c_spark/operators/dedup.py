@@ -584,6 +584,25 @@ def _persisted_signatures(
     return cached_parquet(sig, f"minhash_{cache_key}_n{n}_p{num_perm}_v1")
 
 
+def _band_frame(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc, band, bucket) — one xxhash64 bucket per signature band."""
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[
+                    F.col("signature")[i]
+                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -616,21 +635,7 @@ def minhash_lsh_pairs(
     # first, AQE races the branches and computes the full signature
     # pipeline repeatedly. The count also prices the broadcast hints.
     n_docs = sig.count()
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[
-                    F.col("signature")[i]
-                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                ]
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "doc", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc", "bb.band", "bb.bucket")
+    banded = _band_frame(sig, bands, rows_per_band)
     # size-conditional broadcast of the (docs × bands)-row banded
     # frame: below the cap the hint pins a broadcast hash join (AQE
     # sometimes flaps to a 3-4x-slower sort-merge plan); above it the
@@ -686,6 +691,111 @@ def minhash_lsh_pairs(
     # unrolled equal-component count (see dot_unrolled rationale)
     siga = sig.select(F.col("doc").alias("a"), F.col("signature").alias("sig_a"))
     sigb = sig.select(F.col("doc").alias("b"), F.col("signature").alias("sig_b"))
+    matches: F.Column | None = None
+    for i in range(num_perm):
+        term = F.when(
+            F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1), 1
+        ).otherwise(0)
+        matches = term if matches is None else matches + term
+    est = matches / F.lit(float(num_perm))
+    return (
+        cand.join(siga, "a")
+        .join(sigb, "b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a", "b", "est_jaccard")
+    )
+
+
+def minhash_lsh_pairs_between(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 8,
+    threshold: float = 0.5,
+    corpus_cache_key: str | None = None,
+) -> DataFrame:
+    """Incremental near-dup dedup: (new doc, corpus doc) pairs with
+    estimated Jaccard ≥ threshold — the production shape where each
+    incoming crawl batch is deduplicated AGAINST the standing corpus
+    rather than within itself. Same banded-LSH mechanics as
+    :func:`minhash_lsh_pairs`, but candidates come from a band-bucket
+    equi-join BETWEEN the two signature frames, so cost tracks the
+    batch size and the collision density, never the corpus pair
+    count.
+
+    100 TB shape: the corpus signatures are a stored column
+    (``corpus_cache_key`` persists them; at ingest they'd be written
+    alongside the text), each batch computes only its own signatures,
+    and the join broadcasts whichever banded side is small — the
+    typical case being the incoming batch. Returns (a=new id,
+    b=corpus id, est_jaccard); ids may overlap between frames (they
+    are different tables), so no cross-frame id ordering is assumed.
+    """
+    rows_per_band = num_perm // bands
+    sig_new = minhash_signatures(new_df, id_col, text_col, n, num_perm).cache()
+    sig_corp = minhash_signatures(corpus_df, id_col, text_col, n, num_perm)
+    if corpus_cache_key is not None:
+        sig_corp = _persisted_signatures(
+            sig_corp, corpus_cache_key, n, num_perm
+        )
+    sig_corp = sig_corp.cache()
+    n_new, n_corp = sig_new.count(), sig_corp.count()
+    x = _band_frame(sig_new, bands, rows_per_band).alias("x")
+    y = _band_frame(sig_corp, bands, rows_per_band).alias("y")
+    if n_corp * bands <= _BROADCAST_MAX_BANDED_ROWS:
+        y = F.broadcast(y)
+    elif n_new * bands <= _BROADCAST_MAX_BANDED_ROWS:
+        x = F.broadcast(x)
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket")),
+        )
+        .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .distinct()
+    )
+    if n_new + n_corp <= _BROADCAST_MAX_SIG_ROWS:
+        import numpy as np
+        import pandas as pd
+
+        def pack(sig):
+            spdf = sig.toPandas()
+            ids = spdf["doc"].to_numpy(dtype=np.int64)
+            sm = np.array(
+                [np.asarray(s, dtype=np.int64) for s in spdf["signature"]]
+            )
+            order = np.argsort(ids)
+            return ids[order], sm[order]
+
+        bc = new_df.sparkSession.sparkContext.broadcast(
+            (pack(sig_new), pack(sig_corp))
+        )
+
+        def kernel(batches):
+            (aids, asm), (bids, bsm) = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                a = pdf["a"].to_numpy(dtype=np.int64)
+                b = pdf["b"].to_numpy(dtype=np.int64)
+                est = (
+                    asm[np.searchsorted(aids, a)]
+                    == bsm[np.searchsorted(bids, b)]
+                ).sum(axis=1) / float(num_perm)
+                keep = est >= threshold
+                yield pd.DataFrame(
+                    {"a": a[keep], "b": b[keep], "est_jaccard": est[keep]}
+                )
+
+        return cand.mapInPandas(kernel, "a long, b long, est_jaccard double")
+
+    siga = sig_new.select(F.col("doc").alias("a"), F.col("signature").alias("sig_a"))
+    sigb = sig_corp.select(F.col("doc").alias("b"), F.col("signature").alias("sig_b"))
     matches: F.Column | None = None
     for i in range(num_perm):
         term = F.when(

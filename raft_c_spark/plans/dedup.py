@@ -227,7 +227,7 @@ ORACLES = {
 }
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(cand_pred: str = "x.doc < y.doc") -> str:
     """DuckDB replication of minhash_lsh_pairs: same normalization as
     _NORM, the same 3-codepoint perfect-hash shingle codes, the same
     (aᵢ, bᵢ) affine permutations (baked as literals from
@@ -235,7 +235,10 @@ def _minhash_oracle() -> str:
     8-tuple comparison (Spark equi-joins on xxhash64 of the tuple —
     identical up to 64-bit hash collisions), then the same
     equal-components/64 estimate. Validated bit-exact against the
-    Spark kernel at sf0.001/sf0.01 (tests/test_entry_contract.py)."""
+    Spark kernel at sf0.001/sf0.01 (tests/test_entry_contract.py).
+    ``cand_pred`` restricts the candidate join (the default is the
+    self-join's a<b ordering; the incremental variant passes a
+    cross-corpus split predicate instead)."""
     num_perm, bands = 64, 8
     rows = num_perm // bands
     pa, pb = dedup.minhash_perms(num_perm)
@@ -272,7 +275,7 @@ bands AS (
 cand AS (
   SELECT DISTINCT x.doc AS a, y.doc AS b
   FROM bands x JOIN bands y
-    ON x.band = y.band AND x.key = y.key AND x.doc < y.doc
+    ON x.band = y.band AND x.key = y.key AND {cand_pred}
 )
 SELECT c.a, c.b,
        SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / {num_perm}.0 AS est_jaccard

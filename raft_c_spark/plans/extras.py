@@ -44,6 +44,29 @@ def q_dedup_ngram_word(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_incr(spark, sf_dir):
+    """Incremental dedup: the odd-id half of ``documents`` plays an
+    incoming crawl batch deduplicated AGAINST the even-id half (the
+    standing corpus) via banded MinHash-LSH between the two signature
+    frames — the production shape where batch cost tracks batch size,
+    not corpus pair count. Hash-oracled by the same signature replay
+    as dedup_minhash_lsh with a cross-split candidate predicate."""
+    from pyspark.sql import functions as F
+
+    from raft_c_spark.operators import dedup
+    from raft_c_spark.plans.dedup import JACCARD_THRESHOLD, _data_cache_key
+    from raft_c_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup.minhash_lsh_pairs_between(
+        new, corpus, "doc_id", "text", n=3, num_perm=64, bands=8,
+        threshold=JACCARD_THRESHOLD,
+        corpus_cache_key=_data_cache_key(sf_dir, "documents") + "_even",
+    )
+
+
 def q_dedup_repeated_spans(spark, sf_dir):
     """Exact repeated-substring spans (Lee et al. ACL'22 ExactSubstr
     dedup): maximal intervals covered by 40-char substrings occurring
@@ -65,11 +88,19 @@ QUERIES = {
     "mm_frame_index": q_mm_frame_index,
     "mm_real_frames": q_mm_real_frames,
     "dedup_ngram_word": q_dedup_ngram_word,
+    "dedup_minhash_incr": q_dedup_minhash_incr,
     "ev_approx_profile": q_ev_approx_profile,
     "dedup_repeated_spans": q_dedup_repeated_spans,
 }
 
+def _minhash_incr_oracle() -> str:
+    from raft_c_spark.plans.dedup import _minhash_oracle
+
+    return _minhash_oracle(cand_pred="x.doc % 2 = 1 AND y.doc % 2 = 0")
+
+
 ORACLES: dict[str, str] = {
+    "dedup_minhash_incr": _minhash_incr_oracle(),
     "dedup_repeated_spans": f"""
         WITH t AS (
             SELECT doc_id,

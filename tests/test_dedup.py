@@ -134,6 +134,27 @@ def test_word_unit_prefix_matches_join(docs):
     assert got["join"], "threshold too high: empty result is vacuous"
 
 
+def test_minhash_between_matches_cross_subset_of_self_join(docs):
+    """Incremental dedup (new batch vs standing corpus) must find
+    exactly the cross-split subset of the full self-join's pairs."""
+    full = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    cross = {
+        (min(r["a"], r["b"]), max(r["a"], r["b"]), round(r["est_jaccard"], 9))
+        for r in full.collect()
+        if r["a"] % 2 != r["b"] % 2
+    }
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    got = {
+        (min(r["a"], r["b"]), max(r["a"], r["b"]), round(r["est_jaccard"], 9))
+        for r in dedup.minhash_lsh_pairs_between(
+            new, corpus, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got == cross
+    assert got, "no cross-split pairs: the test corpus made this vacuous"
+
+
 def test_word_shingles_short_docs(spark):
     """Docs shorter than n words yield zero shingles (sequence(1, 0)
     descends in Spark — the guard must filter, not emit junk)."""
