@@ -162,3 +162,46 @@ def stratified_topk_sample(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def shard_assignments(
+    df: DataFrame, id_col: str, rows_per_shard: int
+) -> DataFrame:
+    """Deterministic size-balanced shard ids: shard = global row rank
+    (ordered by ``id_col``) div ``rows_per_shard`` — the layout step
+    before writing a training corpus as fixed-size shards. Reuses the
+    pack_sequences two-phase prefix sum with unit lengths, so there is
+    no global single-partition window at any scale and the assignment
+    is partitioning-independent (oracle-checkable against a plain
+    ROW_NUMBER)."""
+    out = pack_sequences(
+        df.withColumn("_one", F.lit(1)), id_col, "_one", rows_per_shard
+    )
+    return (
+        out.withColumnRenamed("bin", "shard")
+        .drop("seq_start", "bin_offset", "_one")
+    )
+
+
+def write_shards(
+    df: DataFrame, id_col: str, path: str, rows_per_shard: int
+) -> DataFrame:
+    """Materialize the corpus as size-balanced parquet shards
+    (``shard=NNN/`` directories, one writer task per shard) and return
+    the shard manifest (shard, n_rows, min/max id). At 100 TB this is
+    the standard output stage: shard boundaries are deterministic in
+    id order, each shard is one partition's sequential write, and
+    re-runs produce identical layouts."""
+    sharded = shard_assignments(df, id_col, rows_per_shard)
+    sharded.repartition(F.col("shard")).write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(path)
+    return (
+        df.sparkSession.read.parquet(path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )

@@ -67,6 +67,30 @@ def q_dedup_minhash_incr(spark, sf_dir):
     )
 
 
+SHARD_ROWS = 64
+
+
+def q_ds_shard_manifest(spark, sf_dir):
+    """Size-balanced shard layout for the documents corpus (shard =
+    global id-ordered row rank div 64): the manifest a shard writer
+    (sampling.write_shards) materializes — per-shard row count, id
+    range, and char volume. Exact distributed prefix-rank, no global
+    window; hash-oracled against a plain ROW_NUMBER replay."""
+    from pyspark.sql import functions as F
+
+    from raft_c_spark.operators import sampling
+    from raft_c_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = sampling.shard_assignments(docs, "doc_id", SHARD_ROWS)
+    return sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
 def q_dedup_repeated_spans(spark, sf_dir):
     """Exact repeated-substring spans (Lee et al. ACL'22 ExactSubstr
     dedup): maximal intervals covered by 40-char substrings occurring
@@ -89,6 +113,7 @@ QUERIES = {
     "mm_real_frames": q_mm_real_frames,
     "dedup_ngram_word": q_dedup_ngram_word,
     "dedup_minhash_incr": q_dedup_minhash_incr,
+    "ds_shard_manifest": q_ds_shard_manifest,
     "ev_approx_profile": q_ev_approx_profile,
     "dedup_repeated_spans": q_dedup_repeated_spans,
 }
@@ -101,6 +126,17 @@ def _minhash_incr_oracle() -> str:
 
 ORACLES: dict[str, str] = {
     "dedup_minhash_incr": _minhash_incr_oracle(),
+    "ds_shard_manifest": f"""
+        SELECT (rn - 1) // {SHARD_ROWS} AS shard,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS min_id,
+               MAX(doc_id) AS max_id,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM (SELECT doc_id, n_chars,
+                     ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+              FROM documents)
+        GROUP BY shard
+    """,
     "dedup_repeated_spans": f"""
         WITH t AS (
             SELECT doc_id,

@@ -198,3 +198,30 @@ def test_connected_components_chain_needs_iterations(spark):
     out = dedup.connected_components(df, driver_max_edges=0).collect()
     assert {r["component"] for r in out} == {0}
     assert len(out) == n + 1
+
+
+def test_write_shards_roundtrip(spark, sf_dir, tmp_path):
+    """write_shards lays the corpus out as size-balanced shard
+    directories whose manifest matches the id-ordered row ranks, and
+    the shards together hold exactly the input rows."""
+    from raft_c_spark.operators.sampling import write_shards
+    from raft_c_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    path = str(tmp_path / "shards")
+    manifest = {
+        r["shard"]: r for r in write_shards(docs, "doc_id", path, 40).collect()
+    }
+    assert sum(r["n_rows"] for r in manifest.values()) == n
+    full = [manifest[s] for s in sorted(manifest)[:-1]]
+    assert all(r["n_rows"] == 40 for r in full), "only the tail may be short"
+    # shard boundaries follow id order: max of shard k < min of k+1
+    ss = sorted(manifest)
+    for a, b in zip(ss, ss[1:]):
+        assert manifest[a]["max_id"] < manifest[b]["min_id"]
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
