@@ -194,6 +194,14 @@ def ngram_jaccard_pairs(
         strategy = "prefix"
     shingle_fn = word_shingles if unit == "word" else char_shingles
     sh = shingle_fn(df, id_col, text_col, n)
+    if cache_key is not None:
+        # persist the (doc, shingle) relation per corpus — the same
+        # stored-column layout as the code arrays above: the text
+        # parse + distinct is paid once, every later run starts at
+        # the ranking joins
+        from raft_c_spark.functions.diskcache import cached_parquet
+
+        sh = cached_parquet(sh, f"{unit}shingles_{cache_key}_n{n}_v1")
     if max_shingle_df is not None:
         sh = sh.cache()
         rare = (

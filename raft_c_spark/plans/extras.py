@@ -37,10 +37,13 @@ def q_dedup_ngram_word(spark, sf_dir):
     from raft_c_spark.operators import dedup
     from raft_c_spark.sources.testdata import load_table
 
+    from raft_c_spark.plans.dedup import _data_cache_key
+
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=WORD_JACCARD_N, threshold=WORD_JACCARD_T,
         strategy="prefix", unit="word",
+        cache_key=_data_cache_key(sf_dir, "documents"),
     )
 
 
