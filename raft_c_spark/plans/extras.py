@@ -70,6 +70,31 @@ def q_dedup_minhash_incr(spark, sf_dir):
     )
 
 
+def q_sim_topk_ivf_full(spark, sf_dir):
+    """IVF probing EVERY inverted list (n_probe = n_lists): must
+    reproduce the brute-force top-k exactly, which verifies the
+    index machinery end-to-end — the k-means assignment partitions
+    the corpus losslessly (no vector dropped or double-assigned), the
+    probe filter reads whole lists, and the in-list ranking is the
+    exact cosine. The approximate sibling (sim_topk_ivf, n_probe=4)
+    stays recall-pinned in pytest; this one is hash-oracled with the
+    brute-force SQL."""
+    from raft_c_spark.operators import similarity
+    from raft_c_spark.plans.dedup import _data_cache_key
+    from raft_c_spark.plans.similarity import TOP_K, _query_vec
+    from raft_c_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb,
+        _query_vec(spark, sf_dir),
+        k=TOP_K,
+        n_lists=16,
+        n_probe=16,
+        cache_key=_data_cache_key(sf_dir, "embeddings"),
+    )
+
+
 SHARD_ROWS = 64
 
 
@@ -117,6 +142,7 @@ QUERIES = {
     "dedup_ngram_word": q_dedup_ngram_word,
     "dedup_minhash_incr": q_dedup_minhash_incr,
     "ds_shard_manifest": q_ds_shard_manifest,
+    "sim_topk_ivf_full": q_sim_topk_ivf_full,
     "ev_approx_profile": q_ev_approx_profile,
     "dedup_repeated_spans": q_dedup_repeated_spans,
 }
@@ -127,8 +153,15 @@ def _minhash_incr_oracle() -> str:
     return _minhash_oracle(cand_pred="x.doc % 2 = 1 AND y.doc % 2 = 0")
 
 
+def _ivf_full_oracle() -> str:
+    from raft_c_spark.plans.similarity import ORACLES as SIM_ORACLES
+
+    return SIM_ORACLES["sim_topk_exact"]
+
+
 ORACLES: dict[str, str] = {
     "dedup_minhash_incr": _minhash_incr_oracle(),
+    "sim_topk_ivf_full": _ivf_full_oracle(),
     "ds_shard_manifest": f"""
         SELECT (rn - 1) // {SHARD_ROWS} AS shard,
                COUNT(*) AS n_docs,
