@@ -149,6 +149,35 @@ def test_frame_stats_matches_preencode_ground_truth(media):
     assert got == want
 
 
+def test_y4m_roundtrip_property():
+    """Lossless round-trip over arbitrary frame geometries."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from raft_c_spark.functions.y4m import y4m_decode, y4m_encode
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(0, 6),
+        h=st.integers(1, 16),
+        w=st.integers(1, 16),
+        fn=st.integers(1, 60),
+        fd=st.integers(1, 2),
+        seed=st.integers(0, 2**31),
+    )
+    def prop(n, h, w, fn, fd, seed):
+        frames = np.random.default_rng(seed).integers(
+            0, 256, size=(n, h, w, 3), dtype=np.uint8
+        )
+        out, fps = y4m_decode(y4m_encode(frames, fps=(fn, fd)))
+        assert fps == (fn, fd)
+        assert out.shape == frames.shape
+        assert (out == frames).all()
+
+    prop()
+
+
 def test_y4m_roundtrip_and_rejects():
     import numpy as np
 

@@ -316,3 +316,24 @@ def test_no_cartesian_in_any_window_query(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_shard_manifest_no_global_window(spark, sf_dir):
+    """The shard layout must never collapse to a single-partition
+    global window — the two-phase prefix rank keeps every exchange
+    partitioned."""
+    from raft_c_spark.plans.extras import q_ds_shard_manifest
+
+    plan = plan_of(q_ds_shard_manifest(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_minhash_incr_banded_join_broadcasts_small_side(spark, sf_dir):
+    """Incremental dedup's cross-corpus band join should broadcast a
+    banded side at this corpus size (above the cap it shuffles on
+    (band, bucket) — the scale shape)."""
+    from raft_c_spark.plans.extras import q_dedup_minhash_incr
+
+    plan = plan_of(q_dedup_minhash_incr(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
