@@ -154,6 +154,9 @@ SOAK_QUERIES = [
     ("ds_pack_sequences", None, "linear (two-phase prefix sum)"),
     ("ds_mixture_sample", None, "linear, shuffle-free"),
     ("sim_topk_lsh", None, "probe-side ~constant, index build linear"),
+    ("dedup_minhash_incr", None,
+     "near-linear (batch-vs-corpus banded join ~ batch size)"),
+    ("ds_shard_manifest", None, "linear (two-phase prefix rank)"),
 ]
 
 
