@@ -282,6 +282,18 @@ def serve(engine, host: str = "127.0.0.1", port: int = 0) -> WireServer:
     return server
 
 
+def serve_from_config(engine, conf_path: str | None = None) -> WireServer:
+    """Start the server at the conf file's ``host`` address — the
+    reference's ``raft-c -c node.conf`` startup path (server.c:283-345
+    reads the config, binds config_get("host"), and logs it). Cluster
+    keys in the file are accepted and ignored (sharding/replication
+    excluded by design)."""
+    from raft_c_spark.config import load as load_config
+
+    host, port = load_config(conf_path).host_port()
+    return serve(engine, host, port)
+
+
 class WireClient:
     def __init__(self, host: str, port: int):
         self.sock = socket.create_connection((host, port))
