@@ -8,6 +8,7 @@ tests/test_entry_contract.py as in-window queries."""
 from __future__ import annotations
 
 from raft_c_spark.plans.multimodal import (
+    frame_index_expected_parquet_path,
     frames_expected_parquet_path,
     q_mm_features,
     q_mm_frame_index,
@@ -212,6 +213,10 @@ ORACLES: dict[str, str] = {
         "SELECT media_id, frame_idx, frame_ts_ms, width, height, "
         "y_sum, y_min, y_max "
         f"FROM read_parquet('{frames_expected_parquet_path()}')"
+    ),
+    "mm_frame_index": (
+        "SELECT media_id, mime, duration_ms, n_frames, last_frame_ms "
+        f"FROM read_parquet('{frame_index_expected_parquet_path()}')"
     ),
     "dedup_ngram_word": f"""
         WITH sh AS (

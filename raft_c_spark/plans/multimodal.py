@@ -30,8 +30,8 @@ def q_mm_frame_index(spark, sf_dir):
     """Video frame sampling (1 row per sampled frame) joined back to
     media metadata — the row-explosion + re-join shape of a real
     frame-indexing pipeline."""
-    media = mm.synthetic_media(spark, n=128)
-    frames = mm.sample_frames(media, every_ms=500)
+    media = mm.synthetic_media(spark, n=MM_INDEX_N)
+    frames = mm.sample_frames(media, every_ms=MM_INDEX_EVERY_MS)
     meta = media.select("media_id", "mime", "duration_ms")
     return (
         frames.join(F.broadcast(meta), "media_id")
@@ -132,6 +132,52 @@ def frames_expected_parquet_path() -> str:
             ("y_sum", pa.int64()),
             ("y_min", pa.int64()),
             ("y_max", pa.int64()),
+        ],
+    )
+
+
+MM_INDEX_N = 128  # media rows in the frame-index corpus
+MM_INDEX_EVERY_MS = 500
+
+
+def expected_frame_index(n: int, every_ms: int) -> list[dict]:
+    """Ground truth for q_mm_frame_index, derived purely from the
+    generation parameters (duration per id): n_frames = samples of
+    range(0, dur, every_ms), last at the largest multiple below dur.
+    No decoding involved — the query's fake path never reads payloads
+    either; what the oracle pins is the explode/join/aggregate
+    plumbing."""
+    out = []
+    for i in range(n):
+        if i % 3 != 2:
+            continue
+        dur = 1000 * (1 + i % 7)
+        ticks = range(0, max(dur, 1), every_ms)
+        out.append(
+            {
+                "media_id": i,
+                "mime": "video/x-yuv4mpeg",
+                "duration_ms": dur,
+                "n_frames": len(ticks),
+                "last_frame_ms": ticks[-1],
+            }
+        )
+    return out
+
+
+def frame_index_expected_parquet_path() -> str:
+    import pyarrow as pa
+
+    return _ground_truth_parquet(
+        f"mm_frame_index_expected_v{MM_EXPECTED_VERSION}"
+        f"_n{MM_INDEX_N}_e{MM_INDEX_EVERY_MS}.parquet",
+        expected_frame_index(MM_INDEX_N, MM_INDEX_EVERY_MS),
+        [
+            ("media_id", pa.int64()),
+            ("mime", pa.string()),
+            ("duration_ms", pa.int64()),
+            ("n_frames", pa.int64()),
+            ("last_frame_ms", pa.int64()),
         ],
     )
 
