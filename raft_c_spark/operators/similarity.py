@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -238,6 +238,91 @@ def cosine_topk(
         .select("doc", "cosine")
         .orderBy(F.desc("cosine"), F.asc("doc"))
         .limit(k)
+    )
+
+
+def knn_join(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact batch k-NN join: the ``k`` nearest corpus vectors (by
+    cosine) for EVERY query vector — the primitive behind semantic
+    dedup and retrieval-based filtering, where a whole batch of
+    queries runs against the corpus at once rather than one
+    ``cosine_topk`` per query.
+
+    Physical shape for the typical regime (queries ≪ corpus): the
+    packed query matrix broadcasts (cap-enforced), the corpus streams
+    through ONE Arrow kernel that scores each batch against all
+    queries and keeps only each query's per-batch top-k — so at most
+    partitions × k × n_queries rows leave the scan stage — and a
+    single window merge picks the global top-k. The corpus never
+    shuffles; ties break (cosine desc, id asc) in both the kernel
+    prune and the merge, so the result is a total-order exact top-k.
+    Cosines use the same dimension-ordered accumulation as every
+    verify kernel — bit-identical to the SQL fold, so the operator is
+    exactly oracle-checkable. For corpus-scale query batches, run
+    this per query-shard: each shard's broadcast stays under the cap
+    and the scans pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    from raft_c_spark.operators.dedup import _widen
+
+    dim = vec_dim(corpus_df, vec_col)
+    n_q = queries_df.count()
+    if n_q * dim * 8 > _VERIFY_BROADCAST_BYTES:
+        raise ValueError(
+            f"query batch too large to broadcast ({n_q} × {dim}); "
+            "shard the queries and run knn_join per shard"
+        )
+    qids, qm, qn = _corpus_pack(queries_df, id_col, vec_col)
+    bc = queries_df.sparkSession.sparkContext.broadcast((qids, qm, qn))
+
+    def kernel(batches):
+        ids_q, m_q, n_q_ = bc.value
+        nq = len(ids_q)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf["doc"].to_numpy(dtype=np.int64)
+            cm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            cn = pdf["norm"].to_numpy(dtype=np.float64)
+            acc = np.zeros((len(cids), nq))
+            for i in range(dim):
+                acc += np.outer(cm[:, i], m_q[:, i])
+            cos = acc / np.outer(cn, n_q_)
+            if exclude_self:
+                cos[cids[:, None] == ids_q[None, :]] = -np.inf
+            keep = min(k, len(cids))
+            # per-query top-k within the batch under the final total
+            # order (cosine desc, corpus id asc)
+            order = np.lexsort((cids[:, None].repeat(nq, 1), -cos), axis=0)
+            rows = order[:keep, :]
+            qi = np.tile(np.arange(nq), keep)
+            ci = rows.ravel()
+            mask = np.isfinite(cos[ci, qi])
+            yield pd.DataFrame(
+                {
+                    "q": ids_q[qi[mask]],
+                    "doc": cids[ci[mask]],
+                    "cosine": cos[ci[mask], qi[mask]],
+                }
+            )
+
+    v = with_norm(corpus_df, id_col, vec_col, dim)
+    pruned = _widen(v).mapInPandas(kernel, "q long, doc long, cosine double")
+    w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("doc"))
+    return (
+        pruned.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
     )
 
 

@@ -96,6 +96,27 @@ def q_sim_topk_ivf_full(spark, sf_dir):
     )
 
 
+KNN_QUERIES = 20  # query batch: vec_id < 20
+KNN_K = 5
+
+
+def q_sim_knn_join(spark, sf_dir):
+    """Exact batch k-NN join: the 5 nearest corpus neighbors for each
+    of 20 query vectors in one pass — broadcast query matrix, one
+    Arrow kernel with per-batch top-k pruning over the streaming
+    corpus, one window merge. Hash-oracled against the brute-force
+    cross-join + ROW_NUMBER replay (same fold order → identical
+    cosines)."""
+    from pyspark.sql import functions as F
+
+    from raft_c_spark.operators import similarity
+    from raft_c_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    return similarity.knn_join(queries, emb, k=KNN_K)
+
+
 SHARD_ROWS = 64
 
 
@@ -144,6 +165,7 @@ QUERIES = {
     "dedup_minhash_incr": q_dedup_minhash_incr,
     "ds_shard_manifest": q_ds_shard_manifest,
     "sim_topk_ivf_full": q_sim_topk_ivf_full,
+    "sim_knn_join": q_sim_knn_join,
     "ev_approx_profile": q_ev_approx_profile,
     "dedup_repeated_spans": q_dedup_repeated_spans,
 }
@@ -163,6 +185,34 @@ def _ivf_full_oracle() -> str:
 ORACLES: dict[str, str] = {
     "dedup_minhash_incr": _minhash_incr_oracle(),
     "sim_topk_ivf_full": _ivf_full_oracle(),
+    "sim_knn_join": f"""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qv
+            FROM embeddings WHERE vec_id < {KNN_QUERIES}
+        ),
+        scored AS (
+            SELECT q.qid AS q, e.vec_id AS doc,
+                   list_sum([CAST(e.embedding[i] AS DOUBLE)
+                             * CAST(q.qv[i] AS DOUBLE)
+                             FOR i IN range(1, len(e.embedding) + 1)])
+                   / (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE)
+                                     * CAST(e.embedding[i] AS DOUBLE)
+                                     FOR i IN range(1, len(e.embedding) + 1)]))
+                      * sqrt(list_sum([CAST(q.qv[i] AS DOUBLE)
+                                       * CAST(q.qv[i] AS DOUBLE)
+                                       FOR i IN range(1, len(q.qv) + 1)])))
+                   AS cosine
+            FROM embeddings e, q
+            WHERE e.vec_id != q.qid
+        )
+        SELECT q, doc, cosine FROM (
+            SELECT q, doc, cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q ORDER BY cosine DESC, doc ASC
+                   ) AS rk
+            FROM scored
+        ) WHERE rk <= {KNN_K}
+    """,
     "ds_shard_manifest": f"""
         SELECT (rn - 1) // {SHARD_ROWS} AS shard,
                COUNT(*) AS n_docs,

@@ -255,3 +255,28 @@ def test_quantize_int8_range_bound(spark, emb):
         F.min("q_min").alias("lo"), F.max("q_max").alias("hi")
     ).collect()[0]
     assert -127 <= out["lo"] <= out["hi"] <= 127
+
+
+def test_knn_join_matches_per_query_topk(spark, sf_dir):
+    """The batch k-NN join must return, for every query, exactly what
+    a per-query cosine_topk over the self-excluded corpus returns —
+    including tie order (cosine desc, id asc)."""
+    from pyspark.sql import functions as F
+
+    from raft_c_spark.operators import similarity
+    from raft_c_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 6)
+    got = {}
+    for r in similarity.knn_join(queries, emb, k=4).collect():
+        got.setdefault(r["q"], []).append((r["doc"], r["cosine"]))
+    for q in [r["vec_id"] for r in queries.select("vec_id").collect()]:
+        qv = emb.filter(F.col("vec_id") == q).collect()[0]["embedding"]
+        want = [
+            (r["doc"], r["cosine"])
+            for r in similarity.cosine_topk(
+                emb.filter(F.col("vec_id") != q), [float(x) for x in qv], k=4
+            ).collect()
+        ]
+        assert sorted(got[q], key=lambda t: (-t[1], t[0])) == want, q
