@@ -462,24 +462,27 @@ def ivf_index(
     if cache_key is not None:
         # an IVF index is built once and probed many times — persist
         # the assignment + centroids like a real vector store would
-        # (at scale: a bucketed table + a centroid sidecar)
+        # (at scale: a bucketed table + a centroid sidecar); atomic
+        # directory publish under the repo-local cache
         import os
-        import tempfile
 
-        base = os.path.join(
-            tempfile.gettempdir(), f"raft_c_spark_ivf_{cache_key}_{n_lists}_{seed}"
+        from raft_c_spark.functions import diskcache
+
+        final = diskcache.cache_path(
+            f"ivf_{cache_key}_l{n_lists}_s{seed}_v1"
         )
-        if os.path.exists(os.path.join(base, "_done")):
-            assigned = df.sparkSession.read.parquet(os.path.join(base, "assigned"))
-            centroids = np.load(os.path.join(base, "centroids.npy"))
-            return assigned, centroids
-        assigned, centroids = ivf_index(df, id_col, vec_col, n_lists, seed)
-        assigned.write.mode("overwrite").parquet(os.path.join(base, "assigned"))
-        np.save(os.path.join(base, "centroids.npy"), centroids)
-        open(os.path.join(base, "_done"), "w").close()
+        if not os.path.isdir(final):
+            os.makedirs(diskcache.cache_root(), exist_ok=True)
+            staging = f"{final}.tmp.{os.getpid()}"
+            assigned, centroids = ivf_index(df, id_col, vec_col, n_lists, seed)
+            assigned.write.mode("overwrite").parquet(
+                os.path.join(staging, "assigned")
+            )
+            np.save(os.path.join(staging, "centroids.npy"), centroids)
+            diskcache.publish_atomic(staging, final)
         return (
-            df.sparkSession.read.parquet(os.path.join(base, "assigned")),
-            centroids,
+            df.sparkSession.read.parquet(os.path.join(final, "assigned")),
+            np.load(os.path.join(final, "centroids.npy")),
         )
 
     feat = df.withColumn(
@@ -662,24 +665,24 @@ def lsh_index(
     if cache_key is None:
         return sigs
     import os
-    import tempfile
+
+    from raft_c_spark.functions import diskcache
 
     hi_div = max(1, (1 << bits) // 16)
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"raft_c_spark_lshidx_{cache_key}_{bits}_{tables}",
-    )
-    if not os.path.exists(os.path.join(base, "_done")):
+    final = diskcache.cache_path(f"lshidx_{cache_key}_b{bits}_t{tables}_v1")
+    if not os.path.isdir(final):
+        os.makedirs(diskcache.cache_root(), exist_ok=True)
+        staging = f"{final}.tmp.{os.getpid()}"
         (
             sigs.withColumn("sig_hi", F.expr(f"sig div {hi_div}"))
             .repartition("sig_hi")
             .sortWithinPartitions("sig", "table")
             .write.mode("overwrite")
             .partitionBy("sig_hi")
-            .parquet(os.path.join(base, "sigs"))
+            .parquet(staging)
         )
-        open(os.path.join(base, "_done"), "w").close()
-    return df.sparkSession.read.parquet(os.path.join(base, "sigs"))
+        diskcache.publish_atomic(staging, final)
+    return df.sparkSession.read.parquet(final)
 
 
 def lsh_bucketed_topk(

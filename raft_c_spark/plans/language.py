@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import functions as F
 
@@ -37,8 +36,13 @@ def _engine_with_click_series(spark, sf_dir: str) -> Engine:
     Built fresh once per process, then shared by the lang_* queries —
     they read the same immutable series, and re-ingesting per query
     would triple the ingest cost without testing anything new."""
+    from raft_c_spark.functions import diskcache
+
+    # repo-local (not world-writable /tmp); rebuilt per process — this
+    # is a mutable warehouse, not an immutable derived-state cache
+    os.makedirs(diskcache.cache_root(), exist_ok=True)
     wh = os.path.join(
-        tempfile.gettempdir(), f"raft_c_spark_lang_{os.path.basename(sf_dir)}"
+        diskcache.cache_root(), f"lang_wh_{os.path.basename(sf_dir)}"
     )
     if wh in _BUILT_WAREHOUSES:
         eng = Engine(spark, warehouse=wh)
