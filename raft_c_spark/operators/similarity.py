@@ -326,6 +326,67 @@ def knn_join(
     )
 
 
+def knn_join_lsh(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 16,
+    cache_key: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate batch k-NN join — the 100 TB batch-retrieval
+    shape: the query batch's signatures bucket-equi-join the
+    multi-table LSH index (persisted when ``cache_key`` is given —
+    the corpus side is a stored column, only the batch computes
+    signatures), candidates get an exact-cosine rerank, and one
+    window merge picks per-query top-k.
+
+    Unlike the exact :func:`knn_join` (corpus scan × all queries),
+    cost here tracks bucket collisions: candidates ≈ batch ×
+    tables × bucket-size — independent of corpus size at fixed
+    density. Per-true-neighbor recall follows the standard
+    1-(1-(1-θ/π)^bits)^tables curve (≈1.0 for near-duplicates at the
+    defaults); the rerank is the same fold-ordered cosine as the
+    exact path, so whatever candidates surface rank identically."""
+    dim = vec_dim(corpus_df, vec_col)
+    idx = lsh_index(corpus_df, id_col, vec_col, bits, tables, cache_key)
+    qsig = pair_signatures(queries_df, id_col, vec_col, bits, tables).select(
+        F.col("doc").alias("q"), "table", "sig"
+    )
+    cand = (
+        F.broadcast(qsig)
+        .join(idx, ["table", "sig"])
+        .select("q", "doc")
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("q") != F.col("doc"))
+    cv = with_norm(corpus_df, id_col, vec_col, dim).select(
+        F.col("doc"), F.col("vec").alias("cvec"), F.col("norm").alias("cnorm")
+    )
+    qv = with_norm(queries_df, id_col, vec_col, dim).select(
+        F.col("doc").alias("q"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        cand.join(cv, "doc")
+        .join(F.broadcast(qv), "q")
+        .withColumn(
+            "cosine", dot_fold("cvec", "qvec") / (F.col("cnorm") * F.col("qnorm"))
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("doc"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("q", "doc", "cosine")
+    )
+
+
 def _hyperplane(dim: int, bit: int, seed: int = 42) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: a fixed
     integer hash per (bit, component) mapped to [-1, 1]. No RNG state —

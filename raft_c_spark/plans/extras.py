@@ -100,6 +100,26 @@ KNN_QUERIES = 20  # query batch: vec_id < 20
 KNN_K = 5
 
 
+def q_sim_knn_join_lsh(spark, sf_dir):
+    """Approximate batch k-NN join over the persisted LSH index:
+    query-batch signatures bucket-join the corpus index, exact-cosine
+    rerank, per-query window top-k. Hash-oracled: the hyperplanes
+    regenerate from the shared integer-hash formula in HUGEINT, so
+    DuckDB replays bucket membership AND the rerank exactly."""
+    from pyspark.sql import functions as F
+
+    from raft_c_spark.operators import similarity
+    from raft_c_spark.plans.dedup import _data_cache_key
+    from raft_c_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    return similarity.knn_join_lsh(
+        queries, emb, k=KNN_K, bits=8, tables=16,
+        cache_key=_data_cache_key(sf_dir, "embeddings"),
+    )
+
+
 def q_sim_knn_join(spark, sf_dir):
     """Exact batch k-NN join: the 5 nearest corpus neighbors for each
     of 20 query vectors in one pass — broadcast query matrix, one
@@ -166,6 +186,7 @@ QUERIES = {
     "ds_shard_manifest": q_ds_shard_manifest,
     "sim_topk_ivf_full": q_sim_topk_ivf_full,
     "sim_knn_join": q_sim_knn_join,
+    "sim_knn_join_lsh": q_sim_knn_join_lsh,
     "ev_approx_profile": q_ev_approx_profile,
     "dedup_repeated_spans": q_dedup_repeated_spans,
 }
@@ -174,6 +195,63 @@ def _minhash_incr_oracle() -> str:
     from raft_c_spark.plans.dedup import _minhash_oracle
 
     return _minhash_oracle(cand_pred="x.doc % 2 = 1 AND y.doc % 2 = 0")
+
+
+def _knn_lsh_oracle(bits: int = 8, tables: int = 16, dim: int = 64) -> str:
+    """Batch generalization of plans.similarity._lsh_topk_oracle:
+    same HUGEINT hyperplane regeneration and signature construction,
+    candidates = (query, doc) pairs sharing any (table, sig), rerank
+    per query with ROW_NUMBER."""
+    return f"""
+WITH pl AS (
+  SELECT t.t, b.b, j.j,
+         (CAST(((b.b * 1000003 + j.j * 7919 + (1000 + t.t))::HUGEINT
+               * 11400714819323198485::HUGEINT) % 9223372036854775808::HUGEINT
+               AS DOUBLE) / 4611686018427387904.0) - 1.0 AS w
+  FROM (SELECT unnest(range(0, {tables})) AS t) t
+  CROSS JOIN (SELECT unnest(range(0, {bits})) AS b) b
+  CROSS JOIN (SELECT unnest(range(0, {dim})) AS j) j
+),
+planes AS (
+  SELECT t, b, list(w ORDER BY j) AS pw FROM pl GROUP BY t, b
+),
+sigs AS (
+  SELECT e.vec_id AS doc, p.t,
+         SUM(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * p.pw[i]
+                                 FOR i IN range(1, {dim} + 1)]) > 0
+                  THEN (1::BIGINT << p.b) ELSE 0 END) AS sig
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.t
+),
+qsig AS (SELECT doc AS q, t, sig FROM sigs WHERE doc < {KNN_QUERIES}),
+cand AS (
+  SELECT DISTINCT qsig.q, s.doc
+  FROM sigs s JOIN qsig USING (t, sig)
+  WHERE s.doc != qsig.q
+),
+scored AS (
+  SELECT c.q, c.doc,
+         list_sum([CAST(e.embedding[i] AS DOUBLE)
+                   * CAST(qe.embedding[i] AS DOUBLE)
+                   FOR i IN range(1, {dim} + 1)])
+         / (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE)
+                           * CAST(e.embedding[i] AS DOUBLE)
+                           FOR i IN range(1, {dim} + 1)]))
+            * sqrt(list_sum([CAST(qe.embedding[i] AS DOUBLE)
+                             * CAST(qe.embedding[i] AS DOUBLE)
+                             FOR i IN range(1, {dim} + 1)]))) AS cosine
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.doc
+  JOIN embeddings qe ON qe.vec_id = c.q
+)
+SELECT q, doc, cosine FROM (
+  SELECT q, doc, cosine,
+         ROW_NUMBER() OVER (
+             PARTITION BY q ORDER BY cosine DESC, doc ASC
+         ) AS rk
+  FROM scored
+) WHERE rk <= {KNN_K}
+"""
 
 
 def _ivf_full_oracle() -> str:
@@ -185,6 +263,7 @@ def _ivf_full_oracle() -> str:
 ORACLES: dict[str, str] = {
     "dedup_minhash_incr": _minhash_incr_oracle(),
     "sim_topk_ivf_full": _ivf_full_oracle(),
+    "sim_knn_join_lsh": _knn_lsh_oracle(),
     "sim_knn_join": f"""
         WITH q AS (
             SELECT vec_id AS qid, embedding AS qv

@@ -280,3 +280,38 @@ def test_knn_join_matches_per_query_topk(spark, sf_dir):
             ).collect()
         ]
         assert sorted(got[q], key=lambda t: (-t[1], t[0])) == want, q
+
+
+def test_knn_join_lsh_finds_planted_neighbors(spark):
+    """Batch LSH k-NN: every cloned query's nearest neighbor (its
+    base vector) must surface as the top-1 candidate, and surfaced
+    candidates must carry the same fold-ordered cosines as the exact
+    join."""
+    import numpy as np
+
+    from raft_c_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 32)).astype(np.float32)
+    rows = [(i, [float(v) for v in base[i]]) for i in range(60)]
+    # clones 1000+i of base i — the queries
+    rows += [
+        (1000 + i, [float(v) * 1.001 for v in base[i]]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id >= 1000")
+    got = similarity.knn_join_lsh(queries, df, k=3, bits=8, tables=16)
+    top1 = {}
+    for r in got.collect():
+        if r["q"] not in top1 or r["cosine"] > top1[r["q"]][1]:
+            top1[r["q"]] = (r["doc"], r["cosine"])
+    hits = sum(1 for q, (d, _) in top1.items() if d == q - 1000)
+    assert hits >= 19, top1  # recall ≈1.0 for near-duplicates
+    # rerank parity vs the exact batch join on one query
+    exact = {
+        (r["q"], r["doc"]): r["cosine"]
+        for r in similarity.knn_join(queries, df, k=3).collect()
+    }
+    for r in got.collect():
+        if (r["q"], r["doc"]) in exact:
+            assert r["cosine"] == exact[(r["q"], r["doc"])]
