@@ -98,7 +98,13 @@ def main() -> None:
         "passes": passes,
         "aggregation": "min_per_query",
     }
-    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
+    # the committed artifact is the sf0.1 run; other scales (e.g. the
+    # sf0.01 preflight smoke) write a suffixed file so they can never
+    # clobber it
+    full_name = (
+        "BENCH_FULL.json" if sf == 0.1 else f"BENCH_FULL_sf{sf}.json"
+    )
+    with open(os.path.join(REPO, full_name), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 
     def compact_line(decimals: int) -> str:
