@@ -530,12 +530,10 @@ def _synthetic_wav(i: int, seed: int, duration_ms: int, rate: int = 8000) -> byt
     return buf.getvalue()
 
 
-def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table for pipeline tests (the
-    driver ships no media parquet). Image payloads are real PNGs,
-    audio payloads real WAVs, and video payloads real y4m streams —
-    the ``decode="real"`` kernels genuinely decode all three for
-    actual pixel/sample/frame features."""
+def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[dict]:
+    """The deterministic synthetic corpus as plain dict rows — pure
+    Python/numpy, shared by the parquet materializer and any
+    oracle-side ground-truth builder."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
@@ -551,25 +549,72 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             payload = _synthetic_y4m(i, seed, dur)
             w, h = VIDEO_W, VIDEO_H
         rows.append(
-            (
-                i,
-                kind,
-                bytearray(payload),
-                {
+            {
+                "media_id": i,
+                "kind": kind,
+                "payload": payload,
+                "mime": {
                     "image": "image/png",
                     "audio": "audio/wav",
                     "video": "video/x-yuv4mpeg",
                 }[kind],
-                w,
-                h,
-                dur,
-            )
+                "width": w,
+                "height": h,
+                "duration_ms": dur,
+            }
         )
-    # hand the rows over as a pandas frame: createDataFrame(list) takes
-    # the pickled-RDD path (one python task per partition, ~2s for a
-    # hundred rows); the pandas route transfers one Arrow batch
-    pdf = pd.DataFrame(
-        rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
-    ).astype(object)
-    pdf = pdf.where(pdf.notna(), None)
-    return spark.createDataFrame(pdf, MEDIA_SCHEMA)
+    return rows
+
+
+#: bump when the synthetic generators change — part of the cache key
+MEDIA_CORPUS_VERSION = 1
+
+
+def synthetic_media_path(n: int = 64, seed: int = 42) -> str:
+    """Materialize the synthetic corpus as a parquet file (pure
+    pyarrow, atomic publish into the repo-local cache) and return its
+    path — built once per (n, seed), then every session just scans
+    parquet. This is both the at-scale shape (media lives in object
+    storage, not in a driver-constructed frame) and what keeps the
+    table independent of session conf (a driver-side pandas hand-off
+    needs Arrow enabled; a parquet scan works everywhere)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raft_c_spark.functions import diskcache
+
+    final = diskcache.cache_path(
+        f"media_corpus_v{MEDIA_CORPUS_VERSION}_n{n}_s{seed}.parquet"
+    )
+    if not os.path.exists(final):
+        os.makedirs(diskcache.cache_root(), exist_ok=True)
+        staging = f"{final}.tmp.{os.getpid()}"
+        table = pa.Table.from_pylist(
+            synthetic_media_rows(n, seed),
+            schema=pa.schema(
+                [
+                    ("media_id", pa.int64()),
+                    ("kind", pa.string()),
+                    ("payload", pa.binary()),
+                    ("mime", pa.string()),
+                    ("width", pa.int32()),
+                    ("height", pa.int32()),
+                    ("duration_ms", pa.int64()),
+                ]
+            ),
+        )
+        pq.write_table(table, staging)
+        diskcache.publish_atomic(staging, final)
+    return final
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table for pipeline tests (the
+    driver ships no media parquet). Image payloads are real PNGs,
+    audio payloads real WAVs, and video payloads real y4m streams —
+    the ``decode="real"`` kernels genuinely decode all three for
+    actual pixel/sample/frame features. Served as a parquet scan (see
+    synthetic_media_path)."""
+    return spark.read.parquet(synthetic_media_path(n, seed))

@@ -501,6 +501,70 @@ def lsh_candidates(
     return df.mapInPandas(kernel, out_schema)
 
 
+def nearest_list(mat: "np.ndarray", centroids: "np.ndarray") -> "np.ndarray":
+    """Index of the nearest centroid (squared euclidean) per row,
+    chunked so memory stays O(chunk × k). Row-wise independent —
+    results are identical for any chunking/partitioning, which is what
+    lets the oracle-side replay reproduce the distributed assignment
+    bit-for-bit."""
+    import numpy as np
+
+    out = np.empty(len(mat), dtype=np.int64)
+    for s in range(0, len(mat), 4096):
+        block = mat[s : s + 4096]
+        d2 = ((block[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        out[s : s + 4096] = np.argmin(d2, axis=1)
+    return out
+
+
+def lloyd_kmeans(
+    mat: "np.ndarray", k: int, seed: int = 42, n_iter: int = 20
+) -> "np.ndarray":
+    """Deterministic seeded k-means (k-means++ init, Lloyd
+    iterations), pure numpy — no MLlib. Shared by the distributed fit
+    and the DuckDB-oracle ground-truth replay, so the centroids (and
+    therefore the probe choice and candidate lists) are bit-identical
+    on both sides. Empty lists reseed to the worst-served point."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(mat)
+    centers = [mat[int(rng.integers(n))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            np.stack([((mat - c) ** 2).sum(axis=1) for c in centers]), axis=0
+        )
+        tot = float(d2.sum())
+        if tot <= 0.0:
+            centers.append(mat[int(rng.integers(n))])
+            continue
+        cut = float(rng.random()) * tot
+        centers.append(mat[min(int(np.searchsorted(np.cumsum(d2), cut)), n - 1)])
+    cent = np.stack(centers)
+    for _ in range(n_iter):
+        assign = nearest_list(mat, cent)
+        new = cent.copy()
+        for j in range(k):
+            members = mat[assign == j]
+            if len(members):
+                new[j] = members.mean(axis=0)
+            else:
+                far = int(
+                    np.argmax(((mat - cent[assign]) ** 2).sum(axis=1))
+                )
+                new[j] = mat[far]
+        if np.array_equal(new, cent):
+            break
+        cent = new
+    return cent
+
+
+#: driver-side k-means fit set cap (~32 MB at dim=64); above it the
+#: fit runs on a deterministic hash-mod sample — standard IVF practice
+#: (the quantizer needs a distribution sketch, not every vector)
+IVF_FIT_SAMPLE_CAP = 65536
+
+
 def ivf_index(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -513,12 +577,14 @@ def ivf_index(
     vector is assigned to its nearest centroid's inverted list.
 
     Returns (assigned_df with ``_list`` column, centroids ndarray).
-    At 100 TB the assignment is a stored/bucketed column (repartition
-    by ``_list``) and the fit runs on a sample; here the fit is exact
-    MLlib k-means (seeded → deterministic)."""
+    The fit is the deterministic seeded ``lloyd_kmeans`` on an
+    id-ordered (capped) sample; the assignment is one shuffle-free
+    Arrow kernel over the full corpus (``nearest_list`` per batch).
+    Both halves are partitioning-independent, so the index — and any
+    probe over it — is exactly replayable by the oracle. At 100 TB
+    the assignment is a stored/bucketed column (repartition by
+    ``_list``)."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
     if cache_key is not None:
         # an IVF index is built once and probed many times — persist
@@ -530,7 +596,7 @@ def ivf_index(
         from raft_c_spark.functions import diskcache
 
         final = diskcache.cache_path(
-            f"ivf_{cache_key}_l{n_lists}_s{seed}_v1"
+            f"ivf_{cache_key}_l{n_lists}_s{seed}_v2"
         )
         if not os.path.isdir(final):
             os.makedirs(diskcache.cache_root(), exist_ok=True)
@@ -546,14 +612,39 @@ def ivf_index(
             np.load(os.path.join(final, "centroids.npy")),
         )
 
-    feat = df.withColumn(
-        "_features", array_to_vector(F.expr(f"transform({vec_col}, x -> cast(x as double))"))
+    import pandas as pd
+    import pyspark.sql.types as Ty
+
+    fit = df.select(id_col, vec_col)
+    n = fit.count()
+    if n > IVF_FIT_SAMPLE_CAP:
+        # deterministic hash-mod sample — stable under repartitioning
+        denom = (n + IVF_FIT_SAMPLE_CAP - 1) // IVF_FIT_SAMPLE_CAP
+        fit = fit.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0
+        )
+    rows = fit.orderBy(id_col).collect()
+    mat = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
     )
-    km = KMeans(k=n_lists, seed=seed, featuresCol="_features", predictionCol="_list")
-    model = km.fit(feat)
-    assigned = model.transform(feat).drop("_features")
-    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
-    return assigned, centroids
+    centroids = lloyd_kmeans(mat, n_lists, seed)
+
+    bc = df.sparkSession.sparkContext.broadcast(centroids)
+    out_schema = Ty.StructType(
+        list(df.schema.fields) + [Ty.StructField("_list", Ty.IntegerType(), False)]
+    )
+
+    def kernel(batches):
+        cent = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            yield pdf.assign(_list=nearest_list(m, cent).astype(np.int32))
+
+    return df.mapInPandas(kernel, out_schema), centroids
 
 
 def ivf_topk(

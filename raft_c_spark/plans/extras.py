@@ -260,7 +260,36 @@ def _ivf_full_oracle() -> str:
     return SIM_ORACLES["sim_topk_exact"]
 
 
+def _ivf_oracle() -> str:
+    from raft_c_spark.plans.similarity import ivf_oracle_sql
+
+    return ivf_oracle_sql()
+
+
+def _mm_features_oracle() -> str:
+    from raft_c_spark.plans.multimodal import features_expected_parquet_path
+
+    return (
+        "SELECT media_id, kind, feature_norm "
+        f"FROM read_parquet('{features_expected_parquet_path()}')"
+    )
+
+
 ORACLES: dict[str, str] = {
+    "sim_topk_ivf": _ivf_oracle(),
+    "mm_features": _mm_features_oracle(),
+    # the sketches' engine-specific values never cross engines: the
+    # query returns exact cardinality + in-band booleans, the oracle
+    # recomputes the exact side and expects every band to hold
+    "ev_approx_profile": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               true AS users_ok,
+               true AS p50_ok,
+               true AS p95_ok,
+               true AS p99_ok
+        FROM events GROUP BY event_type
+    """,
     "dedup_minhash_incr": _minhash_incr_oracle(),
     "sim_topk_ivf_full": _ivf_full_oracle(),
     "sim_knn_join_lsh": _knn_lsh_oracle(),

@@ -11,11 +11,19 @@ from pyspark.sql import functions as F
 from raft_c_spark.operators import multimodal as mm
 
 
+MM_FEATURES_N = 128
+
+
 def q_mm_features(spark, sf_dir):
     """Feature extraction over every media row (image/audio/video) —
     payload → fixed-size vector via the Arrow-batched kernel; returns
-    id, kind, and the feature norm (stable scalar summary)."""
-    media = mm.synthetic_media(spark, n=128)
+    id, kind, and the feature norm (stable scalar summary).
+    Hash-oracled: the deterministic feature kernel replayed off the
+    same payloads without Spark (``expected_feature_norms``) gives a
+    ground-truth parquet the DuckDB oracle reads — a hash match pins
+    the Arrow batch plumbing (binary transfer, float32 storage, the
+    fold) end-to-end."""
+    media = mm.synthetic_media(spark, n=MM_FEATURES_N)
     feats = mm.extract_features(media)
     from raft_c_spark.operators.similarity import dot_fold
 
@@ -24,6 +32,31 @@ def q_mm_features(spark, sf_dir):
         "kind",
         F.sqrt(dot_fold("features", "features")).alias("feature_norm"),
     )
+
+
+def expected_feature_norms(n: int, seed: int = 42) -> list[dict]:
+    """Ground truth for q_mm_features: the same fake-feature kernel on
+    the same payloads, with the query's exact float semantics — the
+    features column stores float32, zip_with multiplies in float32,
+    and the aggregate accumulates in float64."""
+    import math
+
+    import numpy as np
+
+    out = []
+    for row in mm.synthetic_media_rows(n, seed):
+        f32 = np.asarray(mm._fake_features(row["payload"]), dtype=np.float32)
+        acc = 0.0
+        for v in f32:
+            acc += float(np.float32(v * v))
+        out.append(
+            {
+                "media_id": row["media_id"],
+                "kind": row["kind"],
+                "feature_norm": math.sqrt(acc),
+            }
+        )
+    return out
 
 
 def q_mm_frame_index(spark, sf_dir):
@@ -199,6 +232,21 @@ QUERIES = {
     # via plans.extras behind the driver's 50-query window
     "mm_real_decode": q_mm_real_decode,
 }
+
+def features_expected_parquet_path() -> str:
+    import pyarrow as pa
+
+    return _ground_truth_parquet(
+        f"mm_features_expected_v{MM_EXPECTED_VERSION}"
+        f"_n{MM_FEATURES_N}_s42.parquet",
+        expected_feature_norms(MM_FEATURES_N),
+        [
+            ("media_id", pa.int64()),
+            ("kind", pa.string()),
+            ("feature_norm", pa.float64()),
+        ],
+    )
+
 
 ORACLES: dict[str, str] = {
     "mm_real_decode": (

@@ -3,7 +3,13 @@
 ``__spark_entry__.queries()`` / ``oracle_sql()`` read from here; each
 plans module contributes its QUERIES/ORACLES dicts. A query without an
 oracle entry is checked rows-only by the driver (reserved for
-genuinely non-SQL-expressible ops).
+genuinely non-SQL-expressible ops). As of round 4 every registered
+query has a hash oracle: engine-specific results get one of two
+treatments — a pure-python replay of the deterministic pipeline
+persisted as a ground-truth parquet the oracle reads (IVF top-k,
+media feature norms), or a contract rewrite where the query returns
+exact values plus in-error-band booleans the oracle expects true
+(HLL/quantile sketches).
 """
 
 from __future__ import annotations

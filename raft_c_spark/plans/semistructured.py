@@ -86,31 +86,52 @@ def q_ev_salted_join(spark, sf_dir):
     )
 
 
+#: sketch error bands the profile asserts (and the oracle verifies):
+#: HLL++ at rsd=0.02 held to 3σ; percentile_approx at accuracy=10000
+#: (rank error ≤ 1e-4) held inside a ±0.005 exact-rank corridor
+APPROX_USERS_TOL = 0.06
+APPROX_RANK_EPS = 0.005
+
+
 def q_ev_approx_profile(spark, sf_dir):
     """Approximate distinct users (HLL++) + approximate value
     quantiles per event type — the sketch-based path for cardinality/
-    quantiles at 100 TB. Rows-only driver check (sketches are
-    engine-specific); error bounds vs exact are pinned in
-    tests/test_scale_ops.py."""
+    quantiles at 100 TB. Hash-oracled via its CONTRACT: sketch values
+    are engine-specific, so the query returns the exact cardinality
+    (cross-engine-checked against DuckDB) plus booleans asserting each
+    sketch landed inside its published error band — HLL within
+    3·rsd of exact, each approximate percentile between the exact
+    percentiles at rank ±0.005. Both sketches are merge-order-robust
+    (HLL registers are max-merged; the quantile bound holds for any
+    merge), so the booleans are partitioning-stable; the oracle
+    expects them all true."""
     ev = load_table(spark, sf_dir, "events")
-    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            q.alias("q"),
-        )
-        # scalar columns, not array — the driver harness hashes frames
-        # with pandas and cannot sort an array-typed column
-        .select(
-            "event_type",
-            "approx_users",
-            F.element_at("q", 1).alias("p50"),
-            F.element_at("q", 2).alias("p95"),
-            F.element_at("q", 3).alias("p99"),
-        )
-        .orderBy("event_type")
+    bands = [
+        (p - APPROX_RANK_EPS, p + APPROX_RANK_EPS) for p in (0.5, 0.95, 0.99)
+    ]
+    band_arr = ", ".join(f"{b[0]}, {b[1]}" for b in bands)
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("qa"),
+        F.expr(f"percentile(value, array({band_arr}))").alias("qb"),
     )
+    ok = [
+        (
+            (F.element_at("qa", i + 1) >= F.element_at("qb", 2 * i + 1))
+            & (F.element_at("qa", i + 1) <= F.element_at("qb", 2 * i + 2))
+        ).alias(f"p{label}_ok")
+        for i, label in enumerate(("50", "95", "99"))
+    ]
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("au") - F.col("exact_users"))
+            <= F.lit(APPROX_USERS_TOL) * F.col("exact_users")
+        ).alias("users_ok"),
+        *ok,
+    ).orderBy("event_type")
 
 
 def q_ev_exact_percentiles(spark, sf_dir):

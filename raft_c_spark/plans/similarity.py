@@ -68,9 +68,14 @@ def q_sim_topk_lsh(spark, sf_dir):
 
 def q_sim_topk_ivf(spark, sf_dir):
     """IVF approximate top-20: seeded k-means coarse quantizer, probe
-    the 4 nearest of 16 inverted lists, exact ranking inside. Rows-only
-    driver check; recall on planted clones verified in
-    tests/test_scale_ops.py."""
+    the 4 nearest of 16 inverted lists, exact ranking inside.
+    Hash-oracled: the fit (``lloyd_kmeans``), assignment
+    (``nearest_list``) and probe are deterministic and
+    partitioning-independent, so a pure-numpy replay off the raw
+    parquet reproduces the centroids, candidate lists and cosines
+    bit-for-bit — the oracle reads that pre-computed ground truth,
+    keyed to the corpus by an exact integer fingerprint. Recall on
+    planted clones additionally verified in tests/test_scale_ops.py."""
     import os
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -201,3 +206,106 @@ LIMIT {TOP_K}
 
 
 ORACLES["sim_topk_lsh"] = _lsh_topk_oracle()
+
+
+#: bump when the IVF fit/probe parameters or the replay change
+IVF_GT_VERSION = 1
+IVF_LISTS, IVF_PROBE, IVF_SEED = 16, 4, 42
+
+#: exact integer corpus fingerprint — floor(|x0|·1e6) summed over the
+#: first embedding component: pure integer arithmetic off the same
+#: float64 parquet values on both sides, so DuckDB selects the ground
+#: truth matching whichever sf dir the harness registered (row counts
+#: alone collide between sf0.001 and sf0.01)
+_FP_SQL = (
+    "SELECT CAST(SUM(CAST(FLOOR(ABS(CAST(embedding[1] AS DOUBLE)) * 1000000.0) "
+    "AS BIGINT)) AS BIGINT) FROM embeddings"
+)
+
+
+def _corpus_fingerprint(mat) -> int:
+    import numpy as np
+
+    return int(np.floor(np.abs(mat[:, 0]) * 1e6).astype(np.int64).sum())
+
+
+def _ivf_expected_rows() -> list[dict]:
+    """Pure-numpy replay of q_sim_topk_ivf over every testdata corpus:
+    same id-ordered fit matrix, same ``lloyd_kmeans``/``nearest_list``
+    (shared code), same probe-selection arithmetic, and the same
+    sequential-fold cosine as dot_fold/list_sum — bit-identical to the
+    distributed pipeline, computed without Spark."""
+    import glob
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from raft_c_spark.operators.similarity import lloyd_kmeans, nearest_list
+
+    rows: list[dict] = []
+    for path in sorted(glob.glob("/root/testdata/sf*/embeddings.parquet")):
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+        )
+        order = np.argsort(ids, kind="stable")  # the fit set is id-ordered
+        ids, mat = ids[order], mat[order]
+        fp = _corpus_fingerprint(mat)
+        cent = lloyd_kmeans(mat, IVF_LISTS, IVF_SEED)
+        assign = nearest_list(mat, cent)
+        qv = [float(x) for x in mat[ids == 0][0]]
+        d2 = ((cent - np.asarray(qv, dtype=np.float64)) ** 2).sum(axis=1)
+        probe = {int(i) for i in np.argsort(d2)[:IVF_PROBE]}
+        qnorm = math.sqrt(sum(float(x) * float(x) for x in qv))
+        scored = []
+        for vid, lst, vec in zip(ids, assign, mat):
+            if int(lst) not in probe:
+                continue
+            nacc, dacc = 0.0, 0.0
+            for j, x in enumerate(vec):
+                x = float(x)
+                nacc += x * x
+                dacc += x * qv[j]
+            scored.append((int(vid), dacc / (math.sqrt(nacc) * qnorm)))
+        scored.sort(key=lambda s: (-s[1], s[0]))
+        rows += [
+            {"corpus_fp": fp, "doc": vid, "cosine": cos}
+            for vid, cos in scored[:TOP_K]
+        ]
+    return rows
+
+
+def ivf_expected_parquet_path() -> str:
+    """Ground-truth IVF top-k for every testdata corpus, keyed by the
+    data files themselves (mtime+size) so regenerated testdata forces
+    a fresh replay."""
+    import glob
+    import os
+
+    import pyarrow as pa
+
+    from raft_c_spark.plans.multimodal import _ground_truth_parquet
+
+    tags = "_".join(
+        _data_cache_key(os.path.dirname(p), "embeddings")
+        for p in sorted(glob.glob("/root/testdata/sf*/embeddings.parquet"))
+    )
+    return _ground_truth_parquet(
+        f"ivf_expected_v{IVF_GT_VERSION}_l{IVF_LISTS}_p{IVF_PROBE}"
+        f"_s{IVF_SEED}_k{TOP_K}_{tags}.parquet",
+        _ivf_expected_rows(),
+        [
+            ("corpus_fp", pa.int64()),
+            ("doc", pa.int64()),
+            ("cosine", pa.float64()),
+        ],
+    )
+
+
+def ivf_oracle_sql() -> str:
+    return (
+        f"SELECT doc, cosine FROM read_parquet('{ivf_expected_parquet_path()}') "
+        f"WHERE corpus_fp = ({_FP_SQL})"
+    )

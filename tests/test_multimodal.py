@@ -16,7 +16,11 @@ def media(spark):
 
 
 def test_media_schema(media):
-    assert media.schema == mm.MEDIA_SCHEMA
+    # names+types only: the corpus is a parquet scan now, and parquet
+    # columns surface as nullable regardless of the declared schema
+    assert [(f.name, f.dataType) for f in media.schema.fields] == [
+        (f.name, f.dataType) for f in mm.MEDIA_SCHEMA.fields
+    ]
     kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
     assert kinds == {"image", "audio", "video"}
 
