@@ -313,9 +313,10 @@ def _estimated_bytes(df: DataFrame) -> int:
     job runs). Unknown stats report as huge, which safely disables
     size-gated broadcasts."""
     try:
-        return int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j hands scala.math.BigInt back as a Python int on this
+        # build; older bridges return the object (needs toString)
+        return int(size if isinstance(size, int) else size.toString())
     except Exception:
         return 1 << 62
 
@@ -522,4 +523,165 @@ def winnow_fingerprints(
 
     return _widen(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
         kernel, f"{id_col} long, n_fps long, fp_digest string"
+    )
+
+
+# ---------------------------------------------------------------- bloom
+
+BLOOM_M_BITS = 1 << 20  # 128 KB filter
+BLOOM_K = 5  # hash functions
+
+
+def _bloom_positions(gram_col: Column, m_bits: int, k: int) -> Column:
+    """The ``k`` bloom bit positions of a gram via Kirsch-Mitzenmacher
+    double hashing of two independent 60-bit md5 halves:
+    pos_j = (h1 + j·h2) mod m. Every term stays < 5·2⁶⁰ (no int64
+    overflow), and the identical formula runs in the DuckDB oracle."""
+    md5 = F.md5(gram_col.cast("binary"))
+    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5, 17, 15), 16, 10).cast("long")
+    return F.array(
+        *[(h1 + F.lit(j) * h2) % F.lit(m_bits) for j in range(k)]
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    max_eval_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Bloom-filter decontamination: the broadcast-compact-filter
+    alternative to ``decontaminate``'s gram join. The eval/benchmark
+    gram set is folded into an m-bit bloom filter ONCE (here 128 KB —
+    vs hundreds of MB for the raw gram strings), the filter ships to
+    every executor as a broadcast variable, and the training side
+    streams through a vectorized bit-probe kernel — no join, no
+    shuffle until the (rare) surviving hits aggregate per doc. This is
+    the shape that wins when even the distinct eval gram set is too
+    big to hash-join cheaply but the *filter* still fits in L2.
+
+    Same output contract as decontaminate (doc_id, flagged_grams),
+    with bloom semantics: flagged_grams counts distinct grams the
+    filter ACCEPTS, i.e. true overlaps plus the filter's deterministic
+    false positives. Because positions are md5-derived (no RNG), the
+    DuckDB oracle reproduces the exact same filter — including its
+    false positives — via a position-subset replay, so the operator is
+    hash-verifiable end to end.
+
+    The eval side must be bounded (it is benchmarks, not corpus):
+    above ``max_eval_bytes`` of file statistics this raises rather
+    than building a filter whose positions no longer fit the driver.
+    """
+    import numpy as np
+
+    est = _estimated_bytes(eval_df)
+    if est >= (1 << 62):
+        # no file statistics (in-memory relation / exotic source):
+        # fall back to a bounded row probe — ~1k text bytes/row keeps
+        # the same order of gate
+        cap_rows = max_eval_bytes // 1024
+        est = eval_df.limit(cap_rows + 1).count() * 1024
+    if est > max_eval_bytes:
+        raise ValueError(
+            f"eval side estimates {est} bytes > {max_eval_bytes}; "
+            "a benchmark set should be small - raise max_eval_bytes "
+            "only if the driver can hold the position set"
+        )
+    eval_pos = (
+        _word_ngrams(eval_df, id_col, text_col, n)
+        .select(F.explode(_bloom_positions(F.col("gram"), m_bits, k)).alias("pos"))
+        .distinct()
+    )
+    pos = np.array([r["pos"] for r in eval_pos.collect()], dtype=np.int64)
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(pos):
+        np.bitwise_or.at(
+            bits, pos // 8, (1 << (pos % 8)).astype(np.uint8)
+        )
+    bc = train.sparkSession.sparkContext.broadcast(bits)
+
+    grams = _word_ngrams(train, id_col, text_col, n).withColumn(
+        "pos", _bloom_positions(F.col("gram"), m_bits, k)
+    )
+
+    def kernel(batches):
+        bf = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            P = np.stack(pdf["pos"].to_numpy())  # (rows, k) int64
+            hit = ((bf[P // 8] >> (P % 8).astype(np.uint8)) & 1).all(axis=1)
+            yield pdf.loc[hit, ["doc", "gram"]]
+
+    return (
+        grams.mapInPandas(kernel, "doc long, gram string")
+        .groupBy("doc")
+        .agg(F.count_distinct(F.col("gram")).alias("flagged_grams"))
+        .select(F.col("doc").alias(id_col), "flagged_grams")
+    )
+
+
+# ----------------------------------------------------- quality model
+
+QC_WEIGHT_MOD = 2001  # integer weights in [-1000, 1000]
+
+
+def quality_classifier(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hashed-feature linear quality scorer — the fasttext-style
+    model-scoring shape every corpus-filtering pipeline runs: token
+    unigram + bigram features, a weight per feature looked up by
+    feature HASH (no vocabulary table), mean weight as the document
+    score. Weights here are hash-initialized integers in [-1000,1000]
+    (a deterministic stand-in for trained parameters, like the fake
+    embedding kernel); with a real model the hash indexes a broadcast
+    weight vector instead and nothing else changes.
+
+    Scale shape: tokenize → explode → one map-side-combined aggregate;
+    all expressions JVM-side (md5/conv/higher-order), zero Python in
+    the hot path, one shuffle keyed by doc. The per-doc sum is an
+    INTEGER (order-independent — float accumulation would be
+    partitioning-dependent), divided once at the end, which is what
+    makes the score hash-verifiable cross-engine."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
+    bigram_idx = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))),
+        lambda i: (i + 1) <= F.size("toks"),
+    )
+    bigrams = F.transform(
+        bigram_idx, lambda i: F.concat_ws(" ", F.slice("toks", i, 2))
+    )
+    feats = base.select(
+        "doc", F.explode(F.concat(F.col("toks"), bigrams)).alias("feat")
+    )
+    w = (
+        F.conv(
+            F.substring(F.md5(F.col("feat").cast("binary")), 1, 15), 16, 10
+        ).cast("long")
+        % F.lit(QC_WEIGHT_MOD)
+        - F.lit(1000)
+    )
+    return (
+        feats.select("doc", w.alias("w"))
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w").alias("wsum"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_feats",
+            (F.col("wsum") / (F.lit(1000.0) * F.col("n_feats"))).alias(
+                "score"
+            ),
+        )
     )

@@ -176,6 +176,69 @@ def q_dedup_repeated_spans(spark, sf_dir):
     )
 
 
+def q_ds_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (the broadcast-compact-filter
+    shape): the eval split's 4-word-grams fold into a 128 KB
+    md5-positioned bloom filter, the training split streams through a
+    vectorized bit-probe kernel — no gram join anywhere. Hash-oracled
+    including the filter's deterministic false positives (the DuckDB
+    oracle replays the position-subset semantics of the same bloom)."""
+    from pyspark.sql import functions as F
+
+    from raft_c_spark.operators import text
+    from raft_c_spark.plans.sampling import DECON_MOD, DECON_N
+    from raft_c_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    tr = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    return text.bloom_decontaminate(tr, ev, "doc_id", "text", n=DECON_N)
+
+
+def q_text_quality_model(spark, sf_dir):
+    """Hashed-feature linear quality scorer over every document
+    (unigram+bigram features, hash-initialized integer weights, mean
+    weight as score) — the model-scoring pass of a corpus filter,
+    zero Python in the hot path. Hash-oracled: the weight formula is
+    md5-derived, so DuckDB recomputes the identical model."""
+    from raft_c_spark.operators import text
+    from raft_c_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_classifier(docs, "doc_id", "text")
+
+
+#: snapshot-diff synthetic versioning: old drops ids ≡4 (mod 5), new
+#: drops ids ≡6 (mod 7) and appends " v2" to ids ≡0 (mod 11)
+DIFF_OLD_MOD, DIFF_NEW_MOD, DIFF_EDIT_MOD = 5, 7, 11
+
+
+def q_ds_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff: two deterministic versions of the
+    documents table (ids dropped on each side + a text edit wave)
+    classified added/removed/changed by md5 content fingerprint —
+    the incremental-pipeline delta primitive. Returns the non-
+    unchanged rows."""
+    from pyspark.sql import functions as F
+
+    from raft_c_spark.operators import sampling, text
+    from raft_c_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % DIFF_OLD_MOD != DIFF_OLD_MOD - 1).select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fp")
+    )
+    edited = F.when(
+        F.col("doc_id") % DIFF_EDIT_MOD == 0,
+        F.concat(F.col("text"), F.lit(" v2")),
+    ).otherwise(F.col("text"))
+    new = docs.filter(F.col("doc_id") % DIFF_NEW_MOD != DIFF_NEW_MOD - 1).select(
+        "doc_id", text.fingerprint(edited).alias("fp")
+    )
+    d = sampling.snapshot_diff(old, new, "doc_id", "fp")
+    return d.filter(F.col("status") != "unchanged")
+
+
 QUERIES = {
     "sim_topk_ivf": q_sim_topk_ivf,
     "mm_features": q_mm_features,
@@ -189,6 +252,9 @@ QUERIES = {
     "sim_knn_join_lsh": q_sim_knn_join_lsh,
     "ev_approx_profile": q_ev_approx_profile,
     "dedup_repeated_spans": q_dedup_repeated_spans,
+    "ds_bloom_decontaminate": q_ds_bloom_decontaminate,
+    "text_quality_model": q_text_quality_model,
+    "ds_snapshot_diff": q_ds_snapshot_diff,
 }
 
 def _minhash_incr_oracle() -> str:
@@ -266,6 +332,105 @@ def _ivf_oracle() -> str:
     return ivf_oracle_sql()
 
 
+def _bloom_decon_oracle() -> str:
+    """Position-subset replay of the bloom filter: a training gram is
+    flagged iff ALL k of its bit positions are set by some eval gram —
+    exactly bit-array membership, false positives included."""
+    from raft_c_spark.operators.text import BLOOM_K, BLOOM_M_BITS
+    from raft_c_spark.plans.sampling import DECON_MOD, DECON_N
+
+    return f"""
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+    FROM documents
+),
+g AS (
+    SELECT DISTINCT doc_id, unnest(list_transform(
+        list_filter(
+            generate_series(1, greatest(len(toks) - {DECON_N - 1}, 1)),
+            i -> i + {DECON_N - 1} <= len(toks)),
+        i -> array_to_string(list_slice(toks, i, i + {DECON_N - 1}), ' ')
+    )) AS gram
+    FROM t
+),
+h AS (
+    SELECT doc_id, gram,
+           CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h1,
+           CAST('0x' || substr(md5(gram), 17, 15) AS BIGINT) AS h2
+    FROM g
+),
+p AS (
+    SELECT doc_id, gram, (h1 + j.j * h2) % {BLOOM_M_BITS} AS pos
+    FROM h CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS j) j
+),
+ep AS (SELECT DISTINCT pos FROM p WHERE doc_id % {DECON_MOD} = 0),
+flagged AS (
+    SELECT doc_id, gram
+    FROM p
+    WHERE doc_id % {DECON_MOD} <> 0
+    GROUP BY doc_id, gram
+    HAVING SUM(CASE WHEN pos IN (SELECT pos FROM ep) THEN 0 ELSE 1 END) = 0
+)
+SELECT doc_id, COUNT(*) AS flagged_grams FROM flagged GROUP BY doc_id
+"""
+
+
+def _quality_model_oracle() -> str:
+    from raft_c_spark.operators.text import QC_WEIGHT_MOD
+
+    return f"""
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+    FROM documents
+),
+f AS (
+    SELECT doc_id, unnest(toks) AS feat FROM t
+    UNION ALL
+    SELECT doc_id, unnest(list_transform(
+        list_filter(generate_series(1, greatest(len(toks) - 1, 1)),
+                    i -> i + 1 <= len(toks)),
+        i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS feat
+    FROM t
+),
+w AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(feat), 1, 15) AS BIGINT)
+               % {QC_WEIGHT_MOD} - 1000 AS w
+    FROM f
+)
+SELECT doc_id, COUNT(*) AS n_feats,
+       CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)) AS score
+FROM w GROUP BY doc_id
+"""
+
+
+_DIFF_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_DIFF_NEW_TEXT = (
+    f"CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0 THEN text || ' v2' "
+    "ELSE text END"
+)
+_SNAPSHOT_DIFF_ORACLE = f"""
+WITH o AS (
+    SELECT doc_id, md5({_DIFF_NORM}) AS fp
+    FROM documents WHERE doc_id % {DIFF_OLD_MOD} <> {DIFF_OLD_MOD - 1}
+),
+nw AS (
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace({_DIFF_NEW_TEXT},
+               '\\s+', ' ', 'g')))) AS fp
+    FROM documents WHERE doc_id % {DIFF_NEW_MOD} <> {DIFF_NEW_MOD - 1}
+)
+SELECT doc_id, status FROM (
+    SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id,
+           CASE WHEN o.fp IS NULL THEN 'added'
+                WHEN nw.fp IS NULL THEN 'removed'
+                WHEN o.fp <> nw.fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id
+) WHERE status <> 'unchanged'
+"""
+
+
 def _mm_features_oracle() -> str:
     from raft_c_spark.plans.multimodal import features_expected_parquet_path
 
@@ -278,6 +443,9 @@ def _mm_features_oracle() -> str:
 ORACLES: dict[str, str] = {
     "sim_topk_ivf": _ivf_oracle(),
     "mm_features": _mm_features_oracle(),
+    "ds_bloom_decontaminate": _bloom_decon_oracle(),
+    "text_quality_model": _quality_model_oracle(),
+    "ds_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
     # the sketches' engine-specific values never cross engines: the
     # query returns exact cardinality + in-band booleans, the oracle
     # recomputes the exact side and expects every band to hold

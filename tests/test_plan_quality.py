@@ -337,3 +337,49 @@ def test_minhash_incr_banded_join_broadcasts_small_side(spark, sf_dir):
     plan = plan_of(q_dedup_minhash_incr(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bloom_decontaminate_no_join_no_train_preshuffle(spark, sf_dir):
+    """The bloom path must contain NO join at all (the filter is a
+    broadcast variable probed in a kernel), and the only Exchange is
+    the final per-doc aggregation of surviving hits — the training
+    gram stream itself never shuffles."""
+    from raft_c_spark.plans.extras import q_ds_bloom_decontaminate
+
+    plan = plan_of(q_ds_bloom_decontaminate(spark, sf_dir))
+    assert "Join" not in plan, plan
+    # the kernel (MapInPandas) runs at scan parallelism: no Exchange
+    # may precede it; the only shuffles are the two-phase distinct
+    # count of the SURVIVING hits
+    import re
+
+    ops = re.findall(r"^\((\d+)\) (\w+)", plan, re.M)
+    kernel_idx = next(int(i) for i, op in ops if op == "MapInPandas")
+    exchange_idxs = [int(i) for i, op in ops if op == "Exchange"]
+    assert all(e > kernel_idx for e in exchange_idxs), plan
+    assert len(exchange_idxs) <= 2, plan
+
+
+def test_quality_model_single_shuffle_no_python(spark, sf_dir):
+    """The scorer is tokenize→explode→hash-weight→aggregate: one
+    shuffle (the doc aggregation), partial aggregation before it, and
+    zero Python evaluation nodes."""
+    from raft_c_spark.plans.extras import q_text_quality_model
+
+    plan = plan_of(q_text_quality_model(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "partial" in plan.lower(), plan
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan
+
+
+def test_snapshot_diff_no_cartesian(spark, sf_dir):
+    """The diff is one equi-join on the id — never a cartesian or
+    nested loop."""
+    from raft_c_spark.plans.extras import q_ds_snapshot_diff
+
+    plan = plan_of(q_ds_snapshot_diff(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan

@@ -186,3 +186,81 @@ class TestWinnowKernelProperties:
         got = _winnow_packed("aaaaaaaaaaaaaaaa", 8, 4)
         ref = self._reference("aaaaaaaaaaaaaaaa", 8, 4)
         assert [int(v) for v in got] == ref
+
+
+class TestBloomDecontaminate:
+    def test_planted_overlap_flagged(self, spark):
+        ev = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+        tr = _docs(
+            spark,
+            [
+                (1, "zzz alpha beta gamma delta unrelated tail"),
+                (2, "completely different words entirely here"),
+            ],
+        )
+        got = {
+            r["doc_id"]: r["flagged_grams"]
+            for r in text.bloom_decontaminate(tr, ev, n=4).collect()
+        }
+        # doc 1 shares the 4-gram "alpha beta gamma delta"; doc 2 none
+        assert got == {1: 1}
+
+    def test_matches_exact_join_on_clean_corpus(self, spark):
+        """With a 2^20-bit filter and a handful of grams, false
+        positives are ~impossible: bloom must equal the exact join."""
+        from raft_c_spark.sources.testdata import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        ev = docs.filter(F.col("doc_id") % 97 == 0)
+        tr = docs.filter(F.col("doc_id") % 97 != 0)
+        bloom = {
+            (r["doc_id"], r["flagged_grams"])
+            for r in text.bloom_decontaminate(tr, ev, n=4).collect()
+        }
+        exact = {
+            (r["doc_id"], r["overlap_grams"])
+            for r in text.decontaminate(tr, ev, n=4).collect()
+        }
+        assert bloom == exact
+
+    def test_oversized_eval_side_raises(self, spark):
+        big = _docs(spark, [(1, "a b c d e")])
+        with pytest.raises(ValueError):
+            text.bloom_decontaminate(big, big, max_eval_bytes=1)
+
+
+class TestQualityClassifier:
+    def test_feature_count_and_score_range(self, spark):
+        out = text.quality_classifier(
+            _docs(spark, [(1, "alpha beta gamma")])
+        ).collect()[0]
+        # 3 unigrams + 2 bigrams
+        assert out["n_feats"] == 5
+        assert -1.0 <= out["score"] <= 1.0
+
+    def test_deterministic_and_content_keyed(self, spark):
+        d = _docs(spark, [(1, "alpha beta"), (2, "alpha beta"), (3, "other words")])
+        rows = {r["doc_id"]: r["score"] for r in text.quality_classifier(d).collect()}
+        assert rows[1] == rows[2]
+        assert rows[1] != rows[3]
+
+    def test_empty_doc_drops_out(self, spark):
+        d = _docs(spark, [(1, "real words"), (2, "   "), (3, "")])
+        assert {r["doc_id"] for r in text.quality_classifier(d).collect()} == {1}
+
+
+class TestSnapshotDiff:
+    def test_classifies_all_four_states(self, spark):
+        from raft_c_spark.operators import sampling
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, fp string"
+        )
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "CHANGED"), (4, "d")], "doc_id long, fp string"
+        )
+        got = {
+            r["doc_id"]: r["status"]
+            for r in sampling.snapshot_diff(old, new).collect()
+        }
+        assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
