@@ -239,6 +239,19 @@ def q_ds_snapshot_diff(spark, sf_dir):
     return d.filter(F.col("status") != "unchanged")
 
 
+def _q_stream_dedup(spark, sf_dir):
+    from raft_c_spark.plans.streaming import q_stream_dedup
+
+    return q_stream_dedup(spark, sf_dir)
+
+
+_q_stream_dedup.__doc__ = (
+    "Streaming exactly-once dedup over an at-least-once transport "
+    "(dropDuplicatesWithinWatermark on a doubled source) - see "
+    "plans.streaming.q_stream_dedup."
+)
+
+
 QUERIES = {
     "sim_topk_ivf": q_sim_topk_ivf,
     "mm_features": q_mm_features,
@@ -255,6 +268,7 @@ QUERIES = {
     "ds_bloom_decontaminate": q_ds_bloom_decontaminate,
     "text_quality_model": q_text_quality_model,
     "ds_snapshot_diff": q_ds_snapshot_diff,
+    "stream_dedup": _q_stream_dedup,
 }
 
 def _minhash_incr_oracle() -> str:
@@ -446,6 +460,16 @@ ORACLES: dict[str, str] = {
     "ds_bloom_decontaminate": _bloom_decon_oracle(),
     "text_quality_model": _quality_model_oracle(),
     "ds_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
+    # both deliveries are identical rows and one batch sees all data,
+    # so the deduped stream must equal the plain table
+    "stream_dedup": """
+        SELECT event_id,
+               epoch_ns(ts) AS ts_ns,
+               user_id,
+               event_type,
+               value
+        FROM events
+    """,
     # the sketches' engine-specific values never cross engines: the
     # query returns exact cardinality + in-band booleans, the oracle
     # recomputes the exact side and expects every band to hold

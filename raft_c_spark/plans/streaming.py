@@ -183,9 +183,59 @@ def q_stream_click_attribution(spark, sf_dir):
     )
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup over an at-least-once transport:
+    the events file is read as TWO streaming sources unioned (every
+    event delivered twice — the Kafka-redelivery shape), then
+    ``dropDuplicatesWithinWatermark`` on event_id keeps one copy,
+    with state bounded by the watermark instead of growing with
+    stream history. Deterministic and hash-oracle-checkable: both
+    deliveries are identical rows, so WHICH copy survives cannot
+    change the output, and one processAllAvailable batch sees all
+    data before any state eviction — the result must equal the plain
+    events table."""
+    ensure_runtime_confs(spark)
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+
+    def _src():
+        return (
+            spark.readStream.schema(_EVENT_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("event_time", F.col("ts").cast("timestamp"))
+        )
+
+    deduped = (
+        _src()
+        .unionByName(_src())
+        .withWatermark("event_time", WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    with _shuffle_partitions(spark, _state_partitions(spark, sf_dir)):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name).select(
+        "event_id",
+        (F.unix_micros(F.col("event_time")) * 1000).alias("ts_ns"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
 QUERIES = {
     "stream_tumbling_avg": q_stream_tumbling_avg,
     "stream_click_attribution": q_stream_click_attribution,
+    # stream_dedup registers via plans.extras: inserting it here would
+    # shift every later query out of the driver's 50-slot window
 }
 
 ORACLES = {

@@ -157,6 +157,11 @@ SOAK_QUERIES = [
     ("dedup_minhash_incr", None,
      "near-linear (batch-vs-corpus banded join ~ batch size)"),
     ("ds_shard_manifest", None, "linear (two-phase prefix rank)"),
+    ("ds_bloom_decontaminate", None,
+     "linear (bit-probe kernel at scan parallelism, no join)"),
+    ("text_quality_model", None,
+     "linear (one map-side-combined aggregate)"),
+    ("ds_snapshot_diff", None, "linear (one co-locatable equi-join)"),
 ]
 
 

@@ -26,6 +26,11 @@ CASES = [
     "dedup_ngram_jaccard",    # Arrow-kernel bitmap path
     "text_repetition",        # per-row higher-order expressions
     "ds_decontaminate",       # broadcast gram filter + count distinct
+    "ds_bloom_decontaminate", # broadcast bit-probe kernel + count distinct
+    "text_quality_model",     # integer weight sums (order-independent)
+    "ds_snapshot_diff",       # full-outer equi-join classification
+    "sim_topk_ivf",           # sample fit + kernel assignment + top-k ties
+    "ev_approx_profile",      # sketch merge-order robustness (booleans)
 ]
 
 
