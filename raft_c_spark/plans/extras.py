@@ -252,6 +252,61 @@ _q_stream_dedup.__doc__ = (
 )
 
 
+PIPE_QUALITY_MIN = 0.3
+PIPE_TOKENS_MIN = 10
+PIPE_MIX_FRAC = 0.9
+PIPE_PACK_BUDGET = 4096
+
+
+def q_ds_pipeline_e2e(spark, sf_dir):
+    """The WHOLE training-data prep pipeline as one declarative
+    composition — what a user of this engine actually runs:
+
+        quality-clean → exact-dedup survivors → decontaminate against
+        the held-out set → deterministic mixture sample → sequence
+        packing into 4096-char bins
+
+    Every stage is an individually-oracled operator; this query pins
+    that they COMPOSE (schemas line up, determinism survives
+    chaining) under one Catalyst plan, and the oracle replays the
+    entire five-stage pipeline in a single SQL statement. Mirrors
+    tests/test_pipeline_e2e.py minus the parquet writeback."""
+    from pyspark.sql import functions as F
+
+    from raft_c_spark.operators import sampling, text
+    from raft_c_spark.plans.sampling import DECON_MOD, DECON_N
+    from raft_c_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ana = text.analyze(docs).filter(
+        (F.col("quality") >= PIPE_QUALITY_MIN)
+        & (F.col("n_tokens") >= PIPE_TOKENS_MIN)
+    )
+    survivors = ana.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = docs.join(survivors.select("doc_id"), "doc_id")
+    ev = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    flagged = text.decontaminate(kept, ev, "doc_id", "text", n=DECON_N)
+    clean = kept.join(
+        flagged.select("doc_id"), "doc_id", "left_anti"
+    ).filter(F.col("doc_id") % DECON_MOD != 0)
+    mixed = sampling.hash_fraction_sample(
+        clean,
+        "doc_id",
+        strata_col="lang",
+        fractions={
+            lang: PIPE_MIX_FRAC for lang in ("en", "de", "es", "fr", "zh")
+        },
+    )
+    packed = sampling.pack_sequences(
+        mixed, "doc_id", "n_chars", PIPE_PACK_BUDGET
+    )
+    return packed.select(
+        "doc_id", "n_chars", "seq_start", "bin", "bin_offset"
+    )
+
+
 QUERIES = {
     "sim_topk_ivf": q_sim_topk_ivf,
     "mm_features": q_mm_features,
@@ -269,6 +324,7 @@ QUERIES = {
     "text_quality_model": q_text_quality_model,
     "ds_snapshot_diff": q_ds_snapshot_diff,
     "stream_dedup": _q_stream_dedup,
+    "ds_pipeline_e2e": q_ds_pipeline_e2e,
 }
 
 def _minhash_incr_oracle() -> str:
@@ -418,6 +474,66 @@ FROM w GROUP BY doc_id
 """
 
 
+def _pipeline_oracle() -> str:
+    """The whole five-stage pipeline replayed as one SQL statement,
+    assembled from the same fragments the per-stage oracles use."""
+    from raft_c_spark.plans.sampling import DECON_MOD, DECON_N, _thr
+    from raft_c_spark.plans.text import _ANALYZE_SQL
+
+    thr = _thr(PIPE_MIX_FRAC)
+    return f"""
+WITH ana AS ({_ANALYZE_SQL}),
+keep AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM ana
+    WHERE quality >= {PIPE_QUALITY_MIN} AND n_tokens >= {PIPE_TOKENS_MIN}
+    GROUP BY fingerprint
+),
+kept AS (
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN keep USING (doc_id)
+),
+t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+    FROM documents
+),
+g AS (
+    SELECT DISTINCT doc_id, unnest(list_transform(
+        list_filter(
+            generate_series(1, greatest(len(toks) - {DECON_N - 1}, 1)),
+            i -> i + {DECON_N - 1} <= len(toks)),
+        i -> array_to_string(list_slice(toks, i, i + {DECON_N - 1}), ' ')
+    )) AS gram
+    FROM t
+),
+eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_MOD} = 0),
+flagged AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING (gram)),
+clean AS (
+    SELECT k.doc_id, k.lang, k.n_chars
+    FROM kept k LEFT JOIN flagged f ON f.doc_id = k.doc_id
+    WHERE f.doc_id IS NULL AND k.doc_id % {DECON_MOD} <> 0
+),
+mixed AS (
+    SELECT doc_id, n_chars FROM clean
+    WHERE lang IN ('en','de','es','fr','zh')
+      AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) < {thr}
+),
+packed AS (
+    SELECT doc_id, n_chars,
+           SUM(n_chars) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_chars AS s
+    FROM mixed
+)
+SELECT doc_id, n_chars,
+       CAST(s AS BIGINT) AS seq_start,
+       CAST(s // {PIPE_PACK_BUDGET} AS BIGINT) AS bin,
+       CAST(s % {PIPE_PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM packed
+"""
+
+
 _DIFF_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
 _DIFF_NEW_TEXT = (
     f"CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0 THEN text || ' v2' "
@@ -460,6 +576,7 @@ ORACLES: dict[str, str] = {
     "ds_bloom_decontaminate": _bloom_decon_oracle(),
     "text_quality_model": _quality_model_oracle(),
     "ds_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
+    "ds_pipeline_e2e": _pipeline_oracle(),
     # both deliveries are identical rows and one batch sees all data,
     # so the deduped stream must equal the plain table
     "stream_dedup": """
