@@ -112,8 +112,15 @@ def q_ev_approx_profile(spark, sf_dir):
     true."""
     ev = load_table(spark, sf_dir, "events")
     targets = (0.5, 0.95, 0.99)
+    # exact distinct in its OWN aggregation: mixing countDistinct
+    # with the sketch aggregates forces Catalyst's Expand-based plan
+    # (every row duplicated per aggregate group — measured 6x the
+    # cost); separately it compiles to a plain two-phase hash
+    # aggregate, and the two 5-row results join for free
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
     sk = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
         F.percentile_approx("value", list(targets), 1000).alias("qa"),
     )
@@ -121,7 +128,6 @@ def q_ev_approx_profile(spark, sf_dir):
         F.broadcast(sk), "event_type"
     )
     chk = joined.groupBy("event_type").agg(
-        F.first("exact_users").alias("exact_users"),
         F.first("au").alias("au"),
         F.count(F.lit(1)).alias("n"),
         *[
@@ -130,7 +136,7 @@ def q_ev_approx_profile(spark, sf_dir):
             ).alias(f"rank{i}")
             for i in range(len(targets))
         ],
-    )
+    ).join(F.broadcast(exact), "event_type")
     ok = [
         (
             F.abs(F.col(f"rank{i}") - F.lit(p) * F.col("n"))
