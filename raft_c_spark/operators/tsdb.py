@@ -320,6 +320,73 @@ def sample_by_sliding(
     )
 
 
+def sample_by_fill(
+    df: DataFrame,
+    interval_ns: int,
+    fill: str | float = "prev",
+    t0: int | None = None,
+    t1: int | None = None,
+) -> DataFrame:
+    """Gap-filled SAMPLE BY — the FILL(prev)/FILL(null)/FILL(const)
+    surface of modern TSDBs (QuestDB/Timescale `FILL`; the reference
+    has no fill — extension). Missing buckets between each series'
+    first and last emitted bucket are materialized on a generated
+    grid and filled:
+
+    - ``"prev"``: carry the last non-empty bucket's value forward;
+    - ``"null"``: emit the gap row with a NULL value;
+    - a number: constant fill.
+
+    Output adds a ``filled`` boolean marking synthesized rows.
+
+    Spark shape: the aggregate is the ordinary one-shuffle SAMPLE BY;
+    the grid is `sequence(min, max, interval)` exploded per series
+    (pure codegen, rows ≈ buckets, never points); the carry-forward
+    is one window per series (`last(..., ignorenulls=True)` over an
+    unbounded-preceding ROWS frame — Spark evaluates it in a single
+    running pass). The window shuffles only bucket rows, which are
+    ~points/interval — at 100 TB the grid frame is orders of
+    magnitude smaller than the input scan that feeds it."""
+    from pyspark.sql import Window
+
+    agg = sample_by(df, interval_ns, t0, t1)
+    bounds = agg.groupBy("series").agg(
+        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+    )
+    grid = bounds.select(
+        "series",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(interval_ns))
+        ).alias("bucket_ts"),
+    )
+    j = grid.join(agg, ["series", "bucket_ts"], "left")
+    missing = F.col("avg_value").isNull()
+    if fill == "prev":
+        w = (
+            Window.partitionBy("series")
+            .orderBy("bucket_ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        value = F.last("avg_value", ignorenulls=True).over(w)
+    elif fill == "null":
+        value = F.col("avg_value")
+    elif isinstance(fill, (int, float)) and not isinstance(fill, bool):
+        value = F.coalesce(
+            F.col("avg_value"), F.lit(float(fill)).cast("double")
+        )
+    else:
+        raise ValueError(f"unsupported fill {fill!r}")
+    return (
+        j.select(
+            "series",
+            "bucket_ts",
+            value.alias("avg_value"),
+            missing.alias("filled"),
+        )
+        .orderBy("series", "bucket_ts")
+    )
+
+
 def ts_limit(df: DataFrame, n: int) -> DataFrame:
     """LIMIT n — parsed but never applied by the reference executor
     (src/statement_parse.c:1116-1128, no QF_LIMT handling); implemented

@@ -307,6 +307,21 @@ def q_ds_pipeline_e2e(spark, sf_dir):
     )
 
 
+def q_ts_sample_fill(spark, sf_dir):
+    """Gap-filled hourly SAMPLE BY with FILL(prev) — the modern-TSDB
+    fill surface the reference lacks (extension; see
+    operators/tsdb.sample_by_fill): empty buckets between each
+    series' first and last hour are synthesized on a generated grid
+    and carry the previous bucket's average forward, marked by a
+    ``filled`` boolean. Hash-oracled against a DuckDB
+    generate_series + IGNORE-NULLS-window replay."""
+    from raft_c_spark.operators import tsdb
+    from raft_c_spark.plans.parity import HOUR_NS, T0, T1, _points
+
+    pts = _points(spark, sf_dir, T0, T1)
+    return tsdb.sample_by_fill(pts, HOUR_NS, fill="prev", t0=T0, t1=T1)
+
+
 QUERIES = {
     "sim_topk_ivf": q_sim_topk_ivf,
     "mm_features": q_mm_features,
@@ -325,6 +340,7 @@ QUERIES = {
     "ds_snapshot_diff": q_ds_snapshot_diff,
     "stream_dedup": _q_stream_dedup,
     "ds_pipeline_e2e": q_ds_pipeline_e2e,
+    "ts_sample_fill": q_ts_sample_fill,
 }
 
 def _minhash_incr_oracle() -> str:
@@ -534,6 +550,38 @@ FROM packed
 """
 
 
+def _ts_sample_fill_oracle() -> str:
+    """Grid + carry-forward replay of sample_by_fill(fill='prev'):
+    the same tumbling aggregate as the ts_sample_1h oracle, a
+    generate_series bucket grid per series, and DuckDB's IGNORE NULLS
+    last_value window for the carry."""
+    from raft_c_spark.plans.parity import HOUR_NS, T0, T1, _sample_sql
+
+    return f"""
+WITH agg AS ({_sample_sql(HOUR_NS, T0, T1)}),
+b AS (
+    SELECT series, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+    FROM agg GROUP BY series
+),
+grid AS (
+    SELECT series, unnest(generate_series(lo, hi, {HOUR_NS})) AS bucket_ts
+    FROM b
+),
+j AS (
+    SELECT g.series, g.bucket_ts, a.avg_value,
+           a.avg_value IS NULL AS filled
+    FROM grid g LEFT JOIN agg a USING (series, bucket_ts)
+)
+SELECT series, bucket_ts,
+       last_value(avg_value IGNORE NULLS) OVER (
+           PARTITION BY series ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS avg_value,
+       filled
+FROM j
+"""
+
+
 _DIFF_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
 _DIFF_NEW_TEXT = (
     f"CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0 THEN text || ' v2' "
@@ -577,6 +625,7 @@ ORACLES: dict[str, str] = {
     "text_quality_model": _quality_model_oracle(),
     "ds_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
     "ds_pipeline_e2e": _pipeline_oracle(),
+    "ts_sample_fill": _ts_sample_fill_oracle(),
     # both deliveries are identical rows and one batch sees all data,
     # so the deduped stream must equal the plain table
     "stream_dedup": """

@@ -249,3 +249,52 @@ def test_sample_by_rejects_unknown_fn(spark):
     df = spark.createDataFrame([("s", 1, 1.0)], "series string, timestamp long, value double")
     with pytest.raises(ValueError):
         tsdb.sample_by(df, 10, fns=("median",))
+
+
+def test_sample_by_fill_prev_null_const(spark):
+    """Gap-fill semantics on a hand-built frame: buckets 10 and 40
+    have points, 20 and 30 are gaps -> grid spans 10..40, prev-fill
+    carries 1.0 through the gaps, null-fill leaves NULLs, const-fill
+    plants the constant; `filled` marks exactly the synthesized rows."""
+    from raft_c_spark.operators.tsdb import sample_by_fill
+
+    rows = [("s", 5, 1.0), ("s", 35, 7.0)]
+    df = spark.createDataFrame(
+        rows, "series string, timestamp long, value double"
+    )
+    prev = {
+        (r["bucket_ts"]): (r["avg_value"], r["filled"])
+        for r in sample_by_fill(df, 10, fill="prev").collect()
+    }
+    assert prev == {
+        10: (1.0, False),
+        20: (1.0, True),
+        30: (1.0, True),
+        40: (7.0, False),
+    }
+    nul = {
+        r["bucket_ts"]: (r["avg_value"], r["filled"])
+        for r in sample_by_fill(df, 10, fill="null").collect()
+    }
+    assert nul[20] == (None, True) and nul[40] == (7.0, False)
+    const = {
+        r["bucket_ts"]: r["avg_value"]
+        for r in sample_by_fill(df, 10, fill=0.5).collect()
+    }
+    assert const == {10: 1.0, 20: 0.5, 30: 0.5, 40: 7.0}
+
+
+def test_sample_by_fill_per_series_grid(spark):
+    """The grid is per-series (each series' own min..max), so one
+    series' range never bleeds empty rows into another's."""
+    from raft_c_spark.operators.tsdb import sample_by_fill
+
+    rows = [("a", 5, 1.0), ("a", 25, 3.0), ("b", 95, 9.0)]
+    df = spark.createDataFrame(
+        rows, "series string, timestamp long, value double"
+    )
+    got = {
+        (r["series"], r["bucket_ts"])
+        for r in sample_by_fill(df, 10, fill="prev").collect()
+    }
+    assert got == {("a", 10), ("a", 20), ("a", 30), ("b", 100)}
