@@ -322,6 +322,48 @@ def q_ts_sample_fill(spark, sf_dir):
     return tsdb.sample_by_fill(pts, HOUR_NS, fill="prev", t0=T0, t1=T1)
 
 
+def q_dedup_best_survivor(spark, sf_dir):
+    """The survivor-selection step every dedup pipeline ends with:
+    MinHash-LSH near-dup pairs → connected components → keep the
+    BEST-quality member per cluster (tie → smallest id), with the
+    cluster size alongside. Composes three individually-oracled
+    operators (pair generation, components, quality scoring) under
+    one plan; the oracle replays all three (signature replay,
+    recursive-CTE reachability, the quality formula) plus the same
+    ROW_NUMBER argmax."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from raft_c_spark.operators import dedup, text
+    from raft_c_spark.plans.dedup import JACCARD_THRESHOLD, _data_cache_key
+    from raft_c_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=64, bands=8,
+        threshold=JACCARD_THRESHOLD,
+        cache_key=_data_cache_key(sf_dir, "documents"),
+    )
+    comps = dedup.connected_components(pairs)
+    qual = text.analyze(docs).select("doc_id", "quality")
+    ranked = comps.join(qual, comps["doc"] == qual["doc_id"]).select(
+        "component", "doc", "quality"
+    )
+    w = Window.partitionBy("component")
+    wr = w.orderBy(F.desc("quality"), F.asc("doc"))
+    return (
+        ranked.withColumn("rk", F.row_number().over(wr))
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("doc").alias("survivor"),
+            "n_members",
+            "quality",
+        )
+    )
+
+
 QUERIES = {
     "sim_topk_ivf": q_sim_topk_ivf,
     "mm_features": q_mm_features,
@@ -341,6 +383,7 @@ QUERIES = {
     "stream_dedup": _q_stream_dedup,
     "ds_pipeline_e2e": q_ds_pipeline_e2e,
     "ts_sample_fill": q_ts_sample_fill,
+    "dedup_best_survivor": q_dedup_best_survivor,
 }
 
 def _minhash_incr_oracle() -> str:
@@ -550,6 +593,44 @@ FROM packed
 """
 
 
+def _best_survivor_oracle() -> str:
+    """Pairs (signature replay) → recursive-CTE components → quality
+    join → ROW_NUMBER argmax, all in one statement."""
+    from raft_c_spark.plans.dedup import _minhash_oracle
+    from raft_c_spark.plans.text import _ANALYZE_SQL
+
+    return f"""
+WITH RECURSIVE
+mh AS ({_minhash_oracle()}),
+edges AS (
+    SELECT a AS src, b AS dst FROM mh
+    UNION
+    SELECT b AS src, a AS dst FROM mh
+),
+reach AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+    SELECT src AS doc, LEAST(src, MIN(dst)) AS component
+    FROM reach GROUP BY src
+),
+qual AS (SELECT doc_id, quality FROM ({_ANALYZE_SQL})),
+ranked AS (
+    SELECT c.component, c.doc, q.quality,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.component
+               ORDER BY q.quality DESC, c.doc ASC
+           ) AS rk,
+           COUNT(*) OVER (PARTITION BY c.component) AS n_members
+    FROM comp c JOIN qual q ON q.doc_id = c.doc
+)
+SELECT component, doc AS survivor, n_members, quality
+FROM ranked WHERE rk = 1
+"""
+
+
 def _ts_sample_fill_oracle() -> str:
     """Grid + carry-forward replay of sample_by_fill(fill='prev'):
     the same tumbling aggregate as the ts_sample_1h oracle, a
@@ -626,6 +707,7 @@ ORACLES: dict[str, str] = {
     "ds_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
     "ds_pipeline_e2e": _pipeline_oracle(),
     "ts_sample_fill": _ts_sample_fill_oracle(),
+    "dedup_best_survivor": _best_survivor_oracle(),
     # both deliveries are identical rows and one batch sees all data,
     # so the deduped stream must equal the plain table
     "stream_dedup": """
