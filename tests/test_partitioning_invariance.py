@@ -31,6 +31,9 @@ CASES = [
     "ds_snapshot_diff",       # full-outer equi-join classification
     "sim_topk_ivf",           # sample fit + kernel assignment + top-k ties
     "ev_approx_profile",      # sketch merge-order robustness (booleans)
+    "ts_sample_fill",         # generated grid + carry-forward window
+    "ds_pipeline_e2e",        # five chained stages end-to-end
+    "dedup_best_survivor",    # components + windowed argmax ties
 ]
 
 
