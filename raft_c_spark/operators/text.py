@@ -532,14 +532,22 @@ BLOOM_M_BITS = 1 << 20  # 128 KB filter
 BLOOM_K = 5  # hash functions
 
 
-def _bloom_positions(gram_col: Column, m_bits: int, k: int) -> Column:
-    """The ``k`` bloom bit positions of a gram via Kirsch-Mitzenmacher
-    double hashing of two independent 60-bit md5 halves:
-    pos_j = (h1 + j·h2) mod m. Every term stays < 5·2⁶⁰ (no int64
-    overflow), and the identical formula runs in the DuckDB oracle."""
+def _bloom_hashes(gram_col: Column) -> tuple[Column, Column]:
+    """Two independent 60-bit md5 halves of a gram — the
+    Kirsch-Mitzenmacher double-hashing basis (pos_j = (h1 + j·h2)
+    mod m; every term stays < 5·2⁶⁰, no int64 overflow) AND the
+    gram's compact identity downstream (distinct counts run on the
+    hash pair, so gram strings never leave the tokenize stage). The
+    identical formulas run in the DuckDB oracle."""
     md5 = F.md5(gram_col.cast("binary"))
     h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
     h2 = F.conv(F.substring(md5, 17, 15), 16, 10).cast("long")
+    return h1, h2
+
+
+def _bloom_positions(gram_col: Column, m_bits: int, k: int) -> Column:
+    """The ``k`` bloom bit positions of a gram (see _bloom_hashes)."""
+    h1, h2 = _bloom_hashes(gram_col)
     return F.array(
         *[(h1 + F.lit(j) * h2) % F.lit(m_bits) for j in range(k)]
     )
@@ -573,6 +581,13 @@ def bloom_decontaminate(
     false positives — via a position-subset replay, so the operator is
     hash-verifiable end to end.
 
+    Past the tokenize stage a gram exists only as its two 60-bit md5
+    halves: the kernel derives bit positions from the two ints (so
+    the Arrow transfer carries 3 longs per gram, not the string + a
+    position array), and the distinct hit count runs on the hash
+    pair — identical to a string count up to md5 collisions, which
+    the oracle replays identically.
+
     The eval side must be bounded (it is benchmarks, not corpus):
     above ``max_eval_bytes`` of file statistics this raises rather
     than building a filter whose positions no longer fit the driver.
@@ -605,8 +620,9 @@ def bloom_decontaminate(
         )
     bc = train.sparkSession.sparkContext.broadcast(bits)
 
-    grams = _word_ngrams(train, id_col, text_col, n).withColumn(
-        "pos", _bloom_positions(F.col("gram"), m_bits, k)
+    h1, h2 = _bloom_hashes(F.col("gram"))
+    grams = _word_ngrams(train, id_col, text_col, n).select(
+        "doc", h1.alias("h1"), h2.alias("h2")
     )
 
     def kernel(batches):
@@ -614,14 +630,24 @@ def bloom_decontaminate(
         for pdf in batches:
             if not len(pdf):
                 continue
-            P = np.stack(pdf["pos"].to_numpy())  # (rows, k) int64
-            hit = ((bf[P // 8] >> (P % 8).astype(np.uint8)) & 1).all(axis=1)
-            yield pdf.loc[hit, ["doc", "gram"]]
+            a = pdf["h1"].to_numpy(dtype=np.int64)
+            b = pdf["h2"].to_numpy(dtype=np.int64)
+            hit = np.ones(len(a), dtype=bool)
+            for j in range(k):
+                p = (a + j * b) % m_bits
+                hit &= ((bf[p // 8] >> (p % 8).astype(np.uint8)) & 1).astype(
+                    bool
+                )
+            yield pdf.loc[hit, ["doc", "h1", "h2"]]
 
     return (
-        grams.mapInPandas(kernel, "doc long, gram string")
+        grams.mapInPandas(kernel, "doc long, h1 long, h2 long")
         .groupBy("doc")
-        .agg(F.count_distinct(F.col("gram")).alias("flagged_grams"))
+        .agg(
+            F.count_distinct(F.col("h1"), F.col("h2")).alias(
+                "flagged_grams"
+            )
+        )
         .select(F.col("doc").alias(id_col), "flagged_grams")
     )
 

@@ -489,15 +489,17 @@ h AS (
     FROM g
 ),
 p AS (
-    SELECT doc_id, gram, (h1 + j.j * h2) % {BLOOM_M_BITS} AS pos
+    SELECT doc_id, h1, h2, (h1 + j.j * h2) % {BLOOM_M_BITS} AS pos
     FROM h CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS j) j
 ),
 ep AS (SELECT DISTINCT pos FROM p WHERE doc_id % {DECON_MOD} = 0),
 flagged AS (
-    SELECT doc_id, gram
+    -- a gram lives on as its two md5 halves past tokenization (the
+    -- Spark side's compact identity); distinct counts run on the pair
+    SELECT DISTINCT doc_id, h1, h2
     FROM p
     WHERE doc_id % {DECON_MOD} <> 0
-    GROUP BY doc_id, gram
+    GROUP BY doc_id, h1, h2
     HAVING SUM(CASE WHEN pos IN (SELECT pos FROM ep) THEN 0 ELSE 1 END) = 0
 )
 SELECT doc_id, COUNT(*) AS flagged_grams FROM flagged GROUP BY doc_id
