@@ -121,3 +121,27 @@ def test_min_max_are_true_extremes(spark, pts):
     # tie rule: earliest timestamp among extreme values
     assert lo["timestamp"] == min(BASE + o for o, v in pts if v == min(vals))
     assert hi["timestamp"] == min(BASE + o for o, v in pts if v == max(vals))
+
+
+@given(pts=point_lists)
+@prop_settings
+def test_sample_by_fill_consistent_with_sample_by(spark, pts):
+    """Fill properties for any input: non-filled rows equal sample_by
+    exactly; filled rows carry the most recent earlier bucket's value;
+    the grid is gapless from each series' first to last bucket."""
+    iv = 10_000  # 10 µs buckets over the ~1 ms offset space
+    base = tsdb.sample_by(_df(spark, pts), iv).collect()
+    if not base:
+        return
+    agg = {r["bucket_ts"]: r["avg_value"] for r in base}
+    out = tsdb.sample_by_fill(_df(spark, pts), iv, fill="prev").collect()
+    got = {r["bucket_ts"]: (r["avg_value"], r["filled"]) for r in out}
+    lo, hi = min(agg), max(agg)
+    assert sorted(got) == list(range(lo, hi + 1, iv))
+    prev = None
+    for b in sorted(got):
+        if b in agg:
+            assert got[b] == (agg[b], False)
+            prev = agg[b]
+        else:
+            assert got[b] == (prev, True)

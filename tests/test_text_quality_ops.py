@@ -264,3 +264,26 @@ class TestSnapshotDiff:
             for r in sampling.snapshot_diff(old, new).collect()
         }
         assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+class TestBloomSupersetProperty:
+    def test_bloom_flags_superset_of_exact_overlaps(self, spark):
+        """Structural bloom guarantee — NO false negatives: every doc
+        the exact gram join flags must be bloom-flagged with at least
+        as many grams (bloom adds only false positives). Exercised on
+        a corpus engineered with heavy shared phrases."""
+        phrase = "the quick brown fox jumps over the lazy dog"
+        rows = [(i, f"{phrase} filler{i} tail words here") for i in range(30)]
+        ev = _docs(spark, [(100, phrase + " extra"), (101, "unrelated eval words entirely")])
+        tr = _docs(spark, rows)
+        exact = {
+            r["doc_id"]: r["overlap_grams"]
+            for r in text.decontaminate(tr, ev, n=3).collect()
+        }
+        bloom = {
+            r["doc_id"]: r["flagged_grams"]
+            for r in text.bloom_decontaminate(tr, ev, n=3).collect()
+        }
+        assert set(exact) <= set(bloom)
+        for d, n_exact in exact.items():
+            assert bloom[d] >= n_exact
