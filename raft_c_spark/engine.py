@@ -198,6 +198,10 @@ class Engine:
                     raise ExecutionError(
                         f"SAMPLE BY does not support aggregate(s): {bad}"
                     )
+                if stmt.fill is not None:
+                    raise ExecutionError(
+                        "FILL supports single-aggregate sampling only"
+                    )
                 interval = eval_timeunit(stmt.sampling, now)
                 out = tsdb.sample_by(
                     points, interval, t0=t0, t1=t1,
@@ -234,6 +238,24 @@ class Engine:
             # earliest keep the reference's avg fallback
             fn = stmt.function.value if stmt.function else "avg"
             fn = fn if fn in tsdb._SAMPLE_AGGS else "avg"
+            if stmt.fill is not None:
+                # FILL(prev|null|<n>) grammar extension — avg-only
+                # (sample_by_fill fills the avg series); output gains
+                # a `filled` marker column
+                if fn != "avg":
+                    raise ExecutionError(
+                        "FILL supports avg sampling only"
+                    )
+                out = tsdb.sample_by_fill(
+                    points, interval, fill=stmt.fill, t0=t0, t1=t1
+                ).select(
+                    F.col("bucket_ts").alias("timestamp"),
+                    F.col("avg_value").alias("value"),
+                    "filled",
+                )
+                if stmt.limit is not None:
+                    out = out.limit(stmt.limit)
+                return out
             out = tsdb.sample_by(
                 points, interval, t0=t0, t1=t1,
                 group_by_series=False, fns=(fn,),

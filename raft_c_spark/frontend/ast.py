@@ -161,6 +161,10 @@ class Select:
     #: the first entry
     functions: tuple[Fn, ...] = ()
     sampling: TimeUnit | None = None
+    #: SAMPLE BY ... FILL(prev|null|<number>) — grammar extension (the
+    #: reference has no fill; modern-TSDB surface, see
+    #: operators/tsdb.sample_by_fill): "prev", "null", or a float
+    fill: str | float | None = None
     limit: int | None = None
     flags: QueryFlags = QueryFlags(0)
 

@@ -42,6 +42,7 @@ class T(enum.Enum):
     OR = "OR"
     SAMPLE = "SAMPLE"
     BY = "BY"
+    FILL = "FILL"
     LIMIT = "LIMIT"
     VALUE = "VALUE"
     VALUES = "VALUES"
@@ -82,6 +83,7 @@ _KEYWORDS = {
     "or": T.OR,
     "sample": T.SAMPLE,
     "by": T.BY,
+    "fill": T.FILL,
     "limit": T.LIMIT,
     "value": T.VALUE,
     "values": T.VALUES,

@@ -235,6 +235,7 @@ class _Parser:
         selector: ast.Interval | None = None
         where: tuple[ast.WhereCond, ...] = ()
         sampling = None
+        fill: str | float | None = None
         limit = None
 
         if self.accept(T.BETWEEN):
@@ -257,6 +258,22 @@ class _Parser:
             self.expect(T.BY)
             sampling = self.parse_timeunit()
             flags |= QueryFlags.SMPL
+            if self.accept(T.FILL):
+                # grammar extension: FILL(prev | null | <number>) —
+                # gap-filled sampling (operators/tsdb.sample_by_fill)
+                self.expect(T.LPAREN)
+                tok = self.next()
+                if tok.type is T.IDENTIFIER and tok.value in ("prev", "null"):
+                    fill = tok.value
+                elif tok.type is T.NUMBER:
+                    fill = float(tok.value)
+                else:
+                    raise ParseError(
+                        f"FILL expects prev, null or a number, "
+                        f"got {tok.value!r}",
+                        tok.pos,
+                    )
+                self.expect(T.RPAREN)
         if self.accept(T.LIMIT):
             limit = int(self._parse_number())
             flags |= QueryFlags.LIMT
@@ -269,6 +286,7 @@ class _Parser:
             fn_arg=fn_arg,
             functions=tuple(functions),
             sampling=sampling,
+            fill=fill,
             limit=limit,
             flags=flags,
         )

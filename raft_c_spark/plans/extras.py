@@ -322,6 +322,60 @@ def q_ts_sample_fill(spark, sf_dir):
     return tsdb.sample_by_fill(pts, HOUR_NS, fill="prev", t0=T0, t1=T1)
 
 
+def _q_lang_sample_fill(spark, sf_dir):
+    from raft_c_spark.plans.language import q_language_sample_fill
+
+    return q_language_sample_fill(spark, sf_dir)
+
+
+_q_lang_sample_fill.__doc__ = (
+    "SAMPLE BY 1h FILL(prev) through the full query-language stack - "
+    "see plans.language.q_language_sample_fill."
+)
+
+
+def _lang_sample_fill_oracle() -> str:
+    from raft_c_spark.plans.language import (
+        _CLICK,
+        FILL_VALUE_MIN,
+        HOUR_NS,
+        T0_NS,
+        T1_NS,
+    )
+    from raft_c_spark.functions.exact import sql_avg
+
+    return f"""
+WITH agg AS (
+    SELECT bucket_ts, {sql_avg('value')} AS value
+    FROM (
+        SELECT timestamp - (timestamp % {HOUR_NS}) + {HOUR_NS} AS bucket_ts,
+               value
+        FROM ({_CLICK})
+        WHERE timestamp % {HOUR_NS} <> 0
+          AND timestamp >= {T0_NS} AND timestamp <= {T1_NS}
+          AND value > {FILL_VALUE_MIN}
+    )
+    WHERE bucket_ts < {T1_NS}
+    GROUP BY bucket_ts
+),
+b AS (SELECT MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi FROM agg),
+grid AS (
+    SELECT unnest(generate_series(lo, hi, {HOUR_NS})) AS bucket_ts FROM b
+),
+j AS (
+    SELECT g.bucket_ts, a.value, a.value IS NULL AS filled
+    FROM grid g LEFT JOIN agg a USING (bucket_ts)
+)
+SELECT bucket_ts AS timestamp,
+       last_value(value IGNORE NULLS) OVER (
+           ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value,
+       filled
+FROM j
+"""
+
+
 def q_dedup_best_survivor(spark, sf_dir):
     """The survivor-selection step every dedup pipeline ends with:
     MinHash-LSH near-dup pairs → connected components → keep the
@@ -384,6 +438,7 @@ QUERIES = {
     "ds_pipeline_e2e": q_ds_pipeline_e2e,
     "ts_sample_fill": q_ts_sample_fill,
     "dedup_best_survivor": q_dedup_best_survivor,
+    "lang_sample_fill": _q_lang_sample_fill,
 }
 
 def _minhash_incr_oracle() -> str:
@@ -710,6 +765,7 @@ ORACLES: dict[str, str] = {
     "ds_pipeline_e2e": _pipeline_oracle(),
     "ts_sample_fill": _ts_sample_fill_oracle(),
     "dedup_best_survivor": _best_survivor_oracle(),
+    "lang_sample_fill": _lang_sample_fill_oracle(),
     # both deliveries are identical rows and one batch sees all data,
     # so the deduped stream must equal the plain table
     "stream_dedup": """

@@ -127,6 +127,25 @@ def q_language_sample_multi(spark, sf_dir):
     )
 
 
+HOUR_NS = 3_600_000_000_000
+FILL_VALUE_MIN = 300  # sparsifies hours so the grid has real gaps
+
+
+def q_language_sample_fill(spark, sf_dir):
+    """SAMPLE BY 1h FILL(prev) through the parser — the gap-fill
+    grammar extension end-to-end: WHERE value > 300 sparsifies the
+    hourly buckets so the generated grid has real gaps, and the
+    carry-forward fill + `filled` marker come back through the
+    language result shape (timestamp, value, filled). Registered via
+    plans.extras (adding it here would shift the driver's 50-slot
+    window)."""
+    eng = _engine_with_click_series(spark, sf_dir)
+    return eng.execute(
+        f"SELECT avg(value) FROM click BETWEEN {_T0} AND {_T1}"
+        f" WHERE value > {FILL_VALUE_MIN} SAMPLE BY 1h FILL(prev)"
+    )
+
+
 QUERIES = {
     "lang_sample_by": q_language_sample_by,
     "lang_sample_multi": q_language_sample_multi,

@@ -286,3 +286,24 @@ def test_trailing_input_rejected():
         parse("USE db extra tokens here")
     with pytest.raises(ParseError):
         parse(".databases now")
+
+
+def test_sample_by_fill_clause():
+    from raft_c_spark.frontend.parser import parse
+
+    s = parse("SELECT avg(value) FROM cpu SAMPLE BY 1h FILL(prev)")
+    assert s.fill == "prev"
+    assert parse("SELECT avg(value) FROM cpu SAMPLE BY 1h FILL(0.5)").fill == 0.5
+    assert parse("SELECT avg(value) FROM cpu SAMPLE BY 1h FILL(null)").fill == "null"
+    # fill only attaches to SAMPLE BY; default stays None
+    assert parse("SELECT avg(value) FROM cpu SAMPLE BY 1h").fill is None
+
+
+def test_sample_by_fill_rejects_bad_mode():
+    import pytest
+
+    from raft_c_spark.frontend.ast import ParseError
+    from raft_c_spark.frontend.parser import parse
+
+    with pytest.raises(ParseError):
+        parse("SELECT avg(value) FROM cpu SAMPLE BY 1h FILL(bogus)")
