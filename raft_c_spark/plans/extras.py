@@ -322,6 +322,28 @@ def q_ts_sample_fill(spark, sf_dir):
     return tsdb.sample_by_fill(pts, HOUR_NS, fill="prev", t0=T0, t1=T1)
 
 
+def _q_mm_real_resize(spark, sf_dir):
+    from raft_c_spark.plans.multimodal import q_mm_real_resize
+
+    return q_mm_real_resize(spark, sf_dir)
+
+
+_q_mm_real_resize.__doc__ = (
+    "Real PNG decode -> nearest resize -> re-encode -> decode chain "
+    "with exact-integer stats - see plans.multimodal.q_mm_real_resize."
+)
+
+
+def _mm_resize_oracle() -> str:
+    from raft_c_spark.plans.multimodal import resize_expected_parquet_path
+
+    return (
+        "SELECT media_id, kind, width, height, n_units, "
+        "val_sum, val_min, val_max "
+        f"FROM read_parquet('{resize_expected_parquet_path()}')"
+    )
+
+
 def _q_lang_sample_fill(spark, sf_dir):
     from raft_c_spark.plans.language import q_language_sample_fill
 
@@ -439,6 +461,7 @@ QUERIES = {
     "ts_sample_fill": q_ts_sample_fill,
     "dedup_best_survivor": q_dedup_best_survivor,
     "lang_sample_fill": _q_lang_sample_fill,
+    "mm_real_resize": _q_mm_real_resize,
 }
 
 def _minhash_incr_oracle() -> str:
@@ -766,6 +789,7 @@ ORACLES: dict[str, str] = {
     "ts_sample_fill": _ts_sample_fill_oracle(),
     "dedup_best_survivor": _best_survivor_oracle(),
     "lang_sample_fill": _lang_sample_fill_oracle(),
+    "mm_real_resize": _mm_resize_oracle(),
     # both deliveries are identical rows and one batch sees all data,
     # so the deduped stream must equal the plain table
     "stream_dedup": """

@@ -169,6 +169,65 @@ def frames_expected_parquet_path() -> str:
     )
 
 
+MM_RESIZE_W, MM_RESIZE_H = 32, 24
+
+
+def q_mm_real_resize(spark, sf_dir):
+    """REAL image resize end-to-end: PNG payloads are genuinely
+    decoded, nearest-neighbor resized to 32×24, re-encoded, then
+    decoded AGAIN for exact-integer pixel stats. The oracle reads
+    pre-encode ground truth (the same ``resize_nearest`` over the raw
+    arrays, never touching the codec), so a hash match proves the
+    decode→resize→encode→decode chain is lossless."""
+    media = mm.synthetic_media(spark, n=MM_N, seed=MM_SEED)
+    resized = mm.resize_images(
+        media, MM_RESIZE_W, MM_RESIZE_H, decode="real"
+    )
+    return mm.decode_stats(resized)
+
+
+def expected_resize_stats(
+    n: int, seed: int, w: int, h: int
+) -> list[dict]:
+    """Ground truth for q_mm_real_resize: the same nearest-neighbor
+    kernel over the PRE-ENCODE pixel arrays."""
+    from raft_c_spark.functions.png import resize_nearest
+
+    out = []
+    for i in range(n):
+        if i % 3 != 0:
+            continue  # not an image row
+        src = mm.synthetic_pixels(i, seed, 64 + i % 32, 48 + i % 24)
+        out.append(
+            {
+                "media_id": i,
+                "kind": "image",
+                **mm._pixel_stats(resize_nearest(src, w, h)),
+            }
+        )
+    return out
+
+
+def resize_expected_parquet_path() -> str:
+    import pyarrow as pa
+
+    return _ground_truth_parquet(
+        f"mm_resize_expected_v{MM_EXPECTED_VERSION}"
+        f"_n{MM_N}_s{MM_SEED}_{MM_RESIZE_W}x{MM_RESIZE_H}.parquet",
+        expected_resize_stats(MM_N, MM_SEED, MM_RESIZE_W, MM_RESIZE_H),
+        [
+            ("media_id", pa.int64()),
+            ("kind", pa.string()),
+            ("width", pa.int64()),
+            ("height", pa.int64()),
+            ("n_units", pa.int64()),
+            ("val_sum", pa.int64()),
+            ("val_min", pa.int64()),
+            ("val_max", pa.int64()),
+        ],
+    )
+
+
 MM_INDEX_N = 128  # media rows in the frame-index corpus
 MM_INDEX_EVERY_MS = 500
 
