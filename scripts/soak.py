@@ -162,6 +162,10 @@ SOAK_QUERIES = [
     ("text_quality_model", None,
      "linear (one map-side-combined aggregate)"),
     ("ds_snapshot_diff", None, "linear (one co-locatable equi-join)"),
+    ("ds_pipeline_e2e", None,
+     "linear (five chained linear stages under one plan)"),
+    ("dedup_best_survivor", None,
+     "near-linear (banded pairs + components + one window)"),
 ]
 
 
