@@ -48,6 +48,22 @@ def main() -> None:
     load_table(spark, SF_DIR, "lineitem").count()
     spark.range(8).mapInPandas(lambda it: it, "id long").count()
 
+    # fixed calibration probe: a deterministic CPU-bound aggregate
+    # whose cost is independent of the registry — round-over-round
+    # totals divide by this to normalize away box-speed variance
+    # (this host has measured 25-30% slower epochs; see ROUND4.md)
+    from pyspark.sql import functions as _F
+
+    calib = None
+    for _ in range(2):
+        c0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).agg(
+            _F.sum(_F.pmod(_F.xxhash64("id"), _F.lit(1_000_000)))
+        ).collect()
+        cd = time.perf_counter() - c0
+        calib = cd if calib is None else min(calib, cd)
+    calib = round(calib, 4)
+
     # two passes, report the per-query minimum: the box shows large
     # noisy-neighbor variance (the same trivial query has measured
     # 1.9s and 29s across runs), and min-of-2 measures the plan
@@ -97,6 +113,7 @@ def main() -> None:
         "sf": sf,
         "passes": passes,
         "aggregation": "min_per_query",
+        "calib_sec": calib,
     }
     # the committed artifact is the sf0.1 run; other scales (e.g. the
     # sf0.01 preflight smoke) write a suffixed file so they can never
@@ -123,6 +140,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "tpch_sec": tpch,
+                "calib_sec": calib,
                 "full": "BENCH_FULL.json",
                 "queries": qs,
             },

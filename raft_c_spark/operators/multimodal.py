@@ -283,7 +283,9 @@ def expected_decode_stats(n: int = 64, seed: int = 42) -> list[dict]:
             dur = 1000 * (1 + i % 7)
             stats = _sample_stats(synthetic_pcm(i, seed, dur))
         else:
-            continue  # video payloads are opaque (no stdlib codec)
+            # video decode is real too (functions/y4m.py) but scoped
+            # to the frame path — see expected_frame_stats
+            continue
         out.append({"media_id": i, "kind": kind, **stats})
     return out
 
