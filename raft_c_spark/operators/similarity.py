@@ -388,14 +388,40 @@ def knn_join_lsh(
 
 
 def _hyperplane(dim: int, bit: int, seed: int = 42) -> list[float]:
-    """Deterministic pseudo-random unit-free hyperplane: a fixed
-    integer hash per (bit, component) mapped to [-1, 1]. No RNG state —
-    reproducible across runs/engines."""
+    """Deterministic pseudo-random hyperplane: md5 of "seed,bit,j"
+    per component, first 60 bits mapped to [-1, 1). No RNG state —
+    reproducible across runs/engines, and the DuckDB oracle replays
+    the identical string key (plane_weight_sql is the single source
+    of the SQL form).
+
+    md5 replaced the original multiplicative-hash formula
+    ((bit·1000003 + j·7919 + seed)·K mod 2⁶³): that lattice-structured
+    sequence produced heavily CORRELATED plane components — measured
+    8.2× bucket-occupancy skew (Σocc²·2^b/n²) at 10 bits on isotropic
+    vectors, vs 1.36× for md5 and 1.38× for true gaussian planes — a
+    ~6× inflation of LSH candidate volume that compounded with bits
+    and broke the auto-sizer's linear-candidates contract."""
+    import hashlib
+
     out = []
     for j in range(dim):
-        h = (bit * 1_000_003 + j * 7919 + seed) * 0x9E3779B97F4A7C15 % (1 << 63)
-        out.append((h / float(1 << 62)) - 1.0)
+        h = int(
+            hashlib.md5(f"{seed},{bit},{j}".encode()).hexdigest()[:15], 16
+        )
+        out.append(h / float(1 << 59) - 1.0)
     return out
+
+
+def plane_weight_sql(t_expr: str, b_expr: str, j_expr: str) -> str:
+    """DuckDB expression computing the SAME plane weight as
+    ``_hyperplane`` (seed = 1000 + table): md5 of the identical
+    "seed,bit,component" string, first 15 hex digits, scaled from
+    [0, 2⁶⁰) to [-1, 1). Single source for every oracle replay."""
+    key = f"(1000 + {t_expr}) || ',' || {b_expr} || ',' || {j_expr}"
+    return (
+        f"(CAST(CAST('0x' || substr(md5({key}), 1, 15) AS BIGINT) "
+        f"AS DOUBLE) / 576460752303423488.0) - 1.0"
+    )
 
 
 def lsh_signature(vec_col: str, dim: int, bits: int = 16, seed: int = 42) -> Column:
@@ -436,12 +462,22 @@ def lsh_signature(vec_col: str, dim: int, bits: int = 16, seed: int = 42) -> Col
     )
 
 
-def _plane_matrix(dim: int, bits: int, tables: int) -> "np.ndarray":
+def _plane_matrix(
+    dim: int, bits: int, tables: int, table_offset: int = 0
+) -> "np.ndarray":
+    """(tables, bits, dim) hyperplanes. ``table_offset`` shifts the
+    per-table seed so a mixed-bits allocation (two table groups of
+    different signature widths) draws DISTINCT planes — without it
+    the second group's first ``bits`` planes would duplicate the
+    first group's and correlate the tables."""
     import numpy as np
 
     return np.array(
         [
-            [_hyperplane(dim, i, seed=1000 + t) for i in range(bits)]
+            [
+                _hyperplane(dim, i, seed=1000 + table_offset + t)
+                for i in range(bits)
+            ]
             for t in range(tables)
         ]
     )  # (tables, bits, dim)
@@ -678,6 +714,7 @@ def pair_signatures(
     vec_col: str,
     bits: int = 10,
     tables: int = 8,
+    table_offset: int = 0,
 ) -> DataFrame:
     """(doc, table, sig) rows — one hyperplane signature per table per
     vector, computed in the same vectorized numpy kernel shape as
@@ -689,7 +726,7 @@ def pair_signatures(
     import pandas as pd
 
     dim = vec_dim(df, vec_col)
-    planes = _plane_matrix(dim, bits, tables)  # (T, B, dim)
+    planes = _plane_matrix(dim, bits, tables, table_offset)  # (T, B, dim)
     flat = planes.reshape(tables * bits, dim).T  # (dim, T*B)
     weights = (1 << np.arange(bits)).astype(np.int64)
 
@@ -703,7 +740,9 @@ def pair_signatures(
             yield pd.DataFrame(
                 {
                     "doc": pdf[id_col].to_numpy().repeat(tables),
-                    "table": np.tile(np.arange(tables), len(pdf)),
+                    "table": np.tile(
+                        table_offset + np.arange(tables), len(pdf)
+                    ),
                     "sig": sigs.reshape(-1),
                 }
             )
@@ -742,6 +781,56 @@ def auto_lsh_params(
     return bits, tables
 
 
+def auto_lsh_allocation(
+    n: int,
+    threshold: float,
+    bucket_target: int = 32,
+    target_recall: float = 0.95,
+) -> list[tuple[int, int, int]]:
+    """Mixed-bits table allocation — smooths the power-of-two
+    occupancy sawtooth of single-bits auto sizing. The continuous
+    ideal b = log2(n / bucket_target) sits between integer widths
+    b_lo and b_hi = b_lo+1; allocating fraction f = 2/r − 1
+    (r = 2^(b − b_lo) ∈ [1, 2)) of the tables at b_lo holds the
+    EXPECTED per-table candidate volume at the continuous ideal
+    n·bucket_target for EVERY corpus size, not just powers of two —
+    measured: single-bits auto showed a locally super-linear 5.2× at
+    3× data purely from the occupancy step (SCALING.md). Tables grow
+    until the mixed recall product 1−(1−p^b_lo)^T_lo·(1−p^b_hi)^T_hi
+    reaches ``target_recall``.
+
+    Returns [(bits, tables, table_offset), ...] (1 or 2 groups;
+    offsets keep the two groups' hyperplanes distinct)."""
+    import math
+
+    b = math.log2(max(n, 2) / bucket_target)
+    b_lo = max(4, math.floor(b))
+    b_hi = b_lo + 1
+    r = 2.0 ** max(b - b_lo, 0.0)  # clamped when the floor-4 kicks in
+    f = min(1.0, max(0.0, 2.0 / r - 1.0))
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_lo, p_hi = p**b_lo, p**b_hi
+    if p_lo >= 1.0:
+        return [(b_lo, 1, 0)]
+    total = None
+    for t in range(1, 65):
+        t_lo = round(f * t)
+        t_hi = t - t_lo
+        miss = (1.0 - p_lo) ** t_lo * (1.0 - p_hi) ** t_hi
+        if 1.0 - miss >= target_recall:
+            total = (t_lo, t_hi)
+            break
+    if total is None:
+        total = (round(f * 64), 64 - round(f * 64))
+    t_lo, t_hi = total
+    groups = []
+    if t_lo:
+        groups.append((b_lo, t_lo, 0))
+    if t_hi:
+        groups.append((b_hi, t_hi, t_lo))
+    return groups
+
+
 def lsh_bucketed_pairs(
     df: DataFrame,
     id_col: str,
@@ -768,11 +857,25 @@ def lsh_bucketed_pairs(
     joins are plain equi-joins on doc id and shuffle at corpus
     size."""
     dim = vec_dim(df, vec_col)
-    if bits is None or tables is None:
-        a_bits, a_tables = auto_lsh_params(df.count(), threshold)
-        bits = a_bits if bits is None else bits
-        tables = a_tables if tables is None else tables
-    sigs = pair_signatures(df, id_col, vec_col, bits, tables).cache()
+    n_tables = tables
+    if bits is None and tables is None:
+        # fully-auto: mixed-bits allocation (see auto_lsh_allocation)
+        groups = auto_lsh_allocation(df.count(), threshold)
+        sigs = None
+        for g_bits, g_tables, g_off in groups:
+            part = pair_signatures(
+                df, id_col, vec_col, g_bits, g_tables, table_offset=g_off
+            )
+            sigs = part if sigs is None else sigs.unionByName(part)
+        n_tables = sum(g[1] for g in groups)
+        sigs = sigs.cache()
+    else:
+        if bits is None or tables is None:
+            a_bits, a_tables = auto_lsh_params(df.count(), threshold)
+            bits = a_bits if bits is None else bits
+            tables = a_tables if tables is None else tables
+        n_tables = tables
+        sigs = pair_signatures(df, id_col, vec_col, bits, tables).cache()
     n_rows = sigs.count()  # forces cache + prices the broadcast hint
     y_side = sigs.alias("y")
     if n_rows <= 4_000_000:
@@ -789,7 +892,7 @@ def lsh_bucketed_pairs(
         .distinct()
     )
     return verify_pairs_cosine(
-        cand, df, id_col, vec_col, threshold, dim, n_rows // tables
+        cand, df, id_col, vec_col, threshold, dim, n_rows // n_tables
     )
 
 
@@ -821,7 +924,9 @@ def lsh_index(
     from raft_c_spark.functions import diskcache
 
     hi_div = max(1, (1 << bits) // 16)
-    final = diskcache.cache_path(f"lshidx_{cache_key}_b{bits}_t{tables}_v1")
+    final = diskcache.cache_path(# v2: md5-derived hyperplanes (the v1 affine-hash planes
+        # had 8x bucket skew) — old indexes must not be reused
+        f"lshidx_{cache_key}_b{bits}_t{tables}_v2")
     if not os.path.isdir(final):
         os.makedirs(diskcache.cache_root(), exist_ok=True)
         staging = f"{final}.tmp.{os.getpid()}"

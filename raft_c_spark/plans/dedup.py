@@ -329,17 +329,17 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 6
 def _embedding_lsh_oracle() -> str:
     """DuckDB replication of similarity.lsh_bucketed_pairs(threshold=
     0.40, bits=4, tables=12): hyperplane weights regenerated from the
-    same integer-hash formula (HUGEINT intermediate — the 64-bit
-    multiply overflows BIGINT), sign-of-dot signatures, bucket join,
+    same md5 string key (plane_weight_sql — bit-identical to
+    _hyperplane), sign-of-dot signatures, bucket join,
     sequential-fold cosine verify ≥ threshold (the Spark verify kernel
     accumulates dimension-by-dimension in the same order)."""
+    from raft_c_spark.operators.similarity import plane_weight_sql
+
     bits, tables, dim = 4, 12, 64
     return f"""
 WITH pl AS (
   SELECT t.t, b.b, j.j,
-         (CAST(((b.b * 1000003 + j.j * 7919 + (1000 + t.t))::HUGEINT
-               * 11400714819323198485::HUGEINT) % 9223372036854775808::HUGEINT
-               AS DOUBLE) / 4611686018427387904.0) - 1.0 AS w
+         {plane_weight_sql('t.t', 'b.b', 'j.j')} AS w
   FROM (SELECT unnest(range(0, {tables})) AS t) t
   CROSS JOIN (SELECT unnest(range(0, {bits})) AS b) b
   CROSS JOIN (SELECT unnest(range(0, {dim})) AS j) j

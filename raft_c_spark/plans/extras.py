@@ -472,15 +472,15 @@ def _minhash_incr_oracle() -> str:
 
 def _knn_lsh_oracle(bits: int = 8, tables: int = 16, dim: int = 64) -> str:
     """Batch generalization of plans.similarity._lsh_topk_oracle:
-    same HUGEINT hyperplane regeneration and signature construction,
-    candidates = (query, doc) pairs sharing any (table, sig), rerank
-    per query with ROW_NUMBER."""
+    same md5 hyperplane regeneration (plane_weight_sql) and signature
+    construction, candidates = (query, doc) pairs sharing any
+    (table, sig), rerank per query with ROW_NUMBER."""
+    from raft_c_spark.operators.similarity import plane_weight_sql
+
     return f"""
 WITH pl AS (
   SELECT t.t, b.b, j.j,
-         (CAST(((b.b * 1000003 + j.j * 7919 + (1000 + t.t))::HUGEINT
-               * 11400714819323198485::HUGEINT) % 9223372036854775808::HUGEINT
-               AS DOUBLE) / 4611686018427387904.0) - 1.0 AS w
+         {plane_weight_sql('t.t', 'b.b', 'j.j')} AS w
   FROM (SELECT unnest(range(0, {tables})) AS t) t
   CROSS JOIN (SELECT unnest(range(0, {bits})) AS b) b
   CROSS JOIN (SELECT unnest(range(0, {dim})) AS j) j

@@ -164,19 +164,20 @@ ORACLES = {
 
 def _lsh_topk_oracle(bits: int = 8, tables: int = 16, dim: int = 64) -> str:
     """DuckDB replication of lsh_bucketed_topk(bits=8, tables=16):
-    regenerate the hyperplanes from the shared integer-hash formula
-    (HUGEINT intermediate), signature per (vector, table), candidates
-    = vectors sharing any (table, sig) with the query (vec_id 0) —
-    exactly the buckets the partition-pruned index probe reads — then
-    the same exact-cosine top-k as sim_topk_exact. The persisted
-    index layout (sig_hi partitioning) is physical only; bucket
-    membership is what it encodes."""
+    regenerate the hyperplanes from the shared md5 string key
+    (plane_weight_sql — bit-identical to _hyperplane), signature per
+    (vector, table), candidates = vectors sharing any (table, sig)
+    with the query (vec_id 0) — exactly the buckets the
+    partition-pruned index probe reads — then the same exact-cosine
+    top-k as sim_topk_exact. The persisted index layout (sig_hi
+    partitioning) is physical only; bucket membership is what it
+    encodes."""
+    from raft_c_spark.operators.similarity import plane_weight_sql
+
     return f"""
 WITH pl AS (
   SELECT t.t, b.b, j.j,
-         (CAST(((b.b * 1000003 + j.j * 7919 + (1000 + t.t))::HUGEINT
-               * 11400714819323198485::HUGEINT) % 9223372036854775808::HUGEINT
-               AS DOUBLE) / 4611686018427387904.0) - 1.0 AS w
+         {plane_weight_sql('t.t', 'b.b', 'j.j')} AS w
   FROM (SELECT unnest(range(0, {tables})) AS t) t
   CROSS JOIN (SELECT unnest(range(0, {bits})) AS b) b
   CROSS JOIN (SELECT unnest(range(0, {dim})) AS j) j

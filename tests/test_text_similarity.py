@@ -315,3 +315,45 @@ def test_knn_join_lsh_finds_planted_neighbors(spark):
     for r in got.collect():
         if (r["q"], r["doc"]) in exact:
             assert r["cosine"] == exact[(r["q"], r["doc"])]
+
+
+def test_lsh_bucketed_pairs_auto_mixed_recall(spark, emb):
+    """The fully-auto (mixed-bits allocation) path must hold the same
+    recall contract as fixed params: >=90% of planted near-dup pairs
+    at cosine >= 0.95, and no false positives. Exercises both table
+    groups of auto_lsh_allocation (the corpus size is not a power of
+    two times the bucket target)."""
+    import random
+
+    from raft_c_spark.operators import dedup
+    from raft_c_spark.operators.similarity import auto_lsh_allocation
+
+    rng = random.Random(29)
+    base = {r["vec_id"]: r["embedding"] for r in emb.limit(12).collect()}
+    planted = spark.createDataFrame(
+        [
+            (80000 + i, [v * (1 + rng.uniform(-0.01, 0.01)) for v in vec], 0)
+            for i, vec in enumerate(base.values())
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    allv = emb.unionByName(planted)
+    n = allv.count()
+    groups = auto_lsh_allocation(n, 0.95)
+    truth = {
+        (r["a"], r["b"])
+        for r in dedup.embedding_neardup_pairs(
+            allv, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    assert truth
+    found = {
+        (r["a"], r["b"])
+        for r in similarity.lsh_bucketed_pairs(
+            allv, "vec_id", "embedding", threshold=0.95,
+            bits=None, tables=None,
+        ).collect()
+    }
+    assert found <= truth
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"auto-mixed recall {recall:.2f} ({groups})"
