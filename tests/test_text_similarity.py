@@ -357,3 +357,52 @@ def test_lsh_bucketed_pairs_auto_mixed_recall(spark, emb):
     assert found <= truth
     recall = len(found & truth) / len(truth)
     assert recall >= 0.9, f"auto-mixed recall {recall:.2f} ({groups})"
+
+
+class TestPlaneQualityAndAllocation:
+    def test_hyperplane_bucket_skew_bounded(self):
+        """Regression pin for the plane-lattice fix: md5-derived
+        hyperplanes must keep bucket-occupancy skew (sum occ^2 * 2^b
+        / n^2, gaussian ideal ~1.4) under 2.0 at 10 bits on isotropic
+        vectors. The original multiplicative-hash planes measured 8.2
+        here - a ~6x LSH candidate inflation."""
+        import numpy as np
+
+        from raft_c_spark.operators.similarity import _plane_matrix
+
+        rng = np.random.default_rng(7)
+        m = rng.normal(size=(20000, 64))
+        planes = _plane_matrix(64, 10, 4)
+        for t in range(4):
+            bits = (m @ planes[t].T > 0).astype(np.int64)
+            sig = bits @ (1 << np.arange(10))
+            _, cnt = np.unique(sig, return_counts=True)
+            skew = float((cnt.astype(np.float64) ** 2).sum() / (len(m) ** 2 / 1024))
+            assert skew < 2.0, f"table {t}: bucket skew {skew:.2f}"
+
+    def test_auto_allocation_holds_expected_volume(self):
+        """The mixed-bits allocation must hold expected per-table
+        candidate volume within 10% of the continuous ideal
+        n * bucket_target for corpus sizes on AND off powers of two
+        (the integer table split quantizes the mix fraction to 1/T,
+        so exact equality is unreachable; the single-bits scheme it
+        replaced swung a full 2x), and its recall product must reach
+        the target."""
+        import math
+
+        from raft_c_spark.operators.similarity import auto_lsh_allocation
+
+        p = 1.0 - math.acos(0.9) / math.pi
+        for n in (4096 * 32, 5000, 20000, 60000, 123457, 10**6):
+            groups = auto_lsh_allocation(n, 0.9, bucket_target=32)
+            t_total = sum(t for _, t, _ in groups)
+            vol = sum(t * n * (n / 2**b) for b, t, _ in groups) / t_total
+            ideal = n * 32.0
+            if n >= 32 * 16:  # above the floor-4 clamp region
+                assert abs(vol - ideal) / ideal < 0.10, (n, groups, vol)
+            miss = 1.0
+            for b, t, _ in groups:
+                miss *= (1.0 - p**b) ** t
+            assert 1.0 - miss >= 0.95 or t_total == 64, (n, groups)
+            offs = [o for _, _, o in groups]
+            assert offs == sorted(offs) and len(set(offs)) == len(offs)
