@@ -353,10 +353,30 @@ def sample_by_fill(
     bounds = agg.groupBy("series").agg(
         F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
     )
+    # grid-size guard (JVM-side, no driver job): a sub-second interval
+    # over a years-long series would explode one sequence() array —
+    # fail loudly with the series name instead of OOMing an executor.
+    # The check lives INSIDE the sequence bound so column pruning can
+    # never drop it.
+    max_buckets = 10_000_000
+    n_buckets = (F.col("hi") - F.col("lo")) / F.lit(interval_ns) + 1
+    hi_checked = F.when(
+        n_buckets > F.lit(max_buckets),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"sample_by_fill: grid exceeds {max_buckets} "
+                    "buckets for series "
+                ),
+                F.col("series"),
+                F.lit(" - use a coarser interval"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("hi"))
     grid = bounds.select(
         "series",
         F.explode(
-            F.sequence(F.col("lo"), F.col("hi"), F.lit(interval_ns))
+            F.sequence(F.col("lo"), hi_checked, F.lit(interval_ns))
         ).alias("bucket_ts"),
     )
     j = grid.join(agg, ["series", "bucket_ts"], "left")

@@ -298,3 +298,19 @@ def test_sample_by_fill_per_series_grid(spark):
         for r in sample_by_fill(df, 10, fill="prev").collect()
     }
     assert got == {("a", 10), ("a", 20), ("a", 30), ("b", 100)}
+
+
+def test_sample_by_fill_grid_guard(spark):
+    """A pathological interval/span combination must fail loudly at
+    the guard (named series in the message), not OOM an executor on a
+    multi-billion-element sequence array."""
+    import pytest
+
+    from raft_c_spark.operators.tsdb import sample_by_fill
+
+    df = spark.createDataFrame(
+        [("s", 5, 1.0), ("s", 40_000_000_005, 7.0)],
+        "series string, timestamp long, value double",
+    )
+    with pytest.raises(Exception, match="grid exceeds"):
+        sample_by_fill(df, 10, fill="prev").collect()
