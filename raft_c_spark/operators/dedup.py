@@ -634,6 +634,25 @@ def minhash_lsh_pairs(
     *verified* with estimated jaccard = fraction of equal signature
     components, filtered at ``threshold``."""
     rows_per_band = num_perm // bands
+    # pair-level cache: the *verified* pair frame is persisted per
+    # (corpus, params) alongside the signatures, so pipelines that
+    # compose pair generation (dedup_minhash_lsh, dedup_best_survivor)
+    # run the banded join + verify once per corpus instead of once per
+    # caller. Same stored-derived-column pattern as the signatures;
+    # bench.py wipes the cache before pass 1 and records cold times
+    # separately, so the benchmark never mistakes a hit for the cost.
+    pair_key = None
+    if cache_key is not None:
+        thr = str(threshold).replace(".", "p")
+        pair_key = (
+            f"minhashpairs_{cache_key}_n{n}_p{num_perm}_b{bands}_t{thr}_v1"
+        )
+        import os
+
+        from raft_c_spark.functions.diskcache import cache_path, cached_parquet
+
+        if os.path.isdir(cache_path(pair_key)):
+            return df.sparkSession.read.parquet(cache_path(pair_key))
     sig = minhash_signatures(df, id_col, text_col, n, num_perm)
     if cache_key is not None:
         sig = _persisted_signatures(sig, cache_key, n, num_perm)
@@ -693,7 +712,10 @@ def minhash_lsh_pairs(
                     {"a": a[keep], "b": b[keep], "est_jaccard": est[keep]}
                 )
 
-        return cand.mapInPandas(kernel, "a long, b long, est_jaccard double")
+        pairs = cand.mapInPandas(kernel, "a long, b long, est_jaccard double")
+        if pair_key is not None:
+            pairs = cached_parquet(pairs, pair_key)
+        return pairs
 
     # corpus-scale fallback: equi-joins on doc id (linear shuffles) +
     # unrolled equal-component count (see dot_unrolled rationale)
@@ -706,13 +728,16 @@ def minhash_lsh_pairs(
         ).otherwise(0)
         matches = term if matches is None else matches + term
     est = matches / F.lit(float(num_perm))
-    return (
+    pairs = (
         cand.join(siga, "a")
         .join(sigb, "b")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
     )
+    if pair_key is not None:
+        pairs = cached_parquet(pairs, pair_key)
+    return pairs
 
 
 def minhash_lsh_pairs_between(

@@ -10,10 +10,13 @@ Decode modes:
   signatures) end-to-end without interpreting the payload;
 - ``decode=\"real\"``: genuinely decodes the payload. Images go
   through the stdlib-only PNG codec (functions/png.py — zlib +
-  struct, all five scanline filters) and audio through the stdlib
-  ``wave`` module; both compute features from actual pixels/samples.
-  Video has no stdlib codec, so it raises NotImplementedError,
-  marking exactly where a production codec (ffmpeg/av) plugs in.
+  struct, all five scanline filters), audio through the stdlib
+  ``wave`` module, and video through the stdlib-only y4m codec
+  (functions/y4m.py — uncompressed YUV4MPEG2 frame streams); all
+  compute features from actual pixels/samples/frames. Compressed
+  containers (mp4/webm/JPEG) have no stdlib codec and fail loudly
+  at the decode seam, marking exactly where a production codec
+  (ffmpeg/av) plugs in.
 
 Scale notes: media bytes never pass through a shuffle — all kernels
 are narrow mapInPandas transforms; only extracted features (small,
@@ -254,8 +257,13 @@ def decode_stats(df: DataFrame) -> DataFrame:
                         )
                     stats = _sample_stats(pcm)
                 else:
-                    raise NotImplementedError(
-                        f"decode_stats: no stdlib codec for kind={kind}"
+                    # video stats have their own per-frame schema and
+                    # kernel (frame_stats / sample_frames via the y4m
+                    # codec); this kernel is image/audio-only
+                    raise ValueError(
+                        f"decode_stats handles image/audio; got kind="
+                        f"{kind} (video goes through frame_stats / "
+                        f"sample_frames)"
                     )
                 rows.append({"media_id": int(mid), "kind": str(kind), **stats})
             yield pd.DataFrame(rows, columns=_DECODE_STATS_COLS)

@@ -424,44 +424,6 @@ def plane_weight_sql(t_expr: str, b_expr: str, j_expr: str) -> str:
     )
 
 
-def lsh_signature(vec_col: str, dim: int, bits: int = 16, seed: int = 42) -> Column:
-    """Random-hyperplane signature: bit i = sign(<v, h_i>), packed into
-    an int. The planes ride along as a literal array<array<double>> and
-    the whole signature is higher-order-function arithmetic — constant
-    codegen size regardless of dim×bits (an unrolled expression tree
-    blows past janino's method limit)."""
-    planes = F.array(
-        *[
-            F.array(*[F.lit(v) for v in _hyperplane(dim, i, seed)])
-            for i in range(bits)
-        ]
-    )
-    v = F.expr(f"transform({vec_col}, x -> cast(x as double))")
-    bit_arr = F.transform(
-        planes,
-        lambda p: F.when(
-            F.aggregate(
-                F.zip_with(v, p, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, val: acc + val,
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    return F.aggregate(
-        F.zip_with(
-            bit_arr,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            # F.shiftleft needs a literal shift count; 2^i via pow is
-            # exact in double far beyond any plausible bit count
-            lambda b, i: (b * F.pow(F.lit(2.0), i)).cast("int"),
-        ),
-        F.lit(0),
-        lambda acc, val: acc + val,
-    )
-
-
 def _plane_matrix(
     dim: int, bits: int, tables: int, table_offset: int = 0
 ) -> "np.ndarray":

@@ -125,15 +125,27 @@ def q_dedup_embedding_lsh(spark, sf_dir):
 
 
 def q_dedup_components(spark, sf_dir):
-    """Near-dup clusters: connected components over the exact
+    """Near-dup clusters: connected components over the hyperplane-LSH
     embedding pair graph — the step after pair generation in every
     dedup pipeline (cluster → keep one survivor per component).
-    Iterative min-label propagation (joins + aggregates only);
-    deterministic, so the oracle recomputes it as recursive-CTE
-    reachability."""
+
+    The pair input is the scale path (bucket equi-join + exact-cosine
+    verify, same operator/params as ``dedup_embedding_lsh``), NOT the
+    exact all-pairs baseline: the round-4 scaling soak measured the
+    exact-pair input at 15.2× cost per 10× data — quadratic pair
+    generation dominates long before clustering does. The clustering
+    itself is linear in edges (min-label propagation, joins +
+    aggregates only). The exact-pair composition stays as a pytest
+    ground-truth cross-check (tests/test_sampling.py).
+
+    Deterministic end to end (integer-hash hyperplanes, min-label
+    fixpoint), so the oracle replays pair generation in SQL and
+    recomputes clustering as recursive-CTE reachability."""
+    from raft_c_spark.operators import similarity
+
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = dedup.embedding_neardup_pairs(
-        emb, "vec_id", "embedding", threshold=COSINE_THRESHOLD
+    pairs = similarity.lsh_bucketed_pairs(
+        emb, "vec_id", "embedding", threshold=0.40, bits=4, tables=12,
     )
     return dedup.connected_components(pairs)
 
@@ -202,14 +214,16 @@ ORACLES = {
         WHERE va.vec_id < vb.vec_id
           AND {_DOT} / ({_NORM_A} * {_NORM_B}) >= {COSINE_THRESHOLD}
     """,
-    # components = reachability fixpoint over the same exact pair
-    # graph; min-over-reachable equals the label-propagation result
-    "dedup_components": f"""
+}
+
+
+def _components_oracle(pairs_sql: str) -> str:
+    """Recursive-CTE reachability over a replayed pair SQL:
+    min-over-reachable equals the min-label-propagation fixpoint the
+    Spark operator computes. ``pairs_sql`` must yield (a, b, ...)."""
+    return f"""
         WITH RECURSIVE pairs AS (
-            SELECT va.vec_id AS a, vb.vec_id AS b
-            FROM embeddings va, embeddings vb
-            WHERE va.vec_id < vb.vec_id
-              AND {_DOT} / ({_NORM_A} * {_NORM_B}) >= {COSINE_THRESHOLD}
+            SELECT a, b FROM ({pairs_sql})
         ),
         edges AS (
             SELECT a AS src, b AS dst FROM pairs
@@ -223,8 +237,7 @@ ORACLES = {
         )
         SELECT src AS doc, LEAST(src, MIN(dst)) AS component
         FROM reach GROUP BY src
-    """,
-}
+    """
 
 
 def _minhash_oracle(cand_pred: str = "x.doc < y.doc") -> str:
@@ -379,3 +392,6 @@ SELECT a, b, cosine FROM scored WHERE cosine >= 0.40
 ORACLES["dedup_minhash_lsh"] = _minhash_oracle()
 ORACLES["dedup_simhash"] = _simhash_oracle()
 ORACLES["dedup_embedding_lsh"] = _embedding_lsh_oracle()
+# components over the LSH pair graph: the clustering oracle wraps the
+# same replayed pair SQL the dedup_embedding_lsh oracle validates
+ORACLES["dedup_components"] = _components_oracle(_embedding_lsh_oracle())

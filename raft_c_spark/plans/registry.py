@@ -28,7 +28,10 @@ def _modules():
     queries that overflow the window were driver-hash-green in both
     round 1 and round 2 (CORRECTNESS_r01/r02) and every query in this
     registry is additionally oracle-checked by
-    tests/test_entry_contract.py on every pytest run."""
+    tests/test_entry_contract.py on every pytest run. From round 5
+    the final ordering additionally applies ``_WINDOW_SWAPS`` so
+    long-stable slots rotate out in favor of never-driver-verified
+    queries."""
     from raft_c_spark.plans import parity
 
     mods = [parity]
@@ -76,6 +79,42 @@ def _with_cache_hygiene(fn: Callable) -> Callable:
     return wrapped
 
 
+#: Round-5 rotation of the driver's 50-query verification window
+#: (judge's round-4 ask #4): each (out, in) pair swaps a long-stable
+#: slot — parity queries hash-green in the driver window for three
+#: consecutive rounds AND redundantly covered by other in-window
+#: queries plus e2e/hypothesis pytest suites — for a query that has
+#: never been externally hash-verified. Every operator family keeps
+#: at least one in-window representative (ts: range/point/where/
+#: sample_1d/sliding/fill; lang: sample_by/where_limit/multi_agg).
+_WINDOW_SWAPS: list[tuple[str, str]] = [
+    ("ts_min", "tpch_pricing_summary"),
+    ("ts_max", "tpch_shipping_priority"),
+    ("ts_latest", "tpch_waiting_supplier"),
+    ("ts_earliest", "ev_sessionize"),
+    ("ts_avg", "ev_funnel"),
+    ("ts_sample_1h", "sim_knn_join"),
+    ("ts_latest_k", "ds_pipeline_e2e"),
+    ("lang_at_lookup", "dedup_best_survivor"),
+    ("lang_earliest_k", "mm_real_frames"),
+    ("lang_sample_multi", "ts_sample_fill"),
+]
+
+
+def _rotated(names: list[str]) -> list[str]:
+    """Swap the positions of each ``_WINDOW_SWAPS`` pair in the
+    registry ordering (raising on unknown names so a renamed query
+    can't silently un-rotate the window)."""
+    pos = {n: i for i, n in enumerate(names)}
+    out = list(names)
+    for a, b in _WINDOW_SWAPS:
+        if a not in pos or b not in pos:
+            raise ValueError(f"window swap names not in registry: {(a, b)}")
+        ia, ib = pos[a], pos[b]
+        out[ia], out[ib] = out[ib], out[ia]
+    return out
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
     for mod in _modules():
@@ -83,7 +122,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")
         out.update({k: _with_cache_hygiene(v) for k, v in mod.QUERIES.items()})
-    return out
+    return {n: out[n] for n in _rotated(list(out))}
 
 
 def all_oracles() -> dict[str, str]:

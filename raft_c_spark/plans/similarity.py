@@ -230,22 +230,50 @@ def _corpus_fingerprint(mat) -> int:
     return int(np.floor(np.abs(mat[:, 0]) * 1e6).astype(np.int64).sum())
 
 
+def _embedding_corpus_paths() -> list[str]:
+    """Every embeddings.parquet the harness could register: the
+    default testdata layout plus any sf dir named via the env vars the
+    driver/tests use — so a corpus registered outside /root/testdata
+    still gets ground truth instead of an empty-fingerprint mismatch
+    (the oracle additionally fails loudly via ``error()`` if the
+    lookup still comes up empty)."""
+    import glob
+    import os
+
+    paths = set(glob.glob("/root/testdata/sf*/embeddings.parquet"))
+    for var in ("SPARK_GRAFT_SF_DIR", "ORACLE_SF_DIR"):
+        d = os.environ.get(var)
+        if d:
+            p = os.path.join(d, "embeddings.parquet")
+            if os.path.isfile(p):
+                paths.add(p)
+    return sorted(paths)
+
+
 def _ivf_expected_rows() -> list[dict]:
     """Pure-numpy replay of q_sim_topk_ivf over every testdata corpus:
-    same id-ordered fit matrix, same ``lloyd_kmeans``/``nearest_list``
-    (shared code), same probe-selection arithmetic, and the same
-    sequential-fold cosine as dot_fold/list_sum — bit-identical to the
-    distributed pipeline, computed without Spark."""
-    import glob
+    same id-ordered fit matrix — including the xxhash64 %-denom fit
+    sample above ``IVF_FIT_SAMPLE_CAP`` (replayed via
+    ``functions.xxh.pmod_xxhash64_long``, pinned bit-exact against
+    Spark's F.xxhash64 in tests) — same ``lloyd_kmeans``/
+    ``nearest_list`` (shared code), same probe-selection arithmetic,
+    and the same sequential-fold cosine as dot_fold/list_sum —
+    bit-identical to the distributed pipeline, computed without
+    Spark."""
     import math
 
     import numpy as np
     import pyarrow.parquet as pq
 
-    from raft_c_spark.operators.similarity import lloyd_kmeans, nearest_list
+    from raft_c_spark.functions.xxh import pmod_xxhash64_long
+    from raft_c_spark.operators.similarity import (
+        IVF_FIT_SAMPLE_CAP,
+        lloyd_kmeans,
+        nearest_list,
+    )
 
     rows: list[dict] = []
-    for path in sorted(glob.glob("/root/testdata/sf*/embeddings.parquet")):
+    for path in _embedding_corpus_paths():
         t = pq.read_table(path, columns=["vec_id", "embedding"])
         ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
         mat = np.stack(
@@ -254,7 +282,16 @@ def _ivf_expected_rows() -> list[dict]:
         order = np.argsort(ids, kind="stable")  # the fit set is id-ordered
         ids, mat = ids[order], mat[order]
         fp = _corpus_fingerprint(mat)
-        cent = lloyd_kmeans(mat, IVF_LISTS, IVF_SEED)
+        fit_mat = mat
+        if len(ids) > IVF_FIT_SAMPLE_CAP:
+            denom = (len(ids) + IVF_FIT_SAMPLE_CAP - 1) // IVF_FIT_SAMPLE_CAP
+            keep = np.fromiter(
+                (pmod_xxhash64_long(int(i), denom) == 0 for i in ids),
+                dtype=bool,
+                count=len(ids),
+            )
+            fit_mat = mat[keep]
+        cent = lloyd_kmeans(fit_mat, IVF_LISTS, IVF_SEED)
         assign = nearest_list(mat, cent)
         qv = [float(x) for x in mat[ids == 0][0]]
         d2 = ((cent - np.asarray(qv, dtype=np.float64)) ** 2).sum(axis=1)
@@ -282,7 +319,6 @@ def ivf_expected_parquet_path() -> str:
     """Ground-truth IVF top-k for every testdata corpus, keyed by the
     data files themselves (mtime+size) so regenerated testdata forces
     a fresh replay."""
-    import glob
     import os
 
     import pyarrow as pa
@@ -291,7 +327,7 @@ def ivf_expected_parquet_path() -> str:
 
     tags = "_".join(
         _data_cache_key(os.path.dirname(p), "embeddings")
-        for p in sorted(glob.glob("/root/testdata/sf*/embeddings.parquet"))
+        for p in _embedding_corpus_paths()
     )
     return _ground_truth_parquet(
         f"ivf_expected_v{IVF_GT_VERSION}_l{IVF_LISTS}_p{IVF_PROBE}"
@@ -306,7 +342,19 @@ def ivf_expected_parquet_path() -> str:
 
 
 def ivf_oracle_sql() -> str:
-    return (
-        f"SELECT doc, cosine FROM read_parquet('{ivf_expected_parquet_path()}') "
-        f"WHERE corpus_fp = ({_FP_SQL})"
-    )
+    """Ground-truth lookup keyed by corpus fingerprint, with a loud
+    failure when the registered corpus has no precomputed ground truth
+    (e.g. an sf dir outside the search roots) — an explicit error()
+    instead of an empty-result hash mismatch."""
+    gt = f"read_parquet('{ivf_expected_parquet_path()}')"
+    return f"""
+        SELECT doc, cosine FROM {gt} WHERE corpus_fp = ({_FP_SQL})
+        UNION ALL
+        SELECT CAST(error('no IVF ground truth for this embeddings corpus; '
+                          'add its sf dir to the search roots '
+                          '(plans/similarity._embedding_corpus_paths)') AS BIGINT),
+               NULL
+        WHERE NOT EXISTS (
+            SELECT 1 FROM {gt} WHERE corpus_fp = ({_FP_SQL})
+        )
+    """

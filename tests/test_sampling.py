@@ -187,6 +187,32 @@ def test_connected_components_vs_union_find(spark):
     assert got == want
 
 
+def test_components_over_exact_pairs_ground_truth(spark, duck):
+    """The registered ``dedup_components`` query rides the LSH pair
+    graph (the scale path — the exact input measured 15.2x per 10x
+    data in the round-4 soak); this test keeps the exact-all-pairs
+    composition as the ground truth, pinned against recursive-CTE
+    reachability, so the swap can never hide a clustering regression."""
+    from raft_c_spark.plans.dedup import (
+        COSINE_THRESHOLD,
+        ORACLES,
+        _components_oracle,
+    )
+    from tests.harness import assert_matches_oracle
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pairs = dedup.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=COSINE_THRESHOLD
+    )
+    out = dedup.connected_components(pairs)
+    assert_matches_oracle(
+        out,
+        duck,
+        _components_oracle(ORACLES["dedup_embedding"]),
+        "components_exact_pairs",
+    )
+
+
 def test_connected_components_chain_needs_iterations(spark):
     """A long chain exercises the multi-round convergence path (each
     round propagates the min one hop... doubling via the carried

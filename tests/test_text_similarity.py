@@ -406,3 +406,52 @@ class TestPlaneQualityAndAllocation:
             assert 1.0 - miss >= 0.95 or t_total == 64, (n, groups)
             offs = [o for _, _, o in groups]
             assert offs == sorted(offs) and len(set(offs)) == len(offs)
+
+
+class TestXxhashReplay:
+    """The pure-Python xxhash64 replica (functions/xxh.py) backs the
+    IVF fit-sample replay above IVF_FIT_SAMPLE_CAP — it must stay
+    bit-identical to Spark's F.xxhash64 on longs or the ground truth
+    silently diverges on large corpora."""
+
+    def test_xxhash64_long_matches_spark(self, spark):
+        from raft_c_spark.functions.xxh import (
+            pmod_xxhash64_long,
+            xxhash64_long,
+        )
+
+        vals = [
+            0, 1, -1, 2, -2, 42, 63, 64, 65, 1000, -1000,
+            2**31 - 1, -(2**31), 2**32, 2**62, -(2**62),
+            2**63 - 1, -(2**63), 123456789123456789,
+        ] + [h * 2654435761 % (2**63) for h in range(50)]
+        df = spark.createDataFrame([(v,) for v in vals], "v long").select(
+            "v",
+            F.xxhash64("v").alias("h"),
+            F.pmod(F.xxhash64("v"), F.lit(97)).alias("pm"),
+        )
+        for r in df.collect():
+            assert xxhash64_long(r["v"]) == r["h"], r["v"]
+            assert pmod_xxhash64_long(r["v"], 97) == r["pm"], r["v"]
+
+    def test_ivf_fit_sample_replay_matches_operator(self, spark):
+        """Force a tiny fit-sample cap and check the replay's keep set
+        equals the ids ivf_index's hash-mod filter selects."""
+        import numpy as np
+
+        from raft_c_spark.functions.xxh import pmod_xxhash64_long
+
+        ids = np.arange(0, 500, dtype=np.int64)
+        cap = 100
+        denom = (len(ids) + cap - 1) // cap
+        keep_replay = {
+            int(i) for i in ids if pmod_xxhash64_long(int(i), denom) == 0
+        }
+        df = spark.createDataFrame([(int(v),) for v in ids], "vec_id long")
+        keep_spark = {
+            r["vec_id"]
+            for r in df.filter(
+                F.pmod(F.xxhash64(F.col("vec_id")), F.lit(denom)) == 0
+            ).collect()
+        }
+        assert keep_replay == keep_spark and keep_replay
