@@ -984,6 +984,7 @@ def connected_components(
     b_col: str = "b",
     max_iter: int = 50,
     driver_max_edges: int = 2_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — the
     clustering step every dedup pipeline runs after pair generation
@@ -1033,17 +1034,31 @@ def connected_components(
     p = max(2, min(edges.sparkSession.sparkContext.defaultParallelism,
                    n_edges // 100_000 + 2))
     edges = edges.repartition(p, "dst")
-    # localCheckpoint (not cache) per round: an iterative dataflow
-    # grows its logical plan linearly, and Catalyst re-analyzes the
-    # whole tree every round — by ~15 rounds planning itself OOMs.
-    # Truncating lineage keeps each round's plan constant-size (the
-    # standard Pregel-style loop discipline; at scale, checkpoint to
-    # reliable storage instead).
-    labels = (
+    # lineage truncation per round: an iterative dataflow grows its
+    # logical plan linearly, and Catalyst re-analyzes the whole tree
+    # every round — by ~15 rounds planning itself OOMs. Truncating
+    # keeps each round's plan constant-size (the standard Pregel-style
+    # loop discipline). Two flavors:
+    # - default: localCheckpoint — executor-local blocks, fastest, but
+    #   lost on executor failure (fine in local mode / short loops);
+    # - checkpoint_dir given: RELIABLE checkpoints to that directory
+    #   (HDFS/S3 path on a cluster) — per-round state survives
+    #   executor loss, the right setting for a 100 TB cluster run.
+    if checkpoint_dir is not None:
+        sc = pairs.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    labels = _truncate(
         edges.select(F.col("src").alias("doc"))
         .distinct()
         .withColumn("label", F.col("doc"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -1081,8 +1096,8 @@ def connected_components(
                 "doc",
                 F.coalesce("label2", F.col("label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = _truncate(new_labels)
         n_changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc")

@@ -125,27 +125,30 @@ def q_dedup_embedding_lsh(spark, sf_dir):
 
 
 def q_dedup_components(spark, sf_dir):
-    """Near-dup clusters: connected components over the hyperplane-LSH
-    embedding pair graph — the step after pair generation in every
+    """Near-dup clusters: connected components over the MinHash-LSH
+    document pair graph — the step after pair generation in every
     dedup pipeline (cluster → keep one survivor per component).
 
-    The pair input is the scale path (bucket equi-join + exact-cosine
-    verify, same operator/params as ``dedup_embedding_lsh``), NOT the
-    exact all-pairs baseline: the round-4 scaling soak measured the
-    exact-pair input at 15.2× cost per 10× data — quadratic pair
-    generation dominates long before clustering does. The clustering
-    itself is linear in edges (min-label propagation, joins +
-    aggregates only). The exact-pair composition stays as a pytest
-    ground-truth cross-check (tests/test_sampling.py).
+    The pair input is the scale path (banded bucket equi-join +
+    signature verify, same operator/params/cache as
+    ``dedup_minhash_lsh``, measured 1.4× per 10× data in the r4
+    soak), NOT the exact embedding all-pairs baseline: the soak
+    measured that input at 15.2× per 10× — quadratic pair generation
+    dominates long before clustering does. The clustering itself is
+    linear in edges (min-label propagation, joins + aggregates only).
+    The exact-pair composition stays as a pytest ground-truth
+    cross-check (tests/test_sampling.py), and the shared pair-frame
+    cache means this query, ``dedup_minhash_lsh`` and
+    ``dedup_best_survivor`` run the banded join once per corpus.
 
-    Deterministic end to end (integer-hash hyperplanes, min-label
+    Deterministic end to end (affine-permutation signatures, min-label
     fixpoint), so the oracle replays pair generation in SQL and
     recomputes clustering as recursive-CTE reachability."""
-    from raft_c_spark.operators import similarity
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.lsh_bucketed_pairs(
-        emb, "vec_id", "embedding", threshold=0.40, bits=4, tables=12,
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=64, bands=8,
+        threshold=JACCARD_THRESHOLD,
+        cache_key=_data_cache_key(sf_dir, "documents"),
     )
     return dedup.connected_components(pairs)
 
@@ -392,6 +395,7 @@ SELECT a, b, cosine FROM scored WHERE cosine >= 0.40
 ORACLES["dedup_minhash_lsh"] = _minhash_oracle()
 ORACLES["dedup_simhash"] = _simhash_oracle()
 ORACLES["dedup_embedding_lsh"] = _embedding_lsh_oracle()
-# components over the LSH pair graph: the clustering oracle wraps the
-# same replayed pair SQL the dedup_embedding_lsh oracle validates
-ORACLES["dedup_components"] = _components_oracle(_embedding_lsh_oracle())
+# components over the MinHash-LSH pair graph: the clustering oracle
+# wraps the same replayed pair SQL the dedup_minhash_lsh oracle
+# validates
+ORACLES["dedup_components"] = _components_oracle(_minhash_oracle())

@@ -146,7 +146,8 @@ SOAK_QUERIES = [
     ("embedding_lsh_auto", _q_embedding_lsh_auto,
      "near-linear (auto-sized hyperplane buckets)"),
     ("dedup_components", None,
-     "input = exact embedding pair baseline: quadratic by construction"),
+     "near-linear (LSH pair graph + min-label clustering; re-pointed r5"
+     " off the quadratic exact-pair baseline)"),
     ("text_analyze", None, "linear (codegen column exprs)"),
     ("text_winnow", None, "linear (Arrow numpy kernel)"),
     ("text_tfidf_terms", None, "linear + top-k"),
@@ -156,6 +157,8 @@ SOAK_QUERIES = [
     ("sim_topk_lsh", None, "probe-side ~constant, index build linear"),
     ("dedup_minhash_incr", None,
      "near-linear (batch-vs-corpus banded join ~ batch size)"),
+    ("sim_knn_join_lsh", None,
+     "probe ~ query batch x bucket occupancy; index build linear"),
     ("ds_shard_manifest", None, "linear (two-phase prefix rank)"),
     ("ds_bloom_decontaminate", None,
      "linear (bit-probe kernel at scan parallelism, no join)"),
@@ -175,6 +178,11 @@ def main() -> None:
     ap.add_argument("--big", type=int, default=50000)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated soak labels to run (default: all)",
+    )
     args = ap.parse_args()
 
     scales = {"small": args.small, "big": args.big}
@@ -197,10 +205,17 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 20))
     spark.range(8).mapInPandas(lambda it: it, "id long").count()
     qs = all_queries()
+    soak_queries = SOAK_QUERIES
+    if args.only:
+        keep = {x.strip() for x in args.only.split(",")}
+        soak_queries = [q for q in SOAK_QUERIES if q[0] in keep]
+        missing = keep - {q[0] for q in soak_queries}
+        if missing:
+            raise SystemExit(f"unknown soak labels: {sorted(missing)}")
 
     results: dict[str, dict[str, float]] = {}
     for scale in ("small", "big"):
-        for label, fn, _ in SOAK_QUERIES:
+        for label, fn, _ in soak_queries:
             call = fn if fn is not None else qs[label]
             best = None
             for _ in range(args.passes):
@@ -216,7 +231,7 @@ def main() -> None:
     print(f"\n| query | {scales['small']} docs (s) | {scales['big']} docs (s) "
           f"| ratio (data {ratio_data:.0f}x) | expectation |")
     print("|---|---|---|---|---|")
-    for label, _, note in SOAK_QUERIES:
+    for label, _, note in soak_queries:
         s, b = results[label]["small"], results[label]["big"]
         print(f"| {label} | {s:.2f} | {b:.2f} | {b / max(s, 1e-9):.1f}x | {note} |")
     spark.stop()

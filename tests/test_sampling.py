@@ -226,6 +226,31 @@ def test_connected_components_chain_needs_iterations(spark):
     assert len(out) == n + 1
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """The distributed loop with ``checkpoint_dir`` uses RELIABLE
+    checkpoints (survive executor loss — the cluster-scale setting)
+    instead of localCheckpoint; forced past the driver union-find cap
+    it must produce the same clustering and leave checkpoint data in
+    the given directory."""
+    import os
+
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    want = {
+        (r["doc"], r["component"])
+        for r in dedup.connected_components(df).collect()
+    }
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        (r["doc"], r["component"])
+        for r in dedup.connected_components(
+            df, driver_max_edges=0, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert got == want
+    assert any(os.scandir(ckpt)), "reliable checkpoint dir must be used"
+
+
 def test_write_shards_roundtrip(spark, sf_dir, tmp_path):
     """write_shards lays the corpus out as size-balanced shard
     directories whose manifest matches the id-ordered row ranks, and
