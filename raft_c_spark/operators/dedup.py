@@ -17,6 +17,8 @@ Scale design (100 TB corpora):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -34,7 +36,13 @@ _MERSENNE_P = (1 << 31) - 1
 # every hint below is conditional on a measured row count (the frames
 # are cached and counted anyway for plan-reuse reasons).
 _BROADCAST_MAX_BANDED_ROWS = 4_000_000  # (doc, band, bucket) ≈ 20 B/row
-_BROADCAST_MAX_SIG_ROWS = 200_000  # signature ≈ num_perm·8 B/row
+# signature ≈ num_perm·8 B/row → 800k rows ≈ 400 MB broadcast. The r5
+# 500k-doc soak measured the old 200k cap turning a 3.3× data step
+# into a 7× cost step the moment the signature matrix crossed it;
+# like _VERIFY_BROADCAST_BYTES, env-overridable for small executors.
+_BROADCAST_MAX_SIG_ROWS = int(
+    os.environ.get("RAFT_C_SPARK_SIG_BROADCAST_ROWS", "800000")
+)
 
 
 def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -611,6 +619,46 @@ def _band_frame(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     ).select("doc", "bb.band", "bb.bucket")
 
 
+def _est_jaccard_joined(
+    cand: DataFrame,
+    sig_a: DataFrame,
+    sig_b: DataFrame,
+    num_perm: int,
+    threshold: float,
+) -> DataFrame:
+    """Corpus-scale signature verify: equi-join the endpoint
+    signatures onto the candidates (linear shuffles keyed by doc id),
+    then count equal components in an Arrow-batched numpy kernel.
+    Replaced a 64-term when/element_at column chain that dropped out
+    of whole-stage codegen and ran interpreted — the r5 500k-doc soak
+    measured that chain turning the above-cap step into a 7× cliff.
+    ``sig_a``/``sig_b`` must be (a|b, sig_a|sig_b) frames."""
+    import numpy as np
+    import pandas as pd
+
+    joined = cand.join(sig_a, "a").join(sig_b, "b")
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sa = np.stack([np.asarray(s, dtype=np.int64) for s in pdf["sig_a"]])
+            sb = np.stack([np.asarray(s, dtype=np.int64) for s in pdf["sig_b"]])
+            est = (sa == sb).sum(axis=1) / float(num_perm)
+            keep = est >= threshold
+            yield pd.DataFrame(
+                {
+                    "a": pdf["a"].to_numpy(dtype=np.int64)[keep],
+                    "b": pdf["b"].to_numpy(dtype=np.int64)[keep],
+                    "est_jaccard": est[keep],
+                }
+            )
+
+    return joined.select("a", "b", "sig_a", "sig_b").mapInPandas(
+        kernel, "a long, b long, est_jaccard double"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -718,23 +766,10 @@ def minhash_lsh_pairs(
         return pairs
 
     # corpus-scale fallback: equi-joins on doc id (linear shuffles) +
-    # unrolled equal-component count (see dot_unrolled rationale)
+    # Arrow-kernel equal-component count
     siga = sig.select(F.col("doc").alias("a"), F.col("signature").alias("sig_a"))
     sigb = sig.select(F.col("doc").alias("b"), F.col("signature").alias("sig_b"))
-    matches: F.Column | None = None
-    for i in range(num_perm):
-        term = F.when(
-            F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1), 1
-        ).otherwise(0)
-        matches = term if matches is None else matches + term
-    est = matches / F.lit(float(num_perm))
-    pairs = (
-        cand.join(siga, "a")
-        .join(sigb, "b")
-        .withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("a", "b", "est_jaccard")
-    )
+    pairs = _est_jaccard_joined(cand, siga, sigb, num_perm, threshold)
     if pair_key is not None:
         pairs = cached_parquet(pairs, pair_key)
     return pairs
@@ -829,20 +864,7 @@ def minhash_lsh_pairs_between(
 
     siga = sig_new.select(F.col("doc").alias("a"), F.col("signature").alias("sig_a"))
     sigb = sig_corp.select(F.col("doc").alias("b"), F.col("signature").alias("sig_b"))
-    matches: F.Column | None = None
-    for i in range(num_perm):
-        term = F.when(
-            F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1), 1
-        ).otherwise(0)
-        matches = term if matches is None else matches + term
-    est = matches / F.lit(float(num_perm))
-    return (
-        cand.join(siga, "a")
-        .join(sigb, "b")
-        .withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("a", "b", "est_jaccard")
-    )
+    return _est_jaccard_joined(cand, siga, sigb, num_perm, threshold)
 
 
 #: SimHash width. 60 bits = 15 hex digits of md5 — md5 is the one

@@ -16,6 +16,7 @@ aggregate over doubles, sequential fold — deterministic), no UDFs.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -118,8 +119,15 @@ def quantize_int8(
 # verification ships the matrix as a Spark broadcast variable and runs
 # a vectorized numpy kernel — the manual analog of a broadcast hash
 # join. Above it the verify falls back to equi-joins that shuffle on
-# doc id (the corpus-scale shape).
-_VERIFY_BROADCAST_BYTES = 100 * 1024 * 1024
+# doc id (the corpus-scale shape). Default 400 MB: the r5 500k-doc
+# soak measured the old 100 MB cap turning a 3.3× data step into a
+# 15× cost step the moment the matrix crossed it (102 MB at 200k
+# 64-dim vectors) — a torrent broadcast of a few hundred MB is cheap
+# next to shuffling every candidate pair with two vectors attached.
+# Deployers with small executors can lower it via env.
+_VERIFY_BROADCAST_BYTES = (
+    int(os.environ.get("RAFT_C_SPARK_VERIFY_BROADCAST_MB", "400")) << 20
+)
 
 
 def _corpus_pack(df: DataFrame, id_col: str, vec_col: str):
@@ -200,6 +208,14 @@ def verify_pairs_cosine(
 
         return cand.mapInPandas(kernel, "a long, b long, cosine double")
 
+    # corpus-scale path: two equi-joins gather the endpoint vectors
+    # (linear shuffles keyed by doc id), then an Arrow-batched kernel
+    # computes the cosine with the same dimension-at-a-time float64
+    # accumulation as the broadcast kernel and the SQL fold. This
+    # replaced a zip_with/aggregate column fold that ran interpreted
+    # at ~15 µs/row — on the r5 500k-doc soak the fold made crossing
+    # the broadcast cap a 15× cliff; the Arrow kernel shrinks the
+    # above-cap step to the shuffle cost alone.
     v = with_norm(df, id_col, vec_col, dim)
     va = v.select(
         F.col("doc").alias("a"), F.col("vec").alias("va"), F.col("norm").alias("na")
@@ -207,12 +223,33 @@ def verify_pairs_cosine(
     vb = v.select(
         F.col("doc").alias("b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
     )
-    return (
-        cand.join(va, "a")
-        .join(vb, "b")
-        .withColumn("cosine", dot_fold("va", "vb") / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine") >= threshold)
-        .select("a", "b", "cosine")
+    joined = cand.join(va, "a").join(vb, "b")
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ma = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["va"]])
+            mb = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vb"]])
+            acc = np.zeros(len(ma))
+            for i in range(ma.shape[1]):
+                acc += ma[:, i] * mb[:, i]
+            cos = acc / (
+                pdf["na"].to_numpy(dtype=np.float64)
+                * pdf["nb"].to_numpy(dtype=np.float64)
+            )
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "a": pdf["a"].to_numpy()[keep],
+                    "b": pdf["b"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    types = dict(cand.dtypes)
+    return joined.select("a", "b", "va", "vb", "na", "nb").mapInPandas(
+        kernel, f"a {types['a']}, b {types['b']}, cosine double"
     )
 
 

@@ -231,3 +231,70 @@ def test_repeated_substring_spans_semantics(spark):
     # doc 4: both Z-runs repeat (45-char run contains repeated
     # 40-grams); lowercased text is 98 chars with spans at each end
     assert len(spans[4]) >= 1
+
+
+def test_minhash_above_cap_matches_broadcast(spark, sf_dir, monkeypatch):
+    """Forcing the signature-broadcast cap to 0 must route the
+    est-jaccard verify through the joined Arrow kernel and return the
+    broadcast kernel's exact rows (integer equality counts — no fp
+    concerns, but the candidate set and threshold must agree)."""
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r["a"], r["b"], r["est_jaccard"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_perm=64, bands=8, threshold=0.8
+        ).collect()
+    }
+    assert want, "no pairs at threshold: test is vacuous"
+    monkeypatch.setattr(dedup, "_BROADCAST_MAX_SIG_ROWS", 0)
+    got = {
+        (r["a"], r["b"], r["est_jaccard"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_perm=64, bands=8, threshold=0.8
+        ).collect()
+    }
+    assert got == want
+
+
+def test_minhash_between_above_cap_matches_broadcast(spark, sf_dir, monkeypatch):
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    corp = docs.filter(F.col("doc_id") % 2 == 0)
+
+    def run():
+        return {
+            (r["a"], r["b"], r["est_jaccard"])
+            for r in dedup.minhash_lsh_pairs_between(
+                new, corp, "doc_id", "text", n=3, num_perm=64, bands=8,
+                threshold=0.8,
+            ).collect()
+        }
+
+    want = run()
+    assert want, "no cross pairs at threshold: test is vacuous"
+    monkeypatch.setattr(dedup, "_BROADCAST_MAX_SIG_ROWS", 0)
+    assert run() == want
+
+
+def test_lsh_bucketed_pairs_above_cap_matches_broadcast(
+    spark, sf_dir, monkeypatch
+):
+    """The above-cap cosine verify (equi-joins + Arrow kernel) must be
+    bit-identical to the broadcast numpy kernel — same dimension-at-a-
+    time float64 accumulation order."""
+    from raft_c_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def run():
+        return {
+            (r["a"], r["b"], r["cosine"])
+            for r in similarity.lsh_bucketed_pairs(
+                emb, "vec_id", "embedding", threshold=0.40, bits=4, tables=12
+            ).collect()
+        }
+
+    want = run()
+    assert want, "no pairs at threshold: test is vacuous"
+    monkeypatch.setattr(similarity, "_VERIFY_BROADCAST_BYTES", 1)
+    assert run() == want
