@@ -37,6 +37,23 @@ def test_entry_smoke(spark):
     assert df.schema is not None
 
 
+def test_window_swap_names_resolve():
+    """_rotated() skips swap pairs naming absent queries (so an
+    optional plan module failing to import degrades instead of
+    crashing bench/soak/driver); this test is the strict companion:
+    a typo'd or renamed swap name fails CI here."""
+    import warnings
+
+    from raft_c_spark.plans.registry import _WINDOW_SWAPS
+
+    names = set(entrymod.queries())
+    for a, b in _WINDOW_SWAPS:
+        assert a in names and b in names, f"swap names missing: {(a, b)}"
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        entrymod.queries()  # full rotation must emit no skip warnings
+
+
 def test_every_query_has_callable_and_name_parity():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
