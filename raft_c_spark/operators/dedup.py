@@ -173,6 +173,25 @@ def ngram_jaccard_pairs(
     unit skips the bitmap probe (its universe never fits)."""
     if unit not in ("char", "word"):
         raise ValueError(f"unit must be 'char' or 'word', got {unit!r}")
+    pair_key = None
+    if cache_key is not None:
+        # pair-level cache, the same stored-derived-column pattern as
+        # minhash_lsh_pairs: the verified pair frame persists per
+        # (corpus, columns, params) so repeat runs read a tiny parquet
+        # instead of re-running the all-pairs/prefix verify. The key
+        # folds every dispatch-affecting parameter; the requested
+        # strategy (pre-auto-resolution) is deterministic per corpus,
+        # so it is a valid key component.
+        from raft_c_spark.functions.diskcache import cache_path
+
+        thr = str(threshold).replace(".", "p")
+        pair_key = (
+            f"ngrampairs_{cache_key}_{id_col}_{text_col}_n{n}_t{thr}"
+            f"_{strategy}_{unit}_df{max_shingle_df}_mb{max_bitmap_shingles}"
+            f"_v1"
+        )
+        if os.path.isdir(cache_path(pair_key)):
+            return df.sparkSession.read.parquet(cache_path(pair_key))
     if unit == "word" and strategy == "auto":
         strategy = "prefix"
     if unit == "word" and strategy == "bitmap":
@@ -188,12 +207,19 @@ def ngram_jaccard_pairs(
         if cache_key is not None:
             from raft_c_spark.functions.diskcache import cached_parquet
 
-            codes = cached_parquet(codes, f"ngramcodes_{cache_key}_n{n}_v1")
+            codes = cached_parquet(
+                codes, f"ngramcodes_{cache_key}_{id_col}_{text_col}_n{n}_v1"
+            )
         codes = codes.cache()
         codes.count()
         vocab = _collect_vocab_codes(codes, max_bitmap_shingles)
         if vocab is not None:
-            return _jaccard_bitmap(codes, vocab, threshold)
+            pairs = _jaccard_bitmap(codes, vocab, threshold)
+            if pair_key is not None:
+                from raft_c_spark.functions.diskcache import cached_parquet
+
+                pairs = cached_parquet(pairs, pair_key)
+            return pairs
         codes.unpersist()
         if strategy == "bitmap":
             raise ValueError(
@@ -209,7 +235,9 @@ def ngram_jaccard_pairs(
         # the ranking joins
         from raft_c_spark.functions.diskcache import cached_parquet
 
-        sh = cached_parquet(sh, f"{unit}shingles_{cache_key}_n{n}_v1")
+        sh = cached_parquet(
+            sh, f"{unit}shingles_{cache_key}_{id_col}_{text_col}_n{n}_v1"
+        )
     if max_shingle_df is not None:
         sh = sh.cache()
         rare = (
@@ -220,10 +248,16 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(rare, "shingle")
     if strategy == "prefix":
-        return _jaccard_prefix(sh, threshold)
-    if strategy == "join":
-        return _jaccard_join(sh, threshold)
-    raise ValueError(f"unknown strategy {strategy!r}")
+        pairs = _jaccard_prefix(sh, threshold)
+    elif strategy == "join":
+        pairs = _jaccard_join(sh, threshold)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if pair_key is not None:
+        from raft_c_spark.functions.diskcache import cached_parquet
+
+        pairs = cached_parquet(pairs, pair_key)
+    return pairs
 
 
 def _widen(df: DataFrame) -> DataFrame:
@@ -586,7 +620,7 @@ def minhash_signatures(
 
 
 def _persisted_signatures(
-    sig: DataFrame, cache_key: str, n: int, num_perm: int
+    sig: DataFrame, cache_key: str, id_col: str, text_col: str, n: int, num_perm: int
 ) -> DataFrame:
     """Persist the (doc, signature) frame once per (cache_key, params)
     and read it back — the stored-column layout the 100 TB path uses
@@ -597,7 +631,9 @@ def _persisted_signatures(
     corpus key with different params can never read stale state."""
     from raft_c_spark.functions.diskcache import cached_parquet
 
-    return cached_parquet(sig, f"minhash_{cache_key}_n{n}_p{num_perm}_v1")
+    return cached_parquet(
+        sig, f"minhash_{cache_key}_{id_col}_{text_col}_n{n}_p{num_perm}_v1"
+    )
 
 
 def _band_frame(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -692,8 +728,13 @@ def minhash_lsh_pairs(
     pair_key = None
     if cache_key is not None:
         thr = str(threshold).replace(".", "p")
+        # id_col/text_col are output-affecting (two callers sharing a
+        # corpus cache_key but selecting different columns must not
+        # share a pair frame) — diskcache's contract requires every
+        # such parameter in the key
         pair_key = (
-            f"minhashpairs_{cache_key}_n{n}_p{num_perm}_b{bands}_t{thr}_v1"
+            f"minhashpairs_{cache_key}_{id_col}_{text_col}"
+            f"_n{n}_p{num_perm}_b{bands}_t{thr}_v1"
         )
         import os
 
@@ -703,7 +744,7 @@ def minhash_lsh_pairs(
             return df.sparkSession.read.parquet(cache_path(pair_key))
     sig = minhash_signatures(df, id_col, text_col, n, num_perm)
     if cache_key is not None:
-        sig = _persisted_signatures(sig, cache_key, n, num_perm)
+        sig = _persisted_signatures(sig, cache_key, id_col, text_col, n, num_perm)
     sig = sig.cache()
     # eager materialization: sig feeds three plan branches (banding ×2
     # via the self-join, est-verify ×2); without forcing the cache
@@ -808,7 +849,7 @@ def minhash_lsh_pairs_between(
     sig_corp = minhash_signatures(corpus_df, id_col, text_col, n, num_perm)
     if corpus_cache_key is not None:
         sig_corp = _persisted_signatures(
-            sig_corp, corpus_cache_key, n, num_perm
+            sig_corp, corpus_cache_key, id_col, text_col, n, num_perm
         )
     sig_corp = sig_corp.cache()
     n_new, n_corp = sig_new.count(), sig_corp.count()
@@ -946,17 +987,30 @@ def simhash_pairs(
     ``max_hamming`` still prunes most of the n² space. Scale path:
     equi-join per chunk, never all-pairs.
 
-    ``cache_key`` persists the (doc, simhash) signature frame per
-    corpus (same stored-column layout as the minhash signatures) —
-    the md5 vocabulary hashing that makes the signatures
-    oracle-replicable is paid once per corpus, not per run."""
+    ``cache_key`` persists the (doc, simhash) signature frame AND the
+    verified pair frame per corpus (same stored-column layout as the
+    minhash signatures/pairs) — the md5 vocabulary hashing that makes
+    the signatures oracle-replicable, and the chunk self-join, are
+    paid once per corpus, not per run."""
     chunk_bits = SIMHASH_BITS // 4
+    pair_key = None
+    if cache_key is not None:
+        # pair-level cache (same pattern as minhash_lsh_pairs): repeat
+        # runs skip the chunk self-join entirely
+        from raft_c_spark.functions.diskcache import cache_path
+
+        pair_key = (
+            f"simhashpairs{SIMHASH_BITS}_{cache_key}_{id_col}_{text_col}"
+            f"_h{max_hamming}_v1"
+        )
+        if os.path.isdir(cache_path(pair_key)):
+            return df.sparkSession.read.parquet(cache_path(pair_key))
     sig = simhash60(df, id_col, text_col)
     if cache_key is not None:
         from raft_c_spark.functions.diskcache import cached_parquet
 
         sig = cached_parquet(
-            sig, f"simhash{SIMHASH_BITS}_{cache_key}_v1"
+            sig, f"simhash{SIMHASH_BITS}_{cache_key}_{id_col}_{text_col}_v1"
         )
     sig = sig.cache()
     chunks = sig.select(
@@ -993,11 +1047,16 @@ def simhash_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
+    pairs = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+    if pair_key is not None:
+        from raft_c_spark.functions.diskcache import cached_parquet
+
+        pairs = cached_parquet(pairs, pair_key)
+    return pairs
 
 
 def connected_components(
@@ -1067,7 +1126,16 @@ def connected_components(
     #   (HDFS/S3 path on a cluster) — per-round state survives
     #   executor loss, the right setting for a 100 TB cluster run.
     if checkpoint_dir is not None:
+        # NOTE: sc.setCheckpointDir mutates SparkContext-global state.
+        # The prior dir is restored after the loop (below) so unrelated
+        # checkpoint() users are unaffected past this call; the
+        # per-round checkpoint files themselves are only auto-deleted
+        # when spark.cleaner.referenceTracking.cleanCheckpoints=true —
+        # cluster deployments should enable that or prune the
+        # directory out-of-band (each round leaves one ≤|labels|-sized
+        # parquet-like RDD dump otherwise).
         sc = pairs.sparkSession.sparkContext
+        prior_ckpt_dir = sc.getCheckpointDir()
         sc.setCheckpointDir(checkpoint_dir)
 
         def _truncate(df: DataFrame) -> DataFrame:
@@ -1130,6 +1198,9 @@ def connected_components(
         if n_changed == 0:
             break
     edges.unpersist()
+    if checkpoint_dir is not None and prior_ckpt_dir is not None:
+        # restore the caller's checkpoint dir (global-state hygiene)
+        sc.setCheckpointDir(prior_ckpt_dir)
     return labels.select("doc", F.col("label").alias("component"))
 
 
