@@ -36,12 +36,16 @@ _MERSENNE_P = (1 << 31) - 1
 # every hint below is conditional on a measured row count (the frames
 # are cached and counted anyway for plan-reuse reasons).
 _BROADCAST_MAX_BANDED_ROWS = 4_000_000  # (doc, band, bucket) ≈ 20 B/row
-# signature ≈ num_perm·8 B/row → 800k rows ≈ 400 MB broadcast. The r5
-# 500k-doc soak measured the old 200k cap turning a 3.3× data step
-# into a 7× cost step the moment the signature matrix crossed it;
-# like _VERIFY_BROADCAST_BYTES, env-overridable for small executors.
+# Verify-path crossover, re-measured r6 on row-grouped corpora (the
+# r5 measurement that pushed this to 800k was taken on single-row-
+# group parquet where the equi-join fallback silently ran in ONE task
+# — see _widen): the broadcast pack pays an O(n_docs) driver-side
+# toPandas + matrix rebuild regardless of candidate volume, while the
+# equi-join verify costs ~O(candidates) distributed. Measured min-of-2
+# at 68k candidates: 5k docs 1.6s bcast / 1.9s join; 150k 5.6 / 4.8;
+# 500k 20.9 / 9.9 — crossover ≈ 50k docs. Env-overridable.
 _BROADCAST_MAX_SIG_ROWS = int(
-    os.environ.get("RAFT_C_SPARK_SIG_BROADCAST_ROWS", "800000")
+    os.environ.get("RAFT_C_SPARK_SIG_BROADCAST_ROWS", "50000")
 )
 
 
@@ -262,11 +266,49 @@ def ngram_jaccard_pairs(
 
 def _widen(df: DataFrame) -> DataFrame:
     """Repartition up to the session's parallelism when the input
-    arrives under-partitioned (a single small parquet file scans as
-    ONE partition, serializing any Arrow kernel into one task). At
-    scale inputs are many files and this is a no-op."""
+    cannot actually scan in parallel, serializing any Arrow kernel
+    into one task. Two ways that happens: too few SPLITS (a single
+    small file), and — subtler — splits that collapse at read time
+    because a parquet ROW GROUP is the indivisible read unit: an
+    88 MB single-row-group file gets 88 byte-range splits of which
+    87 are empty, so ``getNumPartitions()`` alone is fooled (the r6
+    500k soak measured a perfectly linear winnow kernel running 41x
+    super-linear — one task did all the work). For small local file
+    sets the footer row-group counts give the true achievable
+    parallelism. At scale inputs are many well-formed files and this
+    whole check is a no-op."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+    return df.repartition(p) if _effective_splits(df) < p else df
+
+
+def _effective_splits(df: DataFrame) -> int:
+    """Achievable no-shuffle scan parallelism: min(splits, total row
+    groups) when the input is a small set of local parquet files;
+    plain split count otherwise (footer reads over thousands of
+    files, or non-file sources, are not worth it — many files imply
+    enough parallelism anyway)."""
+    parts = df.rdd.getNumPartitions()
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return parts
+    if not files or len(files) >= 64:
+        return parts
+    total = 0
+    try:
+        import pyarrow.parquet as pq
+
+        for f in files:
+            for pre in ("file://", "file:"):
+                if f.startswith(pre):
+                    f = f[len(pre):]
+                    break
+            if not f.endswith(".parquet") or not os.path.isfile(f):
+                return parts
+            total += pq.ParquetFile(f).num_row_groups
+    except Exception:
+        return parts
+    return min(parts, total)
 
 
 def _doc_codes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

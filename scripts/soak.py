@@ -80,7 +80,15 @@ def gen_documents(n_docs: int, seed: int, out_dir: str) -> None:
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
-    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
+    # real row groups (8k rows): parquet row groups are the
+    # indivisible read unit, so a single-row-group 88 MB file scans
+    # in ONE task no matter how many byte-range splits Spark makes —
+    # the r6 soak found every shuffle-free operator serialized on the
+    # 500k corpus (winnow: linear kernel measuring 41x). Production
+    # files have many groups/files; the soak data must too.
+    pq.write_table(
+        tbl, os.path.join(out_dir, "documents.parquet"), row_group_size=8192
+    )
 
 
 def gen_embeddings(n_vecs: int, seed: int, out_dir: str) -> None:
@@ -101,7 +109,9 @@ def gen_embeddings(n_vecs: int, seed: int, out_dir: str) -> None:
             ),
         }
     )
-    pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
+    pq.write_table(
+        tbl, os.path.join(out_dir, "embeddings.parquet"), row_group_size=8192
+    )
 
 
 def _q_ngram_word(spark, sf_dir):
@@ -119,6 +129,28 @@ def _q_ngram_word(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.6, strategy="prefix",
         unit="word",
+    )
+
+
+def _q_bloom_fixed_eval(spark, sf_dir):
+    """Bloom decontamination in its production shape: a FIXED-size
+    eval/benchmark set (5k docs) against the growing training corpus —
+    the registry query's corpus-fraction eval split grows with the
+    corpus and (correctly) trips the eval-side guard at 500k docs,
+    because a benchmark set is not supposed to scale with the corpus.
+    max_eval_bytes is raised explicitly because the guard's file-stat
+    estimate cannot see the doc_id filter's selectivity; the actual
+    eval side is a constant ~1 MB."""
+    from pyspark.sql import functions as F
+
+    from raft_c_spark.operators import text
+    from raft_c_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") < 5000)
+    tr = docs.filter(F.col("doc_id") >= 5000)
+    return text.bloom_decontaminate(
+        tr, ev, "doc_id", "text", n=4, max_eval_bytes=256 << 20
     )
 
 
@@ -160,8 +192,9 @@ SOAK_QUERIES = [
     ("sim_knn_join_lsh", None,
      "probe ~ query batch x bucket occupancy; index build linear"),
     ("ds_shard_manifest", None, "linear (two-phase prefix rank)"),
-    ("ds_bloom_decontaminate", None,
-     "linear (bit-probe kernel at scan parallelism, no join)"),
+    ("bloom_decontaminate_fixed_eval", _q_bloom_fixed_eval,
+     "linear (bit-probe kernel at scan parallelism, no join; eval "
+     "side fixed at 5k docs — the production shape)"),
     ("text_quality_model", None,
      "linear (one map-side-combined aggregate)"),
     ("ds_snapshot_diff", None, "linear (one co-locatable equi-join)"),
