@@ -1086,13 +1086,20 @@ def simhash_pairs(
             F.col("x.simhash").alias("ha"),
             F.col("y.simhash").alias("hb"),
         )
-        .distinct()
     )
+    # hamming filter BEFORE the dedup-distinct: a pair sharing k
+    # chunks appears k times in the join output, and on corpora whose
+    # simhashes cluster the raw candidate stream is enormous (the r6
+    # 500k soak counted 4.1e9 candidate rows) — filtering inside the
+    # join's output stage keeps all of that in codegen and lets only
+    # true near-dup pairs (×multiplicity ≤4) reach the distinct's
+    # shuffle, instead of shuffling every candidate first
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     pairs = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .distinct()
     )
     if pair_key is not None:
         from raft_c_spark.functions.diskcache import cached_parquet
