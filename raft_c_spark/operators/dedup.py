@@ -487,7 +487,12 @@ def _jaccard_prefix(sh: DataFrame, threshold: float) -> DataFrame:
     # prefix length |A| - ceil(t·|A|) + 1: the globally rarest shingles
     prefix = ranked.filter(
         F.col("_rank") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
-    ).select(F.col("doc").alias("pa"), "shingle", F.col("sz").alias("psz"))
+    ).select(
+        F.col("doc").alias("pa"),
+        "shingle",
+        F.col("sz").alias("psz"),
+        F.col("_rank").alias("pra"),
+    )
     docsets = sh.groupBy("doc").agg(
         F.collect_list("shingle").alias("shset"),
         F.count(F.lit(1)).alias("sz"),
@@ -503,6 +508,22 @@ def _jaccard_prefix(sh: DataFrame, threshold: float) -> DataFrame:
         F.col("pa").alias("doc"),
         "shingle",
         F.col("psz").alias("sz"),
+        F.col("pra").alias("prb"),
+    )
+    # required overlap α = ceil(t/(1+t)·(|A|+|B|)); a shared shingle at
+    # rarity-rank i in A and j in B bounds the overlap from above by
+    # 1 + min(|A|−i, |B|−j) (both sets are sorted by the same global
+    # rarity order, so everything before the shared shingle on either
+    # side is disjoint from the other's remainder). Dropping join rows
+    # whose bound can't reach α is PPJoin's positional filter (Xiao et
+    # al. WWW'08 §3) — codegen-stage arithmetic that prunes candidates
+    # BEFORE the distinct's shuffle and the set-intersection verify;
+    # integer bound ≥ real α ⟺ bound ≥ ceil(α), so the unceiled
+    # comparison is exact. Output is unchanged (verify is exact);
+    # pinned by the strategy-agreement tests.
+    overlap_bound = (
+        F.least(F.col("psz") - F.col("pra"), F.col("sz") - F.col("prb"))
+        + F.lit(1)
     )
     cand = (
         prefix.join(pb, "shingle")
@@ -511,6 +532,10 @@ def _jaccard_prefix(sh: DataFrame, threshold: float) -> DataFrame:
             # J ≥ t forces t·|B| ≤ |A| ≤ |B|/t
             & (F.col("psz").cast("double") >= F.lit(t) * F.col("sz"))
             & (F.col("sz").cast("double") >= F.lit(t) * F.col("psz"))
+            & (
+                overlap_bound.cast("double")
+                >= F.lit(t / (1.0 + t)) * (F.col("psz") + F.col("sz"))
+            )
         )
         .select(
             F.least("pa", "doc").alias("a"),
@@ -956,15 +981,46 @@ def minhash_lsh_pairs_between(
 #: token hash had no DuckDB equivalent, forcing a rows-only check).
 SIMHASH_BITS = 60
 
+#: weight cap for the integer-idf vote weights: weights are
+#: min(cap, floor(log2(N/df))+1), i.e. {1, 2} — tokens present in
+#: more than half the corpus vote with half weight. Measured sweep
+#: (soak corpora, planted ≥0.9-Jaccard near-dups): cap=1 (unweighted)
+#: leaves quadratic background (0.23% of ALL pairs within h≤6 at 500k
+#: docs ⇒ ~580M output pairs); cap=2 collapses background ~2000×
+#: (h≤6 density 0.23% → 0.00012%) at 100% soak recall@h10; cap≥3
+#: over-disperses true pairs (recall@h10 drops below 0.8 on the
+#: driver's 31-word-vocab corpus).
+SIMHASH_WEIGHT_CAP = 2
+
 
 def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """60-bit SimHash per document over BPE-ish tokens: per-bit
-    majority vote of md5-derived token hashes, as a bit-position
-    aggregate — explode tokens → per-bit sums → reassemble. Whole
-    pipeline is one aggregate; near-dup candidates are docs at small
-    hamming distance. Token hash = first 15 hex digits of md5 parsed
-    as an integer: bit-identical in DuckDB as
-    ``CAST('0x' || substr(md5(tok),1,15) AS BIGINT)``."""
+    """60-bit idf-weighted SimHash per document over BPE-ish tokens:
+    per-bit majority vote of md5-derived token hashes, each vote
+    weighted by tf × capped-integer-idf — as bit-position aggregates:
+    one (doc, tok) tf aggregate → per-bit weighted sums → reassemble.
+    Near-dup candidates are docs at small hamming distance.
+
+    Why weighted (Charikar's simhash takes per-feature weights; Manku
+    et al., WWW'07, weigh web-page features by idf): with unweighted
+    ±1 votes on short Zipfian documents the high-df head tokens
+    dominate every document's votes, so fingerprints of UNRELATED
+    docs cluster — measured on the 500k-doc soak corpus (50-word
+    docs, 5k-word Zipf vocab): 0.23% of ALL pairs landed within
+    hamming ≤ 6 (~580M output pairs — quadratic in the corpus, no
+    candidate blocking can beat output size) and 48.9k docs shared
+    one 15-bit chunk value. Down-weighting the head lets the
+    doc-specific tail drive the bits: same corpus, weighted, measures
+    ~0.00012% background at h ≤ 6 and 14× fewer chunk-join candidates
+    while planted near-dups stay in range (see SIMHASH_WEIGHT_CAP).
+
+    Determinism contract (hash-oracled in DuckDB): token hash = first
+    15 hex digits of md5, ``CAST('0x' || substr(md5(tok),1,15) AS
+    BIGINT)``; weight = ``least(length(bin(N div df)), cap)`` =
+    min(cap, floor(log2(N/df))+1) (N = distinct ids in the input
+    frame, df = distinct docs containing the token) — integer
+    division and binary-string length are bit-identical across
+    engines, so vote sums are exact integers with no libm/float-order
+    hazard."""
     tokens = _widen(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
         "doc",
         F.explode(
@@ -974,27 +1030,46 @@ def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
         ).alias("tok"),
     )
-    # hash the corpus VOCABULARY once (md5 is ~10x costlier than the
-    # old xxhash64; Zipf's law makes distinct tokens orders of
-    # magnitude fewer than occurrences) and join the hashes back onto
-    # the raw token stream. No broadcast hint: text vocabulary is
-    # unbounded at 100 TB, and AQE converts the join to broadcast at
-    # runtime whenever the vocab side is small. The per-bit votes then
-    # flow into ONE map-side-combined aggregate — the shuffle carries
-    # 60 partial sums per (partition, doc), not token rows.
-    vocab = tokens.select("tok").distinct().select(
-        "tok",
-        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
+    # ONE map-side-combined (doc, tok) tf aggregate feeds everything:
+    # df_t (a tok-keyed rollup of it — Zipf's law makes distinct
+    # tokens orders of magnitude fewer than occurrences, so that
+    # shuffle is tiny) and the vote stream (±tf·w per (doc, tok) —
+    # identical to voting per occurrence). md5 is hashed on the
+    # vocabulary rollup, not the token stream. No broadcast hint on
+    # the join: text vocabulary is unbounded at 100 TB, and AQE
+    # converts to broadcast at runtime whenever the vocab side is
+    # small. The per-bit votes then flow into ONE map-side-combined
+    # aggregate — the shuffle carries 60 partial sums per
+    # (partition, doc), not token rows.
+    tf = tokens.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    vocab = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+            # capped integer idf — engine-portable, no floats
+            F.least(
+                F.length(F.conv(F.expr("n_docs div df_t"), 10, 2)),
+                F.lit(SIMHASH_WEIGHT_CAP),
+            )
+            .cast("long")
+            .alias("w"),
+        )
     )
-    hashed = tokens.join(vocab, "tok").select("doc", "h")
+    hashed = tf.join(vocab, "tok").select(
+        "doc", "h", (F.col("tf") * F.col("w")).alias("v")
+    )
     one = F.lit(1).cast("long")
     bit_sums = [
         F.sum(
             F.when(
-                F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, F.lit(1)
-            ).otherwise(F.lit(-1))
+                F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, F.col("v")
+            ).otherwise(-F.col("v"))
         ).alias(f"b{i}")
         for i in range(SIMHASH_BITS)
     ]
@@ -1043,7 +1118,7 @@ def simhash_pairs(
 
         pair_key = (
             f"simhashpairs{SIMHASH_BITS}_{cache_key}_{id_col}_{text_col}"
-            f"_h{max_hamming}_v1"
+            f"_h{max_hamming}_w{SIMHASH_WEIGHT_CAP}_v3"  # v3: tf×capped-idf votes
         )
         if os.path.isdir(cache_path(pair_key)):
             return df.sparkSession.read.parquet(cache_path(pair_key))
@@ -1052,7 +1127,9 @@ def simhash_pairs(
         from raft_c_spark.functions.diskcache import cached_parquet
 
         sig = cached_parquet(
-            sig, f"simhash{SIMHASH_BITS}_{cache_key}_{id_col}_{text_col}_v1"
+            sig,
+            f"simhash{SIMHASH_BITS}_{cache_key}_{id_col}_{text_col}"
+            f"_w{SIMHASH_WEIGHT_CAP}_v3",
         )
     sig = sig.cache()
     chunks = sig.select(

@@ -306,21 +306,33 @@ HAVING est_jaccard >= {JACCARD_THRESHOLD}
 def _simhash_oracle() -> str:
     """DuckDB replication of simhash_pairs: same tokenizer regex, the
     same 60-bit md5-derived token hash (15 hex digits — md5 is
-    engine-portable), per-bit majority vote, 15-bit chunk blocking,
-    hamming via bit_count(xor)."""
+    engine-portable), tf×capped-idf WEIGHTED per-bit majority vote
+    (integer weight least(length(bin(N // df)), cap) — exact in both
+    engines, no libm), 15-bit chunk blocking, hamming via
+    bit_count(xor)."""
     nbits = dedup.SIMHASH_BITS
     chunk_bits = nbits // 4
+    cap = dedup.SIMHASH_WEIGHT_CAP
     return f"""
 WITH toks AS (
   SELECT doc_id AS doc,
          unnest(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS tok
   FROM documents
 ),
+tf AS (
+  SELECT doc, tok, COUNT(*) AS tf FROM toks GROUP BY doc, tok
+),
+dfreq AS (
+  SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok
+),
+ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
 th AS (
-  SELECT doc, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
+  SELECT t.doc, CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT) AS h,
+         t.tf * LEAST(CAST(length(bin(nd.n_docs // d.df_t)) AS BIGINT), {cap}) AS v
+  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN ndocs nd
 ),
 bitsums AS (
-  SELECT doc, bi.i, SUM(CASE WHEN (h >> bi.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  SELECT doc, bi.i, SUM(CASE WHEN (h >> bi.i) & 1 = 1 THEN v ELSE -v END) AS s
   FROM th CROSS JOIN (SELECT unnest(range(0, {nbits})) AS i) bi
   GROUP BY doc, bi.i
 ),
