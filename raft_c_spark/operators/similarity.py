@@ -756,7 +756,7 @@ def pair_signatures(
 def auto_lsh_params(
     n: int,
     threshold: float,
-    bucket_target: int = 32,
+    bucket_target: int = 16,
     target_recall: float = 0.95,
 ) -> tuple[int, int]:
     """Corpus-size-aware hyperplane-LSH parameters. ``bits`` grows
@@ -783,7 +783,7 @@ def auto_lsh_params(
 def auto_lsh_allocation(
     n: int,
     threshold: float,
-    bucket_target: int = 32,
+    bucket_target: int = 16,
     target_recall: float = 0.95,
 ) -> list[tuple[int, int, int]]:
     """Mixed-bits table allocation — smooths the power-of-two
@@ -797,6 +797,15 @@ def auto_lsh_allocation(
     3× data purely from the occupancy step (SCALING.md). Tables grow
     until the mixed recall product 1−(1−p^b_lo)^T_lo·(1−p^b_hi)^T_hi
     reaches ``target_recall``.
+
+    ``bucket_target`` trades candidate volume (≈ n·target/2 per
+    table) against table count (smaller buckets → longer signatures →
+    more tables for the same recall): verify work dominates signature
+    work ~15:1, so smaller is faster until tables inflate. Measured
+    at the 500k soak (200k 64-dim vectors, threshold 0.9): target 32
+    → 101.9M candidates / 31.1s; target 16 → 18.7s with the same 0.95
+    recall product — and the r6 soak's 150k→500k ratio drops from
+    4.2× to 2.9× (sub-linear) per 3.33× data.
 
     Returns [(bits, tables, table_offset), ...] (1 or 2 groups;
     offsets keep the two groups' hyperplanes distinct)."""
@@ -888,11 +897,21 @@ def lsh_bucketed_pairs(
             & (F.col("x.doc") < F.col("y.doc")),
         )
         .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
-        .distinct()
     )
+    # dedup AFTER the cosine verify, not before: random bucket
+    # collisions are almost all unique (measured 0.6% duplicate
+    # candidate rows at the 500k soak: 101.9M raw vs 101.3M distinct)
+    # so a pre-verify distinct shuffles ~all candidate rows for
+    # nothing — it was the dominant cost of the whole operator (22.2s
+    # of 43.2s at 200k vecs). Only true near-dups repeat across
+    # tables (≤ tables× on a tiny output), and re-verifying them is
+    # a few thousand extra kernel rows. The post-filter distinct
+    # collapses exactly: duplicate rows run the same
+    # dimension-at-a-time fold on the same vectors, so the cosine
+    # doubles are bit-identical.
     return verify_pairs_cosine(
         cand, df, id_col, vec_col, threshold, dim, n_rows // n_tables
-    )
+    ).distinct()
 
 
 def lsh_index(
