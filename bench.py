@@ -26,14 +26,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # under whatever root is configured) so the cold-pass wipe below can
 # never delete entries other consumers rely on (pytest's IVF
 # ground-truth parquets, other corpora's signatures) from a shared
-# cache root. Must be set before any raft_c_spark import reads it.
-_BENCH_CACHE = os.path.join(
-    os.environ.get(
-        "RAFT_C_SPARK_CACHE_DIR", os.path.join(REPO, ".cache")
-    ),
-    "bench",
-)
-os.environ["RAFT_C_SPARK_CACHE_DIR"] = _BENCH_CACHE
+# cache root. Set inside main() — NOT at import time — so merely
+# importing bench.py never redirects another process's cache root
+# (advisor r6); raft_c_spark reads the env lazily via cache_root(),
+# and main() sets it before any query builds derived state.
+def _bench_cache_dir() -> str:
+    return os.path.join(
+        os.environ.get(
+            "RAFT_C_SPARK_CACHE_DIR", os.path.join(REPO, ".cache")
+        ),
+        "bench",
+    )
 
 
 def _sf_from_dir(d: str) -> float:
@@ -48,7 +51,16 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _skipped_swaps() -> int:
+    from raft_c_spark.plans import registry
+
+    return len(registry.SKIPPED_SWAPS)
+
+
 def main() -> None:
+    _BENCH_CACHE = _bench_cache_dir()
+    os.environ["RAFT_C_SPARK_CACHE_DIR"] = _BENCH_CACHE
+
     from raft_c_spark.session import get_spark
     from raft_c_spark.plans.registry import all_queries
     from raft_c_spark.sources.testdata import load_table
@@ -174,6 +186,10 @@ def main() -> None:
         "calib_sec": calib,
         "calib_samples": calib_samples,
         "value_per_calib": round(total / calib, 2) if calib else None,
+        # non-zero means a window-rotation swap failed to resolve at
+        # runtime (plan-module import failure) and the externally
+        # verified window silently shrank — surfaced per advisor r6
+        "skipped_swaps": _skipped_swaps(),
     }
     # the committed artifact is the sf0.1 run; other scales (e.g. the
     # sf0.01 preflight smoke) write a suffixed file so they can never
@@ -193,6 +209,7 @@ def main() -> None:
         tpch = round(
             sum(t for n, t in timings.items() if n.startswith("tpch_")), 2
         )
+        n_skipped = _skipped_swaps()
         return json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
@@ -202,6 +219,9 @@ def main() -> None:
                 "tpch_sec": tpch,
                 "calib_sec": calib,
                 "full": "BENCH_FULL.json",
+                # only surfaced when something actually failed to
+                # resolve (keeps the tail-window line small)
+                **({"skipped_swaps": n_skipped} if n_skipped else {}),
                 "queries": qs,
             },
             separators=(",", ":"),

@@ -281,12 +281,20 @@ def _widen(df: DataFrame) -> DataFrame:
     return df.repartition(p) if _effective_splits(df) < p else df
 
 
+#: (path, mtime_ns, size) -> num_row_groups — footer probes are
+#: driver-side file reads; memoizing them keeps repeated _widen calls
+#: over the same corpus (every dedup op re-parses the same parquet
+#: lineage) from re-reading footers on each call (advisor r6)
+_ROW_GROUP_CACHE: dict[tuple[str, int, int], int] = {}
+
+
 def _effective_splits(df: DataFrame) -> int:
     """Achievable no-shuffle scan parallelism: min(splits, total row
     groups) when the input is a small set of local parquet files;
     plain split count otherwise (footer reads over thousands of
     files, or non-file sources, are not worth it — many files imply
-    enough parallelism anyway)."""
+    enough parallelism anyway). Footer row-group counts are memoized
+    per (path, mtime, size)."""
     parts = df.rdd.getNumPartitions()
     try:
         files = df.inputFiles()
@@ -305,7 +313,15 @@ def _effective_splits(df: DataFrame) -> int:
                     break
             if not f.endswith(".parquet") or not os.path.isfile(f):
                 return parts
-            total += pq.ParquetFile(f).num_row_groups
+            st = os.stat(f)
+            key = (f, st.st_mtime_ns, st.st_size)
+            n = _ROW_GROUP_CACHE.get(key)
+            if n is None:
+                n = pq.ParquetFile(f).num_row_groups
+                if len(_ROW_GROUP_CACHE) > 4096:
+                    _ROW_GROUP_CACHE.clear()
+                _ROW_GROUP_CACHE[key] = n
+            total += n
     except Exception:
         return parts
     return min(parts, total)
@@ -1271,62 +1287,66 @@ def connected_components(
         def _truncate(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
-    labels = _truncate(
-        edges.select(F.col("src").alias("doc"))
-        .distinct()
-        .withColumn("label", F.col("doc"))
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("doc").alias("dst"), F.col("label").alias("dst_label")
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dst_label").alias("nbr_label"))
-            .select(F.col("src").alias("doc"), "nbr_label")
+    try:
+        labels = _truncate(
+            edges.select(F.col("src").alias("doc"))
+            .distinct()
+            .withColumn("label", F.col("doc"))
         )
-        stepped = labels.join(nbr_min, "doc", "left").select(
-            "doc",
-            F.least(
-                F.col("label"), F.coalesce("nbr_label", F.col("label"))
-            ).alias("label"),
-        )
-        # pointer jumping: label ← label[label]. Neighbor-min alone
-        # needs diameter rounds (a hop per round); following the
-        # label's own label doubles the reach each round → O(log d)
-        # rounds total, the shortcutting step of the MapReduce CC
-        # algorithms (Kiveris et al.)
-        new_labels = (
-            stepped.alias("x")
-            .join(
-                stepped.select(
-                    F.col("doc").alias("label"), F.col("label").alias("label2")
-                ).alias("y"),
-                "label",
-                "left",
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.select(
+                        F.col("doc").alias("dst"), F.col("label").alias("dst_label")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("dst_label").alias("nbr_label"))
+                .select(F.col("src").alias("doc"), "nbr_label")
             )
-            .select(
+            stepped = labels.join(nbr_min, "doc", "left").select(
                 "doc",
-                F.coalesce("label2", F.col("label")).alias("label"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
             )
-        )
-        new_labels = _truncate(new_labels)
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if n_changed == 0:
-            break
-    edges.unpersist()
-    if checkpoint_dir is not None and prior_ckpt_dir is not None:
-        # restore the caller's checkpoint dir (global-state hygiene)
-        sc.setCheckpointDir(prior_ckpt_dir)
+            # pointer jumping: label ← label[label]. Neighbor-min alone
+            # needs diameter rounds (a hop per round); following the
+            # label's own label doubles the reach each round → O(log d)
+            # rounds total, the shortcutting step of the MapReduce CC
+            # algorithms (Kiveris et al.)
+            new_labels = (
+                stepped.alias("x")
+                .join(
+                    stepped.select(
+                        F.col("doc").alias("label"), F.col("label").alias("label2")
+                    ).alias("y"),
+                    "label",
+                    "left",
+                )
+                .select(
+                    "doc",
+                    F.coalesce("label2", F.col("label")).alias("label"),
+                )
+            )
+            new_labels = _truncate(new_labels)
+            n_changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if n_changed == 0:
+                break
+        edges.unpersist()
+    finally:
+        # restore the caller's checkpoint dir even when the loop
+        # raises (global-state hygiene; a None prior dir cannot be
+        # restored through setCheckpointDir, which is the API's limit)
+        if checkpoint_dir is not None and prior_ckpt_dir is not None:
+            sc.setCheckpointDir(prior_ckpt_dir)
     return labels.select("doc", F.col("label").alias("component"))
 
 

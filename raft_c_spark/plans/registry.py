@@ -122,22 +122,51 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("ev_set_ops", "stream_dedup"),
     ("dedup_embedding", "lang_sample_fill"),
     ("sim_knn_join", "mm_real_resize"),
+    # -- round-7 batch: the final four never-driver-verified queries
+    # enter the window (after this, every one of the 100 registered
+    # queries has been inside the driver's DuckDB hash window in some
+    # round). Each demoted slot is hash-green in six consecutive
+    # driver rounds and its family keeps in-window representatives
+    # (ts: sample_1d/sample_fill + the lang_* paths exercise the same
+    # scan/filter operators; lang: sample_by/multi_agg/sample_fill;
+    # dedup: minhash_lsh/simhash/ngram word+char/components/survivor;
+    # text: analyze/clean_corpus/tfidf_terms/quality_model).
+    ("ts_range_scan", "sim_topk_ivf"),
+    ("lang_where_limit", "mm_features"),
+    ("dedup_exact_groups", "mm_frame_index"),
+    ("text_lang_profile", "ev_approx_profile"),
 ]
+
+
+#: swap pairs _rotated skipped because a member didn't resolve — a
+#: runtime plan-module import failure silently un-rotates window
+#: slots, so the count is surfaced in bench.py's JSON artifact
+#: (``skipped_swaps``) and logged at ERROR, not just warned (advisor
+#: r6); non-empty in a healthy deployment means the externally
+#: verified window has quietly shrunk.
+SKIPPED_SWAPS: list[tuple[str, str]] = []
 
 
 def _rotated(names: list[str]) -> list[str]:
     """Swap the positions of each ``_WINDOW_SWAPS`` pair in the
     registry ordering. A pair naming an absent query (e.g. its plan
     module failed to import — ``_modules`` tolerates that by design)
-    is skipped with a warning instead of crashing every
-    ``all_queries()`` consumer; ``tests/test_entry_contract.py``
-    asserts all swap names resolve, so a typo still fails CI."""
+    is skipped with an ERROR log + warning instead of crashing every
+    ``all_queries()`` consumer, and recorded in ``SKIPPED_SWAPS``;
+    ``tests/test_entry_contract.py`` asserts all swap names resolve,
+    so a typo still fails CI."""
+    import logging
     import warnings
 
+    SKIPPED_SWAPS.clear()
     pos = {n: i for i, n in enumerate(names)}
     out = list(names)
     for a, b in _WINDOW_SWAPS:
         if a not in pos or b not in pos:
+            SKIPPED_SWAPS.append((a, b))
+            logging.getLogger(__name__).error(
+                "window swap names not in registry, skipping: %s", (a, b)
+            )
             warnings.warn(
                 f"window swap names not in registry, skipping: {(a, b)}",
                 stacklevel=2,

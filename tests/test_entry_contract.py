@@ -52,6 +52,9 @@ def test_window_swap_names_resolve():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         entrymod.queries()  # full rotation must emit no skip warnings
+    from raft_c_spark.plans import registry
+
+    assert registry.SKIPPED_SWAPS == []  # surfaced counter stays zero
 
 
 def test_every_query_has_callable_and_name_parity():
