@@ -284,41 +284,62 @@ def main() -> None:
         except Exception:
             pass
 
+    # INTERLEAVED measurement (r7): each query is timed at BOTH scales
+    # back-to-back, bracketed by calib probes. The r7 first attempt ran
+    # scale-major (all-small then all-big) and the box drifted 2.6x
+    # between the windows (small-window calib median 0.827s vs big
+    # 0.316s) — several queries measured *faster* at 3.3x the data,
+    # i.e. the window layout, not the algorithm, dominated the ratio.
+    # Adjacent small/big runs of the same query share an epoch, so the
+    # raw ratio is epoch-clean; the per-calib column divides out
+    # whatever residual drift the bracketing probes saw.
     results: dict[str, dict[str, float]] = {}
-    calibs: dict[str, float] = {}
-    for scale in ("small", "big"):
-        samples = [calib_probe()]
-        for label, fn, _ in soak_queries:
-            call = fn if fn is not None else qs[label]
-            best = None
-            for _ in range(args.passes):
-                wipe_derived_state()
-                t0 = time.perf_counter()
-                df = call(spark, dirs[scale])
-                df.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            results.setdefault(label, {})[scale] = best
-            print(f"[{scale}:{scales[scale]}] {label}: {best:.2f}s", flush=True)
-        samples.append(calib_probe())
-        import statistics
+    qcalibs: dict[str, dict[str, float]] = {}
+    drift: list[float] = []
 
-        calibs[scale] = statistics.median(samples)
-        print(f"[{scale}] calib median {calibs[scale]:.3f}s "
-              f"(samples {[round(x, 3) for x in samples]})", flush=True)
+    def timed(call, sf_dir: str) -> float:
+        best = None
+        for _ in range(args.passes):
+            wipe_derived_state()
+            t0 = time.perf_counter()
+            df = call(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    for label, fn, _ in soak_queries:
+        call = fn if fn is not None else qs[label]
+        c1 = calib_probe()
+        results.setdefault(label, {})["small"] = timed(call, dirs["small"])
+        c2 = calib_probe()
+        results[label]["big"] = timed(call, dirs["big"])
+        c3 = calib_probe()
+        # epoch calib for each scale = the two probes bracketing it
+        qcalibs[label] = {"small": (c1 + c2) / 2, "big": (c2 + c3) / 2}
+        drift.extend([c1, c2, c3])
+        print(
+            f"[{label}] small {results[label]['small']:.2f}s, "
+            f"big {results[label]['big']:.2f}s "
+            f"(calibs {c1:.2f}/{c2:.2f}/{c3:.2f})",
+            flush=True,
+        )
 
     ratio_data = scales["big"] / scales["small"]
-    calib_ratio = calibs["big"] / max(calibs["small"], 1e-9)
-    print(f"\ncalib: small {calibs['small']:.3f}s, big {calibs['big']:.3f}s "
-          f"(epoch drift {calib_ratio:.2f}x; per-calib column divides it out)")
+    print(f"\ncalib drift across the run: min {min(drift):.3f}s, "
+          f"median {sorted(drift)[len(drift) // 2]:.3f}s, "
+          f"max {max(drift):.3f}s over {len(drift)} probes "
+          f"(interleaved layout keeps each ratio within one epoch)")
     print(f"\n| query | {scales['small']} docs (s) | {scales['big']} docs (s) "
           f"| ratio (data {ratio_data:.0f}x) | per-calib ratio | expectation |")
     print("|---|---|---|---|---|---|")
     for label, _, note in soak_queries:
         s, b = results[label]["small"], results[label]["big"]
         raw = b / max(s, 1e-9)
+        cal = qcalibs[label]
+        norm = (b / max(cal["big"], 1e-9)) / max(s / max(cal["small"], 1e-9), 1e-9)
         print(f"| {label} | {s:.2f} | {b:.2f} | {raw:.1f}x "
-              f"| {raw / calib_ratio:.1f}x | {note} |")
+              f"| {norm:.1f}x | {note} |")
     spark.stop()
 
 
