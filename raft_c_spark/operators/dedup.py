@@ -909,6 +909,7 @@ def minhash_lsh_pairs_between(
     bands: int = 8,
     threshold: float = 0.5,
     corpus_cache_key: str | None = None,
+    pair_cache_key: str | None = None,
 ) -> DataFrame:
     """Incremental near-dup dedup: (new doc, corpus doc) pairs with
     estimated Jaccard ≥ threshold — the production shape where each
@@ -926,8 +927,26 @@ def minhash_lsh_pairs_between(
     typical case being the incoming batch. Returns (a=new id,
     b=corpus id, est_jaccard); ids may overlap between frames (they
     are different tables), so no cross-frame id ordering is assumed.
+
+    ``pair_cache_key`` persists the *verified* pair frame (the same
+    stored-derived-column pattern as :func:`minhash_lsh_pairs`); the
+    caller's key must identify BOTH input frames (e.g. encode the
+    batch/corpus split), since the function cannot fingerprint them.
     """
     rows_per_band = num_perm // bands
+    pair_key = None
+    if pair_cache_key is not None:
+        import os
+
+        from raft_c_spark.functions.diskcache import cache_path, cached_parquet
+
+        thr = str(threshold).replace(".", "p")
+        pair_key = (
+            f"minhashpairsbtw_{pair_cache_key}_{id_col}_{text_col}"
+            f"_n{n}_p{num_perm}_b{bands}_t{thr}_v1"
+        )
+        if os.path.isdir(cache_path(pair_key)):
+            return new_df.sparkSession.read.parquet(cache_path(pair_key))
     sig_new = minhash_signatures(new_df, id_col, text_col, n, num_perm).cache()
     sig_corp = minhash_signatures(corpus_df, id_col, text_col, n, num_perm)
     if corpus_cache_key is not None:
@@ -984,11 +1003,17 @@ def minhash_lsh_pairs_between(
                     {"a": a[keep], "b": b[keep], "est_jaccard": est[keep]}
                 )
 
-        return cand.mapInPandas(kernel, "a long, b long, est_jaccard double")
+        pairs = cand.mapInPandas(kernel, "a long, b long, est_jaccard double")
+        if pair_key is not None:
+            pairs = cached_parquet(pairs, pair_key)
+        return pairs
 
     siga = sig_new.select(F.col("doc").alias("a"), F.col("signature").alias("sig_a"))
     sigb = sig_corp.select(F.col("doc").alias("b"), F.col("signature").alias("sig_b"))
-    return _est_jaccard_joined(cand, siga, sigb, num_perm, threshold)
+    pairs = _est_jaccard_joined(cand, siga, sigb, num_perm, threshold)
+    if pair_key is not None:
+        pairs = cached_parquet(pairs, pair_key)
+    return pairs
 
 
 #: SimHash width. 60 bits = 15 hex digits of md5 — md5 is the one

@@ -68,6 +68,9 @@ def q_dedup_minhash_incr(spark, sf_dir):
         new, corpus, "doc_id", "text", n=3, num_perm=64, bands=8,
         threshold=JACCARD_THRESHOLD,
         corpus_cache_key=_data_cache_key(sf_dir, "documents") + "_even",
+        # identifies both frames: the odd/even doc_id split of this
+        # exact corpus fingerprint
+        pair_cache_key=_data_cache_key(sf_dir, "documents") + "_oddveven",
     )
 
 

@@ -246,6 +246,35 @@ def test_minhash_between_matches_cross_subset_of_self_join(docs):
     assert got, "no cross-split pairs: the test corpus made this vacuous"
 
 
+def test_minhash_between_pair_cache_roundtrip(docs, tmp_path, monkeypatch):
+    """pair_cache_key persists the verified between-pair frame: the
+    warm call must read the published parquet (not recompute) and
+    return identical pairs."""
+    import os
+
+    monkeypatch.setenv("RAFT_C_SPARK_CACHE_DIR", str(tmp_path))
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    kw = dict(threshold=0.5, pair_cache_key="testsplit")
+    cold = {
+        (r["a"], r["b"], round(r["est_jaccard"], 9))
+        for r in dedup.minhash_lsh_pairs_between(
+            new, corpus, "doc_id", "text", **kw
+        ).collect()
+    }
+    published = [p for p in os.listdir(tmp_path) if p.startswith("minhashpairsbtw_")]
+    assert len(published) == 1, published
+    warm_df = dedup.minhash_lsh_pairs_between(new, corpus, "doc_id", "text", **kw)
+    # warm plan must be a pure parquet scan of the published entry
+    files = warm_df.inputFiles()
+    assert files and all(str(tmp_path) in f for f in files), files
+    warm = {
+        (r["a"], r["b"], round(r["est_jaccard"], 9)) for r in warm_df.collect()
+    }
+    assert warm == cold
+    assert cold, "no cross-split pairs: cache roundtrip test is vacuous"
+
+
 def test_word_shingles_short_docs(spark):
     """Docs shorter than n words yield zero shingles (sequence(1, 0)
     descends in Spark — the guard must filter, not emit junk)."""

@@ -331,10 +331,22 @@ def test_shard_manifest_no_global_window(spark, sf_dir):
 def test_minhash_incr_banded_join_broadcasts_small_side(spark, sf_dir):
     """Incremental dedup's cross-corpus band join should broadcast a
     banded side at this corpus size (above the cap it shuffles on
-    (band, bucket) — the scale shape)."""
-    from raft_c_spark.plans.extras import q_dedup_minhash_incr
+    (band, bucket) — the scale shape). Calls the builder without a
+    pair_cache_key: the registry query returns the eagerly-published
+    pair-cache scan, whose plan no longer contains the build join."""
+    from raft_c_spark.operators import dedup
+    from raft_c_spark.plans.dedup import JACCARD_THRESHOLD
+    from raft_c_spark.sources.testdata import load_table
 
-    plan = plan_of(q_dedup_minhash_incr(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    plan = plan_of(
+        dedup.minhash_lsh_pairs_between(
+            new, corpus, "doc_id", "text", n=3, num_perm=64, bands=8,
+            threshold=JACCARD_THRESHOLD,
+        )
+    )
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
