@@ -1399,7 +1399,15 @@ def _components_union_find(spark, edge_rows) -> DataFrame:
             else:
                 parent[ra] = rb
     out = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(out, "doc long, component long")
+    # this path only runs for graphs the driver already collected
+    # (≤ driver_max_edges ⇒ ≤ 2·driver_max_edges nodes ≈ 64 MB), and
+    # a driver-built frame carries no stats — without the hint every
+    # downstream comp-map join plans as a sort-merge join. The
+    # distributed loop's output stays unhinted (its map can be
+    # arbitrarily large; AQE decides there).
+    return spark.createDataFrame(
+        out, "doc long, component long"
+    ).hint("broadcast")
 
 
 def embedding_neardup_pairs(

@@ -236,3 +236,67 @@ def snapshot_diff(
     return o.join(nw, "id", "full_outer").select(
         F.col("id").alias(id_col), status.alias("status")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    splits: dict[str, float],
+    a_col: str = "a",
+    b_col: str = "b",
+    digits: int = HEX_DIGITS,
+) -> DataFrame:
+    """Train/val(/test) split that near-duplicates can never straddle
+    — the leakage guard of a training-data pipeline. A plain
+    hash-split assigns each *document* independently, so the two
+    halves of a near-dup pair routinely land on opposite sides of the
+    train/eval boundary and the eval set leaks into training. Here
+    the split key is the document's near-dup *cluster* (connected
+    component over ``pairs``, e.g. the MinHash-LSH pair graph;
+    singletons key on their own id), so every member of a cluster
+    shares one deterministic assignment by construction.
+
+    ``splits`` maps name → fraction in insertion order (fractions must
+    sum to 1); assignment is md5(cluster-rep) against the cumulative
+    thresholds, i.e. the same engine-independent keying as
+    :func:`hash_fraction_sample` — bit-reproducible in any engine
+    with md5, nested under fraction growth, and stable under any
+    repartitioning.
+
+    Scale shape: the component map covers only docs that appear in a
+    pair — a small fraction of any deduplicated corpus — so the
+    left join is an automatic broadcast under the session's
+    autoBroadcastJoinThreshold (AQE falls back to a shuffled hash
+    join on the doc id when it outgrows the cap); the assignment
+    itself is a pure column expression, no added shuffle.
+
+    Returns ``df`` plus ``dedup_group`` (the cluster rep = split key)
+    and ``split``.
+    """
+    fracs = list(splits.values())
+    if not fracs or any(f < 0 for f in fracs):
+        raise ValueError("splits must be non-negative fractions")
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {sum(fracs)}")
+    from raft_c_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs, a_col, b_col).withColumnRenamed(
+        "doc", "_cc_doc"
+    )
+    keyed = df.join(
+        comp, df[id_col] == comp["_cc_doc"], "left"
+    ).withColumn(
+        "dedup_group", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("_cc_doc", "component")
+    key = hash_hex("dedup_group", digits)
+    names = list(splits)
+    assign = F.lit(names[-1])  # last interval absorbs hex rounding
+    acc = 0.0
+    bounds = []
+    for name, frac in zip(names[:-1], fracs[:-1]):
+        acc += frac
+        bounds.append((name, _threshold(acc, digits)))
+    for name, bound in reversed(bounds):
+        assign = F.when(key < F.lit(bound), F.lit(name)).otherwise(assign)
+    return keyed.withColumn("split", assign)

@@ -135,6 +135,12 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("lang_where_limit", "mm_features"),
     ("dedup_exact_groups", "mm_frame_index"),
     ("text_lang_profile", "ev_approx_profile"),
+    # -- round-7 addition: the new leakage-safe split query enters the
+    # window immediately (never driver-verified by definition);
+    # text_tfidf_terms demoted — hash-green every round since r1 and
+    # the text family keeps analyze/clean_corpus/quality_model
+    # in-window.
+    ("text_tfidf_terms", "ds_split_leakage_safe"),
 ]
 
 

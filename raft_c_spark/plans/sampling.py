@@ -143,3 +143,59 @@ ORACLES = {
         GROUP BY g.doc_id
     """,
 }
+
+
+#: leakage-safe split recipe: eval sets small, train dominant — the
+#: production shape; three names exercise the multi-threshold path
+SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_ds_split_leakage_safe(spark, sf_dir):
+    """Cluster-aware train/val/test split: near-dup clusters (MinHash
+    LSH pair graph → connected components, the shared cached pair
+    frame of the dedup_* queries) never straddle a split boundary —
+    the leakage guard between training data and held-out evals.
+    Deterministic md5 keying on the cluster rep, so the oracle
+    replays pair generation + recursive-CTE reachability + the same
+    hash thresholds in SQL."""
+    from raft_c_spark.operators import dedup
+    from raft_c_spark.plans.dedup import JACCARD_THRESHOLD, _data_cache_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=64, bands=8,
+        threshold=JACCARD_THRESHOLD,
+        cache_key=_data_cache_key(sf_dir, "documents"),
+    )
+    return sampling.leakage_safe_split(
+        docs, "doc_id", pairs, SPLITS
+    ).select("doc_id", "dedup_group", "split")
+
+
+QUERIES["ds_split_leakage_safe"] = q_ds_split_leakage_safe
+
+
+def _split_oracle() -> str:
+    # same cumulative-threshold accumulation as the operator (float
+    # for float) so the hex bounds are bit-identical
+    from raft_c_spark.plans.dedup import _components_oracle, _minhash_oracle
+
+    key = "substring(md5(CAST(dedup_group AS VARCHAR)), 1, 6)"
+    names, fracs = list(SPLITS), list(SPLITS.values())
+    acc, whens = 0.0, []
+    for name, frac in zip(names[:-1], fracs[:-1]):
+        acc += frac
+        whens.append(f"WHEN {key} < {_thr(acc)} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    comp = _components_oracle(_minhash_oracle())
+    return f"""
+        SELECT doc_id, dedup_group, {case} AS split FROM (
+            SELECT d.doc_id,
+                   COALESCE(c.component, d.doc_id) AS dedup_group
+            FROM documents d
+            LEFT JOIN ({comp}) c ON c.doc = d.doc_id
+        )
+    """
+
+
+ORACLES["ds_split_leakage_safe"] = _split_oracle()

@@ -435,3 +435,14 @@ def test_touched_partition_prune_plan_constant_in_touched_count(
     assert "BroadcastHashJoin" in plan_large and "LeftSemi" in plan_large, (
         plan_large
     )
+
+
+def test_leakage_split_join_shape(spark, sf_dir):
+    """The split's component-map join must broadcast the (small) map
+    and never cartesian; the assignment itself is a pure projection
+    so the only joins in the plan are the component lookup."""
+    from raft_c_spark.plans.sampling import q_ds_split_leakage_safe
+
+    plan = plan_of(q_ds_split_leakage_safe(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

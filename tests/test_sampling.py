@@ -276,3 +276,80 @@ def test_write_shards_roundtrip(spark, sf_dir, tmp_path):
     assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
         r["doc_id"] for r in docs.select("doc_id").collect()
     }
+
+
+@pytest.fixture(scope="module")
+def doc_pairs(spark, docs):
+    from raft_c_spark.plans.dedup import JACCARD_THRESHOLD
+
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=64, bands=8,
+        threshold=JACCARD_THRESHOLD,
+    ).cache()
+
+
+def test_leakage_safe_split_no_straddle(docs, doc_pairs):
+    """The defining invariant: no near-dup pair (and no cluster) ever
+    straddles a split boundary."""
+    out = sampling.leakage_safe_split(
+        docs, "doc_id", doc_pairs, {"train": 0.9, "val": 0.1}
+    ).select("doc_id", "dedup_group", "split").cache()
+    assert doc_pairs.count() > 0, "vacuous: corpus has no near-dup pairs"
+    a = out.select(F.col("doc_id").alias("a"), F.col("split").alias("sa"))
+    b = out.select(F.col("doc_id").alias("b"), F.col("split").alias("sb"))
+    straddle = (
+        doc_pairs.join(a, "a").join(b, "b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert straddle == 0
+    multi = (
+        out.groupBy("dedup_group")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert multi == 0
+    # partition: every doc exactly once, both splits non-empty
+    assert out.count() == docs.count()
+    counts = dict(
+        (r["split"], r["count"]) for r in out.groupBy("split").count().collect()
+    )
+    assert set(counts) == {"train", "val"} and min(counts.values()) > 0
+
+
+def test_leakage_safe_split_partition_stable_and_nested(docs, doc_pairs):
+    base = {
+        (r["doc_id"], r["split"])
+        for r in sampling.leakage_safe_split(
+            docs, "doc_id", doc_pairs, {"train": 0.8, "val": 0.2}
+        ).collect()
+    }
+    rep = {
+        (r["doc_id"], r["split"])
+        for r in sampling.leakage_safe_split(
+            docs.repartition(7), "doc_id", doc_pairs.repartition(3),
+            {"train": 0.8, "val": 0.2},
+        ).collect()
+    }
+    assert base == rep
+    # nested: growing the first split keeps its members
+    train_small = {d for d, s in base if s == "train"}
+    train_big = {
+        r["doc_id"]
+        for r in sampling.leakage_safe_split(
+            docs, "doc_id", doc_pairs, {"train": 0.95, "val": 0.05}
+        ).filter(F.col("split") == "train").collect()
+    }
+    assert train_small <= train_big
+
+
+def test_leakage_safe_split_validates_fractions(docs, doc_pairs):
+    with pytest.raises(ValueError):
+        sampling.leakage_safe_split(
+            docs, "doc_id", doc_pairs, {"train": 0.5, "val": 0.2}
+        )
+    with pytest.raises(ValueError):
+        sampling.leakage_safe_split(
+            docs, "doc_id", doc_pairs, {"train": 1.5, "val": -0.5}
+        )
