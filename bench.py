@@ -148,20 +148,29 @@ def main() -> None:
                 spreads[name] = max(timings[name], dt) / max(min(timings[name], dt), 1e-9)
             timings[name] = min(timings.get(name, dt), dt)
         calib_probe()
-    # adaptive re-measure: a query whose passes disagree badly was hit
-    # by a noisy neighbor (this box shows >10x swings on identical
-    # plans); one more run tightens the min without re-running the
-    # whole suite. Still a true minimum over real executions.
+    # adaptive re-measure: a query whose passes disagree was hit by a
+    # noisy neighbor (this box shows >10x swings on identical plans);
+    # extra runs tighten the min without re-running the whole suite.
+    # Still a true minimum over real executions. r7 probe data: with
+    # the old 1.5x/0.5s gate, 3-sample minimums ran 20-40% below the
+    # recorded min-of-2 on half the top-10 queries — the gate was
+    # letting ~0.1-0.5s of interference into most entries, so it is
+    # now 1.25x/0.25s with up to two retries (stop once two samples
+    # agree within 15%).
     if passes > 1:
         retry = [
-            n for n, s in spreads.items() if s > 1.5 and timings[n] > 0.5
+            n for n, s in spreads.items() if s > 1.25 and timings[n] > 0.25
         ]
         for name in sorted(retry):
             fn = all_queries()[name]
-            t0 = time.perf_counter()
-            run_query(fn(spark, SF_DIR))
-            dt = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings[name], dt)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run_query(fn(spark, SF_DIR))
+                dt = round(time.perf_counter() - t0, 4)
+                prev = timings[name]
+                timings[name] = min(prev, dt)
+                if max(prev, dt) / max(min(prev, dt), 1e-9) <= 1.15:
+                    break
 
     calib_probe()
     calib = calib_median()
