@@ -209,12 +209,25 @@ def main() -> None:
     with open(os.path.join(REPO, full_name), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 
-    def compact_line(decimals: int) -> str:
-        qs = {
-            n: round(t, decimals)
-            for n, t in sorted(timings.items())
-            if not n.startswith("tpch_")
-        }
+    def compact_line(decimals: int, top_n: int | None = None) -> str:
+        items = [
+            (n, t) for n, t in timings.items() if not n.startswith("tpch_")
+        ]
+        extra: dict = {}
+        if top_n is not None and len(items) > top_n:
+            # keep the N most expensive itemized (the plan-audit
+            # signal); fold the cheap tail into an honest subtotal —
+            # BENCH_FULL.json always carries the complete map
+            keep = {
+                n
+                for n, _ in sorted(
+                    items, key=lambda kv: (-kv[1], kv[0])
+                )[:top_n]
+            }
+            rest = [t for n, t in items if n not in keep]
+            items = [(n, t) for n, t in items if n in keep]
+            extra = {"rest_sec": round(sum(rest), 2), "rest_n": len(rest)}
+        qs = {n: round(t, decimals) for n, t in sorted(items)}
         tpch = round(
             sum(t for n, t in timings.items() if n.startswith("tpch_")), 2
         )
@@ -231,14 +244,21 @@ def main() -> None:
                 # only surfaced when something actually failed to
                 # resolve (keeps the tail-window line small)
                 **({"skipped_swaps": n_skipped} if n_skipped else {}),
+                **extra,
                 "queries": qs,
             },
             separators=(",", ":"),
         )
 
+    # tail-window guard ladder: degrade precision, then itemization —
+    # never emit an unparseable line
     line = compact_line(2)
-    if len(line) > 1900:  # tail-window guard: degrade precision, never parse
+    if len(line) > 1900:
         line = compact_line(1)
+    for top_n in (60, 45, 30):
+        if len(line) <= 1900:
+            break
+        line = compact_line(1, top_n=top_n)
     assert len(line) <= 1990, f"bench line too long for driver tail: {len(line)}"
     # QUIESCE BEFORE PRINTING — the compact line must be the LAST bytes
     # of stdout. Four rounds of driver artifacts were `parsed: null`

@@ -264,6 +264,111 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    unit: str = "word",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """All ordered pairs (a, b), a ≠ b, with n-gram containment
+    |A∩B| / |A| ≥ threshold — the asymmetric near-dup relation exact
+    Jaccard misses: a short document quoted or embedded inside a much
+    longer one scores J = |A|/|B| ≈ 0 but containment ≈ 1. The
+    quote/subset detector of a corpus dedup pass (direction matters:
+    a is the contained doc, b the container).
+
+    Candidate generation is the prefix filter on the CONTAINED side
+    only: a pair at C ≥ t shares one of A's |A| − ⌈t·|A|⌉ + 1 rarest
+    shingles, but the container side cannot be pruned (any superset
+    qualifies regardless of B's size), so probes join the FULL
+    (doc, shingle) relation — the published containment/subset-join
+    shape (AllPairs adapted to asymmetric thresholds). A size guard
+    (|B| ≥ t·|A|·1 requires nothing; only |B| ≥ ⌈t·|A|⌉ elements in
+    total) prunes before the distinct. Verify is one exact
+    array_intersect per candidate. Everything is equi-joins + hash
+    aggregates keyed by shingle/doc — linear shuffles, no all-pairs,
+    the shape that survives 100 TB on word grams.
+
+    Determinism: counts are integers; containment is one int/int IEEE
+    division — bit-identical in any engine."""
+    if unit not in ("char", "word"):
+        raise ValueError(f"unit must be 'char' or 'word', got {unit!r}")
+    pair_key = None
+    if cache_key is not None:
+        from raft_c_spark.functions.diskcache import cache_path
+
+        thr = str(threshold).replace(".", "p")
+        pair_key = (
+            f"containpairs_{cache_key}_{id_col}_{text_col}_n{n}_t{thr}"
+            f"_{unit}_v1"
+        )
+        if os.path.isdir(cache_path(pair_key)):
+            return df.sparkSession.read.parquet(cache_path(pair_key))
+    shingle_fn = word_shingles if unit == "word" else char_shingles
+    sh = shingle_fn(df, id_col, text_col, n)
+    if cache_key is not None:
+        from raft_c_spark.functions.diskcache import cached_parquet
+
+        sh = cached_parquet(
+            sh, f"{unit}shingles_{cache_key}_{id_col}_{text_col}_n{n}_v1"
+        )
+    sh = sh.cache()
+    t = threshold
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w_rank = Window.partitionBy("doc").orderBy("_df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("_rank", F.row_number().over(w_rank))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    )
+    probes = ranked.filter(
+        F.col("_rank") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    ).select(F.col("doc").alias("a"), "shingle", F.col("sz").alias("sz_a"))
+    full = ranked.select(
+        F.col("doc").alias("b"), "shingle", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        probes.join(full, "shingle")
+        .filter(
+            (F.col("a") != F.col("b"))
+            # the container must hold at least ⌈t·|A|⌉ shingles at all
+            & (F.col("sz_b").cast("double") >= F.lit(t) * F.col("sz_a"))
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    docsets = sh.groupBy("doc").agg(
+        F.collect_list("shingle").alias("shset"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    da = docsets.select(
+        F.col("doc").alias("a"), F.col("shset").alias("sa"),
+        F.col("sz").alias("sz_a"),
+    )
+    db = docsets.select(F.col("doc").alias("b"), F.col("shset").alias("sb"))
+    common = F.size(F.array_intersect("sa", "sb"))
+    pairs = (
+        cand.join(da, "a")
+        .join(db, "b")
+        .withColumn("common", common.cast("long"))
+        .withColumn(
+            "containment",
+            F.col("common").cast("double") / F.col("sz_a"),
+        )
+        .filter(F.col("containment") >= t)
+        .select("a", "b", "common", F.col("sz_a").cast("long").alias("sz_a"),
+                "containment")
+    )
+    if pair_key is not None:
+        from raft_c_spark.functions.diskcache import cached_parquet
+
+        pairs = cached_parquet(pairs, pair_key)
+    return pairs
+
+
 def _widen(df: DataFrame) -> DataFrame:
     """Repartition up to the session's parallelism when the input
     cannot actually scan in parallel, serializing any Arrow kernel

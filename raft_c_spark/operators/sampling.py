@@ -300,3 +300,70 @@ def leakage_safe_split(
     for name, bound in reversed(bounds):
         assign = F.when(key < F.lit(bound), F.lit(name)).otherwise(assign)
     return keyed.withColumn("split", assign)
+
+
+#: hex digits of the temperature-sampling threshold grid: 3 digits →
+#: rate resolution 1/4096 ≈ 0.024% — coarse on purpose: the rate is a
+#: computed double (pow/sum/divide), and snapping it to a 12-bit grid
+#: makes the engines' last-ulp libm differences unobservable unless a
+#: rate lands within ~1e-12 of a grid boundary
+TEMP_DIGITS = 3
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    digits: int = TEMP_DIGITS,
+) -> DataFrame:
+    """Temperature-weighted mixture sampling — the standard
+    multilingual/multi-source rebalancing rule (sample source s with
+    probability ∝ count_s^α, α<1 upweights the tail): expected draws
+    per stratum n_s = budget · count_s^α / Σ count^α with
+    budget = budget_frac · N, realized as a deterministic
+    hash-Bernoulli keep-rate f_s = min(1, n_s / count_s) on md5(id)
+    (same nested/repartition-stable selection as
+    hash_fraction_sample, but the rates are *derived from the data*
+    instead of hand-specified).
+
+    Fully declarative: one map-side-combined count aggregate (S rows),
+    a driver-free total via cross join, and a broadcast join of the
+    S-row rate table back onto the scan — at 100 TB this is
+    scan-speed with one tiny aggregate, no collect, no RNG.
+
+    Determinism: counts are integers; pow/division run once per
+    stratum and the resulting rate is floored onto a 16^digits grid
+    before the hex-string compare (see TEMP_DIGITS note), so the
+    selection is bit-reproducible in any engine with md5."""
+    counts = df.groupBy(F.col(strata_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    tot = counts.agg(
+        F.sum(F.pow(F.col("_cnt").cast("double"), F.lit(alpha))).alias("_w"),
+        F.sum("_cnt").alias("_n"),
+    )
+    grid = 16**digits
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(budget_frac)
+        * F.col("_n")
+        * F.pow(F.col("_cnt").cast("double"), F.lit(alpha))
+        / (F.col("_w") * F.col("_cnt")),
+    )
+    thr_int = F.floor(rate * F.lit(grid)).cast("int")
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "_s",
+        thr_int.alias("thr"),
+        F.when(thr_int >= grid, F.lit("g"))
+        .otherwise(F.format_string(f"%0{digits}x", thr_int))
+        .alias("_thr_hex"),
+    )
+    return (
+        df.join(
+            F.broadcast(rates), df[strata_col] == rates["_s"], "inner"
+        )
+        .filter(hash_hex(id_col, digits) < F.col("_thr_hex"))
+        .drop("_s", "_thr_hex")
+    )

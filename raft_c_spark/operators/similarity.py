@@ -278,6 +278,64 @@ def cosine_topk(
     )
 
 
+def cluster_assign(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-center cosine assignment — the semantic
+    clustering pass of SemDeDup-style curation (Abbas et al. 2023):
+    partition the embedding space around k exemplars so near-duplicate
+    *meanings* can be pruned per cluster downstream.
+
+    Centers are the k rows with the smallest md5(id) (a deterministic
+    hash-reservoir draw — both engines recompute the identical set, so
+    the assignment is hash-oracled end to end; a trained k-means
+    centroid table drops in the same way via ivf_index's lloyd_kmeans
+    when replayability across engines isn't required). Every vector
+    goes to its max-cosine center, ties to the lowest center rank.
+
+    Scale shape: centers are a k-row driver collect (the same gated
+    scalar-probe class as the topk query vector); the corpus side is
+    one scan with a per-row transform over a k-element literal array
+    — argmax via array_max over (cosine, -rank) structs, zero shuffle,
+    zero Python, fully inside codegen. At 100 TB this is scan-speed;
+    k only widens the per-row expression."""
+    keyed = with_norm(df, id_col, vec_col).withColumn(
+        "_k", F.md5(F.col("doc").cast("string"))
+    )
+    seeds = keyed.orderBy("_k", "doc").limit(k).collect()
+    seed_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("rank"),
+                F.lit(row["doc"]).alias("cluster"),
+                F.lit(float(row["norm"])).alias("snorm"),
+                F.array(*[F.lit(float(x)) for x in row["vec"]]).alias("sv"),
+            )
+            for i, row in enumerate(seeds)
+        ]
+    )
+    sims = F.transform(
+        seed_lit,
+        lambda s: F.struct(
+            (dot_fold("vec", s["sv"]) / (F.col("norm") * s["snorm"])).alias(
+                "cosine"
+            ),
+            (-s["rank"]).alias("neg_rank"),
+            s["cluster"].alias("cluster"),
+        ),
+    )
+    best = F.array_max(sims)
+    return keyed.select(
+        F.col("doc").alias(id_col),
+        best["cluster"].alias("cluster"),
+        (-best["neg_rank"]).alias("cluster_rank"),
+        best["cosine"].alias("cosine"),
+    )
+
+
 def knn_join(
     queries_df: DataFrame,
     corpus_df: DataFrame,

@@ -711,3 +711,75 @@ def quality_classifier(
             ),
         )
     )
+
+
+def ngram_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram language-model cross-entropy per document — the
+    CCNet-style fluency filter (Wenzek et al. 2020): train an add-one
+    smoothed word-bigram LM on the corpus itself, score each document
+    by its mean bits-per-bigram under that LM; high cross-entropy =
+    unusual token transitions = boilerplate/gibberish candidates.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), where c(w1·) counts w1
+    as a bigram context and V is the distinct-successor vocabulary.
+    score = mean over the doc's bigrams of -log2 P.
+
+    Determinism contract: counts are integers; (c12+1)/(c1+V) is one
+    IEEE division of exact doubles; log2 of that may differ from the
+    oracle's libm in the last ulp, so each bigram's bits value is
+    rounded to 8 decimals and cast to DECIMAL(18,8) BEFORE the per-doc
+    sum (exact, order-independent — functions/exact.py rule), and the
+    final mean is one double division.
+
+    Scale shape: tokenize → map-side bigram transform (no
+    posexplode+window — zero shuffle to form bigrams) → two
+    map-side-combined count aggregates keyed by (w1,w2) and w1 → two
+    equi-joins back onto the bigram stream (vocabulary scales with the
+    corpus: shuffle joins on natural keys, never broadcast — AQE may
+    still elect broadcast when a counts side is measured small) → one
+    per-doc aggregate. No driver materialization, no Python in the
+    hot path.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
+    idxs = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))),
+        lambda i: (i + 1) <= F.size("toks"),
+    )
+    occ = base.select(
+        "doc",
+        F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = occ.select(F.countDistinct("w2").alias("v"))
+    bits = -F.log2(
+        (F.col("c12") + F.lit(1)).cast("double")
+        / (F.col("c1") + F.col("v")).cast("double")
+    )
+    scored = (
+        occ.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc", F.round(bits, 8).cast("decimal(18,8)").alias("bits"))
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("bits").cast("double") / F.count(F.lit(1))).alias("xent"),
+        )
+        .select(F.col("doc").alias(id_col), "n_bigrams", "xent")
+    )

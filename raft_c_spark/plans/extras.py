@@ -927,3 +927,51 @@ ORACLES: dict[str, str] = {
         WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= {WORD_JACCARD_T}
     """,
 }
+
+
+CONTAIN_N = 5
+CONTAIN_T = 0.8
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Word 5-gram containment pairs (|A∩B|/|A| ≥ 0.8, a contained in
+    b) — the asymmetric quote/subset near-dup relation; see
+    dedup.ngram_containment_pairs for the prefix-on-the-contained-side
+    candidate shape."""
+    from raft_c_spark.operators import dedup
+    from raft_c_spark.plans.dedup import _data_cache_key
+    from raft_c_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(
+        docs, "doc_id", "text", n=CONTAIN_N, threshold=CONTAIN_T,
+        unit="word", cache_key=_data_cache_key(sf_dir, "documents"),
+    )
+
+
+QUERIES["dedup_containment"] = q_dedup_containment
+
+ORACLES["dedup_containment"] = f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id AS doc, g AS shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+{CONTAIN_N - 1}], ' ')
+                           FOR i IN range(1, greatest(len(toks) - {CONTAIN_N - 1}, 0) + 1)]) AS g
+            FROM (SELECT doc_id,
+                         string_split(lower(trim(regexp_replace(text,
+                             '\\s+', ' ', 'g'))), ' ') AS toks
+                  FROM documents)
+        )
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    common AS (
+        SELECT x.doc AS a, y.doc AS b, COUNT(*) AS c
+        FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc <> y.doc
+        GROUP BY x.doc, y.doc
+    )
+    SELECT a, b, c AS common, sa.sz AS sz_a,
+           CAST(c AS DOUBLE) / sa.sz AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc = a
+    WHERE CAST(c AS DOUBLE) / sa.sz >= {CONTAIN_T}
+"""

@@ -141,6 +141,20 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # the text family keeps analyze/clean_corpus/quality_model
     # in-window.
     ("text_tfidf_terms", "ds_split_leakage_safe"),
+    # -- round-7 new-operator batch: the four queries added this round
+    # enter the window immediately (never driver-verified by
+    # definition). text_lm_score and sim_cluster_assign land in-window
+    # by module position; the other two swap in. Demoted slots:
+    # ds_mixture_sample (hash-green r1–r6; sampling keeps source_topk/
+    # pack_sequences/split_leakage_safe in-window) and mm_real_decode
+    # (hash-green r5–r6; mm keeps real_frames/real_resize/frame_index/
+    # features in-window).
+    ("ds_mixture_sample", "ds_temperature_mixture"),
+    ("mm_real_decode", "dedup_containment"),
+    # stream_dedup demoted (hash-green r6; the streaming family keeps
+    # tumbling_avg/click_attribution/sliding_rate/session_window
+    # in-window) for the new CUBE data-card query.
+    ("stream_dedup", "ds_dataset_card"),
 ]
 
 

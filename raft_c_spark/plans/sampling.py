@@ -199,3 +199,83 @@ def _split_oracle() -> str:
 
 
 ORACLES["ds_split_leakage_safe"] = _split_oracle()
+
+
+TEMP_ALPHA = 0.5
+TEMP_BUDGET_FRAC = 0.5
+
+
+def q_ds_temperature_mixture(spark, sf_dir):
+    """Temperature-weighted source rebalancing (rates ∝ count^0.5,
+    derived from the data, budget 50% of the corpus) — see
+    sampling.temperature_sample for the grid-snapped determinism
+    contract and the broadcast-rate-table scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_sample(
+        docs, "doc_id", "source", alpha=TEMP_ALPHA,
+        budget_frac=TEMP_BUDGET_FRAC,
+    ).select("doc_id", "source", "n_chars", "thr")
+
+
+QUERIES["ds_temperature_mixture"] = q_ds_temperature_mixture
+
+_TGRID = 16**3
+
+ORACLES["ds_temperature_mixture"] = f"""
+    WITH c AS (
+        SELECT source AS s, COUNT(*) AS cnt FROM documents GROUP BY 1
+    ),
+    t AS (
+        SELECT SUM(pow(CAST(cnt AS DOUBLE), {TEMP_ALPHA})) AS w,
+               SUM(cnt) AS n
+        FROM c
+    ),
+    r AS (
+        SELECT s,
+               CAST(floor(least(1.0,
+                   {TEMP_BUDGET_FRAC} * n
+                   * pow(CAST(cnt AS DOUBLE), {TEMP_ALPHA})
+                   / (w * cnt)) * {_TGRID}) AS INTEGER) AS thr
+        FROM c CROSS JOIN t
+    )
+    SELECT d.doc_id, d.source, d.n_chars, r.thr
+    FROM documents d JOIN r ON d.source = r.s
+    WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 3)
+          < CASE WHEN r.thr >= {_TGRID} THEN 'g'
+                 ELSE printf('%03x', r.thr) END
+"""
+
+
+def q_ds_dataset_card(spark, sf_dir):
+    """Dataset-card profile: doc counts and char volumes at every
+    (source × lang) granularity in ONE pass via CUBE — per-cell,
+    per-source, per-lang, and grand-total rows distinguished by
+    grouping_id (Spark and the oracle agree on the bit convention:
+    first cube column = most significant bit). Counts and sums are
+    integers; the single Expand+HashAggregate pair is map-side
+    combined, so the pass stays one scan + one shuffle at any scale
+    (row amplification ×4 happens before the partial aggregate)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select("source", "lang", "gid", "n_docs", "total_chars")
+    )
+
+
+QUERIES["ds_dataset_card"] = q_ds_dataset_card
+
+ORACLES["ds_dataset_card"] = """
+    SELECT source, lang,
+           CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY CUBE (source, lang)
+"""

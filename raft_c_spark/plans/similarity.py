@@ -358,3 +358,54 @@ def ivf_oracle_sql() -> str:
             SELECT 1 FROM {gt} WHERE corpus_fp = ({_FP_SQL})
         )
     """
+
+
+CLUSTER_K = 8
+
+
+def q_sim_cluster_assign(spark, sf_dir):
+    """Deterministic k-center cosine assignment (SemDeDup-style
+    semantic clustering) — see similarity.cluster_assign for the
+    hash-seeded center draw and the zero-shuffle argmax scale shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cluster_assign(emb, k=CLUSTER_K)
+
+
+QUERIES["sim_cluster_assign"] = q_sim_cluster_assign
+
+_SEED_DOT = (
+    "list_sum([CAST(e.embedding[i] AS DOUBLE) * s.sv[i]"
+    " FOR i IN range(1, len(e.embedding) + 1)])"
+)
+_SEED_NORM = (
+    "sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)"
+    " FOR i IN range(1, len(embedding) + 1)]))"
+)
+
+ORACLES["sim_cluster_assign"] = f"""
+    WITH keyed AS (
+        SELECT vec_id, embedding,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rank
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT rank, vec_id AS cluster,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS sv,
+               {_SEED_NORM} AS snorm
+        FROM keyed WHERE rank <= {CLUSTER_K}
+    ),
+    scored AS (
+        SELECT e.vec_id AS vec_id, s.cluster AS cluster,
+               s.rank AS cluster_rank,
+               {_SEED_DOT} / ({_NORM_E} * s.snorm) AS cosine
+        FROM embeddings e CROSS JOIN seeds s
+    )
+    SELECT vec_id, cluster, CAST(cluster_rank AS INTEGER) AS cluster_rank,
+           cosine
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY cosine DESC, cluster_rank ASC
+    ) = 1
+"""

@@ -231,9 +231,117 @@ def q_stream_dedup(spark, sf_dir):
     )
 
 
+SLIDE_NS = 1_800_000_000_000  # 30 min
+SESSION_GAP = "30 minutes"
+SESSION_GAP_NS = 1_800_000_000_000
+
+
+def q_stream_sliding_rate(spark, sf_dir):
+    """Hopping-window rates per event type (1 h window sliding every
+    30 min) as a REAL watermarked streaming aggregation — the
+    smoothed-rate dashboard shape. Each event lands in exactly
+    window/slide = 2 open windows; Spark's sliding ``F.window``
+    maintains both in the same keyed state store, so state stays
+    bounded by the watermark × slide count, not stream history.
+    Deterministic for the same single-batch reason as
+    stream_tumbling_avg, and hash-oracled against the window-explode
+    replay (the same fold the batch ts_sample_sliding oracle uses)."""
+    ensure_runtime_confs(spark)
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("event_time", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("event_time", WATERMARK)
+        .groupBy(
+            F.window("event_time", "1 hour", "30 minutes").alias("win"),
+            F.col("event_type").alias("series"),
+        )
+        .agg(
+            exact_avg("value").alias("avg_value"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+    with _shuffle_partitions(spark, _state_partitions(spark, sf_dir)):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = spark.table(name)
+    return out.select(
+        "series",
+        (F.unix_micros(F.col("win.start")) * 1000).alias("window_start"),
+        (F.unix_micros(F.col("win.end")) * 1000).alias("window_end"),
+        "avg_value",
+        "n_points",
+    )
+
+
+def q_stream_session_window(spark, sf_dir):
+    """Streaming sessionization: per-user ``F.session_window`` with a
+    30-minute inactivity gap — the dynamic-interval stateful operator
+    (windows merge as events arrive; state is open sessions only,
+    closed and evicted past the watermark). The batch analog is
+    ev_sessionize's gaps-and-islands; here the session assembly runs
+    inside the streaming state store. Deterministic on a single-batch
+    replay; hash-oracled against the islands fold (split where the
+    spacing EXCEEDS the gap — equal-to-gap spacing merges: Spark
+    extends a session while next_ts ≤ last_ts + gap; end = last
+    event + gap)."""
+    ensure_runtime_confs(spark)
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("event_time", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("event_time", WATERMARK)
+        .groupBy(
+            F.session_window("event_time", SESSION_GAP).alias("win"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_avg("value").alias("avg_value"),
+        )
+    )
+    with _shuffle_partitions(spark, _state_partitions(spark, sf_dir)):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = spark.table(name)
+    return out.select(
+        "user_id",
+        (F.unix_micros(F.col("win.start")) * 1000).alias("session_start"),
+        (F.unix_micros(F.col("win.end")) * 1000).alias("session_end"),
+        "n_events",
+        "avg_value",
+    )
+
+
 QUERIES = {
     "stream_tumbling_avg": q_stream_tumbling_avg,
     "stream_click_attribution": q_stream_click_attribution,
+    "stream_sliding_rate": q_stream_sliding_rate,
+    "stream_session_window": q_stream_session_window,
     # stream_dedup registers via plans.extras: inserting it here would
     # shift every later query out of the driver's 50-slot window
 }
@@ -259,5 +367,47 @@ ORACLES = {
          AND c.ts >= p.ts - INTERVAL 1 HOUR
          AND c.ts <= p.ts
         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    # each event lands in window/slide = 2 sliding windows: the same
+    # window-explode fold as the batch ts_sample_sliding oracle
+    "stream_sliding_rate": f"""
+        SELECT event_type AS series,
+               (epoch_ns(ts) - epoch_ns(ts) % {SLIDE_NS}) - i * {SLIDE_NS}
+                   AS window_start,
+               (epoch_ns(ts) - epoch_ns(ts) % {SLIDE_NS}) - i * {SLIDE_NS}
+                   + {2 * SLIDE_NS} AS window_end,
+               {sql_avg('value')} AS avg_value,
+               COUNT(*) AS n_points
+        FROM events CROSS JOIN generate_series(0, 1) AS g(i)
+        GROUP BY series, window_start, window_end
+    """,
+    # gaps-and-islands replay of session_window: Spark merges when the
+    # next event is ≤ the open session's end (= last ts + gap) — equal
+    # spacing MERGES (pinned by test_session_window_gap_boundary), so
+    # the islands split strictly-greater-than-gap; end = last + gap
+    "stream_session_window": f"""
+        WITH m AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w)
+                                > {SESSION_GAP_NS}
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   SUM(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM m
+        )
+        SELECT user_id,
+               epoch_ns(MIN(ts)) AS session_start,
+               epoch_ns(MAX(ts)) + {SESSION_GAP_NS} AS session_end,
+               COUNT(*) AS n_events,
+               {sql_avg('value')} AS avg_value
+        FROM s GROUP BY user_id, sid
     """,
 }

@@ -403,3 +403,49 @@ ORACLES = {
         WHERE rank <= 5
     """,
 }
+
+
+def q_text_lm_score(spark, sf_dir):
+    """Bigram-LM cross-entropy fluency score per document (CCNet-style
+    corpus self-scoring) — see text.ngram_lm_score for the two-count
+    + two-natural-key-join scale shape and the decimal-quantized-log
+    determinism contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ngram_lm_score(docs, "doc_id", "text")
+
+
+QUERIES["text_lm_score"] = q_text_lm_score
+
+ORACLES["text_lm_score"] = """
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       list_filter(
+                           generate_series(1, greatest(len(toks) - 1, 1)),
+                           i -> i + 1 <= len(toks)),
+                       i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])
+                   )) AS bg
+            FROM t
+        )
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM o GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM o GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w2) AS v FROM o)
+    SELECT o.doc_id AS doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(round(
+               -log2(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)),
+               8) AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS xent
+    FROM o
+    JOIN c12 USING (w1, w2)
+    JOIN c1 USING (w1)
+    CROSS JOIN v
+    GROUP BY o.doc_id
+"""

@@ -202,6 +202,17 @@ SOAK_QUERIES = [
      "linear (five chained linear stages under one plan)"),
     ("dedup_best_survivor", None,
      "near-linear (banded pairs + components + one window)"),
+    # -- round-7 operators --
+    ("text_lm_score", None,
+     "near-linear (bigram stream + two map-side-combined count "
+     "aggregates + natural-key joins; occurrences ~ tokens)"),
+    ("sim_cluster_assign", None,
+     "linear (map-only argmax over a k-element literal; k fixed)"),
+    ("ds_temperature_mixture", None,
+     "linear (one S-row count aggregate + broadcast-rate filter)"),
+    ("dedup_containment", None,
+     "near-linear (contained-side prefix probes ⋈ full index; "
+     "word-5-gram df≈1 keeps candidates ~ dup rate)"),
 ]
 
 

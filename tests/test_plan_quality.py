@@ -446,3 +446,41 @@ def test_leakage_split_join_shape(spark, sf_dir):
     plan = plan_of(q_ds_split_leakage_safe(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cluster_assign_is_shuffle_free(spark, sf_dir):
+    """cluster_assign's corpus pass is a map-only stage: the k centers
+    ride as a literal array and argmax is a per-row array_max — zero
+    Exchange, zero Python nodes (the at-100-TB property; only the
+    k-row seed draw runs as a separate tiny job)."""
+    from raft_c_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(similarity.cluster_assign(emb, k=8))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_sample_broadcasts_rates(spark, sf_dir):
+    """temperature_sample joins the S-row rate table onto the scan via
+    broadcast — the corpus side must not sort-merge or pre-shuffle
+    (its only Exchanges live under the broadcast/aggregate subtree
+    that builds the rates)."""
+    from raft_c_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(sampling.temperature_sample(docs, "doc_id", "source"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_lm_score_partial_aggregation(spark, sf_dir):
+    """ngram_lm_score's count aggregates must map-side combine
+    (HashAggregate partial/final pairs) and the per-doc mean must stay
+    JVM-side — no Python nodes anywhere."""
+    from raft_c_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(text.ngram_lm_score(docs))
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -432,3 +432,55 @@ def test_stream_results_pumped_in_handler_thread(spark):
     t.join(timeout=120)
     assert not t.is_alive(), "pumped streaming deadlocked"
     assert out == {0: 2500, 1: 2500}
+
+
+def test_session_window_gap_boundary(spark, tmp_path):
+    """Merge rule at the boundary: spacing strictly UNDER the gap
+    or exactly EQUAL to the gap merges (Spark extends a session while
+    next_ts ≤ last_ts + gap), strictly greater splits — the rule the
+    stream_session_window oracle replays (brk when diff > gap)."""
+    from raft_c_spark.streaming import stream_session_agg
+
+    src = str(tmp_path / "sessb_src")
+    os.makedirs(src)
+    _drop(
+        _mk_events(
+            spark,
+            [
+                (1, "2024-01-01 10:00:00", "click", 1.0),
+                (2, "2024-01-01 10:29:59", "click", 1.0),  # < gap: merge
+                (3, "2024-01-01 10:59:59", "click", 1.0),  # = gap: MERGE
+                (4, "2024-01-01 11:30:00", "click", 1.0),  # > gap: split
+            ],
+        ),
+        src,
+        "b1",
+    )
+    out = stream_session_agg(read_event_stream(spark, src), gap="30 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_b")
+        .option("checkpointLocation", str(tmp_path / "ckpt_swb"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _drop(
+            _mk_events(spark, [(5, "2024-01-02 10:00:00", "click", 0.0)]),
+            src,
+            "b2",
+        )
+        q.processAllAvailable()
+        rows = sorted(
+            r["n_events"]
+            for r in spark.sql(
+                "SELECT * FROM sessions_b WHERE n_events > 0"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    # events 1-3 chain into one session (29:59 < gap merges; exactly
+    # 30:00 also merges — next start == open session end); event 4 at
+    # 30:01 after event 3 is past the end → new session
+    assert rows == [1, 3]
