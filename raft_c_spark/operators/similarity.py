@@ -336,6 +336,52 @@ def cluster_assign(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup pairs found by
+    clustering first and comparing WITHIN clusters only — the
+    embedding-dedup strategy whose candidate count is Σ_c (n_c choose
+    2) instead of (n choose 2). Cluster assignment is the
+    deterministic k-center draw of ``cluster_assign``, so the whole
+    pipeline (assignment → same-cluster candidates → exact cosine
+    verify) replays bit-for-bit in the SQL oracle; pairs that straddle
+    a cluster boundary are missed BY DESIGN (the method's documented
+    recall trade-off — the hyperplane-LSH path is the
+    boundary-insensitive alternative).
+
+    Scale shape: one map-only assignment pass, one self-equi-join on
+    the cluster id (candidates shuffle by cluster; k is chosen ∝
+    corpus/target-cluster-size at scale, keeping clusters bounded and
+    the join skew-free), exact sequential-fold cosines on candidates
+    only. No all-pairs at any stage."""
+    assign = cluster_assign(df, k=k, id_col=id_col, vec_col=vec_col)
+    v = with_norm(df, id_col, vec_col)
+    a = assign.select(F.col(id_col).alias("a"), "cluster")
+    b = assign.select(F.col(id_col).alias("b"), "cluster")
+    cand = a.join(b, "cluster").filter(F.col("a") < F.col("b"))
+    va = v.select(
+        F.col("doc").alias("a"), F.col("vec").alias("_va"),
+        F.col("norm").alias("_na"),
+    )
+    vb = v.select(
+        F.col("doc").alias("b"), F.col("vec").alias("_vb"),
+        F.col("norm").alias("_nb"),
+    )
+    cosine = dot_fold("_va", "_vb") / (F.col("_na") * F.col("_nb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cluster", "cosine")
+    )
+
+
 def knn_join(
     queries_df: DataFrame,
     corpus_df: DataFrame,

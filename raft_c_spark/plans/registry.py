@@ -155,6 +155,11 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # tumbling_avg/click_attribution/sliding_rate/session_window
     # in-window) for the new CUBE data-card query.
     ("stream_dedup", "ds_dataset_card"),
+    # dedup_semantic's module-position insertion pushed the tail query
+    # out by one; re-seat it by demoting ev_exact_percentiles
+    # (hash-green r5+r6; ev keeps salted_agg/join, cohort, zscore,
+    # trailing, rollup, approx in-window).
+    ("ev_exact_percentiles", "ds_temperature_mixture"),
 ]
 
 

@@ -409,3 +409,74 @@ ORACLES["sim_cluster_assign"] = f"""
         PARTITION BY vec_id ORDER BY cosine DESC, cluster_rank ASC
     ) = 1
 """
+
+
+SEMDEDUP_T = 0.30  # same top-of-distribution bar as dedup_embedding
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup within-cluster embedding near-dup pairs (cluster
+    first, compare inside clusters only) — see
+    similarity.semantic_dedup_pairs for the candidate-count argument
+    and the documented boundary-miss trade-off."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_pairs(
+        emb, k=CLUSTER_K, threshold=SEMDEDUP_T
+    )
+
+
+QUERIES["dedup_semantic"] = q_dedup_semantic
+
+
+def _pair_dot(ea: str, eb: str) -> str:
+    return (
+        f"list_sum([CAST({ea}.embedding[i] AS DOUBLE)"
+        f" * CAST({eb}.embedding[i] AS DOUBLE)"
+        f" FOR i IN range(1, len({ea}.embedding) + 1)])"
+    )
+
+
+def _pair_norm(e: str) -> str:
+    return (
+        f"sqrt(list_sum([CAST({e}.embedding[i] AS DOUBLE)"
+        f" * CAST({e}.embedding[i] AS DOUBLE)"
+        f" FOR i IN range(1, len({e}.embedding) + 1)]))"
+    )
+
+
+ORACLES["dedup_semantic"] = f"""
+    WITH keyed AS (
+        SELECT vec_id, embedding,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rank
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT rank, vec_id AS cluster,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS sv,
+               {_SEED_NORM} AS snorm
+        FROM keyed WHERE rank <= {CLUSTER_K}
+    ),
+    scored AS (
+        SELECT e.vec_id AS vec_id, s.cluster AS cluster,
+               s.rank AS cluster_rank,
+               {_SEED_DOT} / ({_NORM_E} * s.snorm) AS cosine
+        FROM embeddings e CROSS JOIN seeds s
+    ),
+    assign AS (
+        SELECT vec_id, cluster FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, cluster_rank ASC
+        ) = 1
+    )
+    SELECT x.vec_id AS a, y.vec_id AS b, x.cluster AS cluster,
+           {_pair_dot('ea', 'eb')} / ({_pair_norm('ea')} * {_pair_norm('eb')})
+               AS cosine
+    FROM assign x
+    JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    JOIN embeddings ea ON ea.vec_id = x.vec_id
+    JOIN embeddings eb ON eb.vec_id = y.vec_id
+    WHERE {_pair_dot('ea', 'eb')} / ({_pair_norm('ea')} * {_pair_norm('eb')})
+          >= {SEMDEDUP_T}
+"""

@@ -275,3 +275,31 @@ def test_containment_matches_naive_python(spark, docs):
         if a != b and sa and len(sa & sets[b]) / len(sa) >= 0.8
     )
     assert got == exp
+
+
+# ------------------------------------------------------------------ semdedup
+
+
+def test_semantic_dedup_subset_of_global_pairs(spark, emb):
+    """Every within-cluster pair must appear in the global exact pair
+    set at the same threshold (SemDeDup only *misses* pairs — across
+    cluster boundaries — it never invents them), and both members must
+    share the reported cluster."""
+    from raft_c_spark.operators import dedup as dd
+
+    got = similarity.semantic_dedup_pairs(emb, k=8, threshold=0.3).collect()
+    assert got, "expected some within-cluster pairs"
+    global_pairs = {
+        (r["a"], r["b"])
+        for r in dd.embedding_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.3
+        ).collect()
+    }
+    assign = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.cluster_assign(emb, k=8).collect()
+    }
+    for r in got:
+        assert (r["a"], r["b"]) in global_pairs
+        assert assign[r["a"]] == assign[r["b"]] == r["cluster"]
+        assert r["cosine"] >= 0.3
