@@ -357,29 +357,33 @@ def semantic_dedup_pairs(
     Scale shape: one map-only assignment pass, one self-equi-join on
     the cluster id (candidates shuffle by cluster; k is chosen ∝
     corpus/target-cluster-size at scale, keeping clusters bounded and
-    the join skew-free), exact sequential-fold cosines on candidates
-    only. No all-pairs at any stage."""
-    assign = cluster_assign(df, k=k, id_col=id_col, vec_col=vec_col)
-    v = with_norm(df, id_col, vec_col)
+    the join skew-free), then the shared ``verify_pairs_cosine``
+    Arrow kernel — size-gated corpus broadcast with the equi-join
+    fallback, dots accumulated dimension-at-a-time so every double is
+    bit-identical to the oracle's sequential fold (a zip_with column
+    fold here ran interpreted at ~10 µs/pair — 2.5-2.8 s warm at
+    sf0.1 on ~250k candidates; the kernel reads 1.7-2.0 s). No
+    all-pairs at any stage."""
+    # cache the assignment: it feeds BOTH sides of the candidate
+    # self-join and the final cluster-label join (un-cached, each
+    # consumer re-runs the argmax pass AND the k-row seed-draw job)
+    assign = (
+        cluster_assign(df, k=k, id_col=id_col, vec_col=vec_col)
+        .select(id_col, "cluster")
+        .cache()
+    )
     a = assign.select(F.col(id_col).alias("a"), "cluster")
     b = assign.select(F.col(id_col).alias("b"), "cluster")
-    cand = a.join(b, "cluster").filter(F.col("a") < F.col("b"))
-    va = v.select(
-        F.col("doc").alias("a"), F.col("vec").alias("_va"),
-        F.col("norm").alias("_na"),
+    cand = (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
     )
-    vb = v.select(
-        F.col("doc").alias("b"), F.col("vec").alias("_vb"),
-        F.col("norm").alias("_nb"),
+    dim = vec_dim(df, vec_col)
+    pairs = verify_pairs_cosine(
+        cand, df, id_col, vec_col, threshold, dim, df.count()
     )
-    cosine = dot_fold("_va", "_vb") / (F.col("_na") * F.col("_nb"))
-    return (
-        cand.join(va, "a")
-        .join(vb, "b")
-        .withColumn("cosine", cosine)
-        .filter(F.col("cosine") >= threshold)
-        .select("a", "b", "cluster", "cosine")
-    )
+    return pairs.join(a, "a").select("a", "b", "cluster", "cosine")
 
 
 def knn_join(

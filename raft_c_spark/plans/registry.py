@@ -160,6 +160,10 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # (hash-green r5+r6; ev keeps salted_agg/join, cohort, zscore,
     # trailing, rollup, approx in-window).
     ("ev_exact_percentiles", "ds_temperature_mixture"),
+    # stream_enrich_join's insertion pushed the tail out by one again;
+    # demote ev_salted_join (hash-green r5+r6; the skew family keeps
+    # ev_salted_agg in-window and the salted==direct equality suite).
+    ("ev_salted_join", "ds_dataset_card"),
 ]
 
 

@@ -411,3 +411,58 @@ ORACLES = {
         FROM s GROUP BY user_id, sid
     """,
 }
+
+
+def q_stream_enrich_join(spark, sf_dir):
+    """Stream-static enrichment: the events stream left-joins the
+    customer dimension's CURRENT snapshot per micro-batch (stateless —
+    no streaming state; small dims broadcast, exactly the batch join
+    economics). The fourth streaming join/agg shape alongside
+    tumbling, sliding/session, and stream-stream."""
+    from raft_c_spark.streaming.ingest import stream_enrich
+
+    ensure_runtime_confs(spark)
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("event_time", F.col("ts").cast("timestamp"))
+    )
+    dim = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    out = stream_enrich(stream, F.broadcast(dim), "user_id")
+    with _shuffle_partitions(spark, _state_partitions(spark, sf_dir)):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "segment",
+        (F.unix_micros(F.col("event_time")) * 1000).alias("ts_ns"),
+    )
+
+
+QUERIES["stream_enrich_join"] = q_stream_enrich_join
+
+ORACLES["stream_enrich_join"] = """
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_mktsegment AS segment,
+           epoch_ns(e.ts) AS ts_ns
+    FROM events e
+    LEFT JOIN customer c ON c.c_custkey = e.user_id
+"""
