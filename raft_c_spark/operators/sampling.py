@@ -367,3 +367,61 @@ def temperature_sample(
         .filter(hash_hex(id_col, digits) < F.col("_thr_hex"))
         .drop("_s", "_thr_hex")
     )
+
+
+def epoch_repeats(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    budget_epochs: float = 1.0,
+    digits: int = TEMP_DIGITS,
+) -> DataFrame:
+    """Fractional-epoch mixture upsampling — the data-recipe rule that
+    REPEATS high-value sources (Llama-style "source s runs for e_s
+    epochs"): target draws per stratum n_s = budget · count_s^α /
+    Σ count^α with budget = budget_epochs · N, realized per row as
+    ``n_repeats`` = ⌊e_s⌋ (+1 for the deterministic md5-chosen
+    fraction of rows that carries the fractional epoch), where
+    e_s = n_s / count_s may exceed 1 — the upsampling dual of
+    ``temperature_sample`` (which is exactly the capped e_s ≤ 1
+    keep/drop special case: same hash key, same grid, identical
+    selection — pinned by test). Downstream materializes repeats with
+    one explode(sequence(1, n_repeats)).
+
+    Same scale shape and determinism contract as temperature_sample:
+    one S-row count aggregate, broadcast rate table, map-only
+    column expressions; the fractional part snaps to the 16^digits
+    grid before the hex compare."""
+    counts = df.groupBy(F.col(strata_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    tot = counts.agg(
+        F.sum(F.pow(F.col("_cnt").cast("double"), F.lit(alpha))).alias("_w"),
+        F.sum("_cnt").alias("_n"),
+    )
+    grid = 16**digits
+    epochs = (
+        F.lit(budget_epochs)
+        * F.col("_n")
+        * F.pow(F.col("_cnt").cast("double"), F.lit(alpha))
+        / (F.col("_w") * F.col("_cnt"))
+    )
+    base = F.floor(epochs).cast("int")
+    frac_thr = F.floor((epochs - F.floor(epochs)) * F.lit(grid)).cast("int")
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "_s",
+        base.alias("base_epochs"),
+        frac_thr.alias("frac_thr"),
+        F.when(frac_thr >= grid, F.lit("g"))
+        .otherwise(F.format_string(f"%0{digits}x", frac_thr))
+        .alias("_thr_hex"),
+    )
+    extra = (
+        (hash_hex(id_col, digits) < F.col("_thr_hex")).cast("int")
+    )
+    return (
+        df.join(F.broadcast(rates), df[strata_col] == rates["_s"], "inner")
+        .withColumn("n_repeats", F.col("base_epochs") + extra)
+        .drop("_s", "_thr_hex")
+    )

@@ -164,6 +164,10 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # demote ev_salted_join (hash-green r5+r6; the skew family keeps
     # ev_salted_agg in-window and the salted==direct equality suite).
     ("ev_salted_join", "ds_dataset_card"),
+    # mm_real_frames demoted (hash-green r5+r6; mm keeps
+    # real_resize/frame_index/features in-window) for the
+    # fractional-epoch upsampling query.
+    ("mm_real_frames", "ds_epoch_upsample"),
 ]
 
 

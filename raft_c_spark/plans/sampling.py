@@ -279,3 +279,51 @@ ORACLES["ds_dataset_card"] = """
     FROM documents
     GROUP BY CUBE (source, lang)
 """
+
+
+EPOCH_BUDGET = 1.5  # 1.5 average epochs: tail sources repeat >1x
+
+
+def q_ds_epoch_upsample(spark, sf_dir):
+    """Fractional-epoch mixture upsampling (count^0.5 weights, 1.5
+    average epochs — tail sources repeat, head sources subsample);
+    see sampling.epoch_repeats. Output carries per-doc n_repeats;
+    training materializes them with one explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.epoch_repeats(
+        docs, "doc_id", "source", alpha=TEMP_ALPHA,
+        budget_epochs=EPOCH_BUDGET,
+    ).select("doc_id", "source", "n_chars", "base_epochs", "frac_thr",
+             "n_repeats")
+
+
+QUERIES["ds_epoch_upsample"] = q_ds_epoch_upsample
+
+ORACLES["ds_epoch_upsample"] = f"""
+    WITH c AS (
+        SELECT source AS s, COUNT(*) AS cnt FROM documents GROUP BY 1
+    ),
+    t AS (
+        SELECT SUM(pow(CAST(cnt AS DOUBLE), {TEMP_ALPHA})) AS w,
+               SUM(cnt) AS n
+        FROM c
+    ),
+    r AS (
+        SELECT s,
+               CAST(floor(e) AS INTEGER) AS base_epochs,
+               CAST(floor((e - floor(e)) * {_TGRID}) AS INTEGER) AS frac_thr
+        FROM (
+            SELECT s,
+                   {EPOCH_BUDGET} * n * pow(CAST(cnt AS DOUBLE), {TEMP_ALPHA})
+                       / (w * cnt) AS e
+            FROM c CROSS JOIN t
+        )
+    )
+    SELECT d.doc_id, d.source, d.n_chars, r.base_epochs, r.frac_thr,
+           r.base_epochs
+           + CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 3)
+                       < CASE WHEN r.frac_thr >= {_TGRID} THEN 'g'
+                              ELSE printf('%03x', r.frac_thr) END
+                  THEN 1 ELSE 0 END AS n_repeats
+    FROM documents d JOIN r ON d.source = r.s
+"""

@@ -303,3 +303,49 @@ def test_semantic_dedup_subset_of_global_pairs(spark, emb):
         assert (r["a"], r["b"]) in global_pairs
         assert assign[r["a"]] == assign[r["b"]] == r["cluster"]
         assert r["cosine"] >= 0.3
+
+
+# --------------------------------------------------------------- epoch mixing
+
+
+def test_epoch_upsample_matches_temperature_when_sub_epoch(spark, docs):
+    """budget_epochs < 1 degenerates to temperature_sample exactly:
+    base 0 everywhere, and the +1 fraction is the SAME md5 selection
+    (same key, same grid) as the keep set."""
+    kept = {
+        r["doc_id"]
+        for r in sampling.temperature_sample(
+            docs, "doc_id", "source", budget_frac=0.5
+        ).collect()
+    }
+    rep = sampling.epoch_repeats(
+        docs, "doc_id", "source", budget_epochs=0.5
+    ).collect()
+    assert all(r["base_epochs"] == 0 for r in rep)
+    assert {r["doc_id"] for r in rep if r["n_repeats"] == 1} == kept
+
+
+def test_epoch_upsample_total_near_budget(spark, docs):
+    n = docs.count()
+    rep = sampling.epoch_repeats(
+        docs, "doc_id", "source", budget_epochs=1.5
+    )
+    total = rep.agg(F.sum("n_repeats")).first()[0]
+    assert abs(total / (1.5 * n) - 1.0) < 0.1
+
+
+def test_epoch_upsample_tail_gets_more_epochs(spark):
+    """α=0.5: the small stratum's epoch target must exceed the big
+    stratum's (that is the upsampling direction)."""
+    rows = [Row(id=i, s="big") for i in range(1000)] + [
+        Row(id=1000 + i, s="small") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    out = sampling.epoch_repeats(df, "id", "s", alpha=0.5, budget_epochs=1.0)
+    eff = {
+        r["s"]: r["base_epochs"] + r["frac_thr"] / 4096.0
+        for r in out.select("s", "base_epochs", "frac_thr")
+        .distinct()
+        .collect()
+    }
+    assert eff["small"] > 1.0 > eff["big"]
