@@ -349,3 +349,54 @@ def test_epoch_upsample_tail_gets_more_epochs(spark):
         .collect()
     }
     assert eff["small"] > 1.0 > eff["big"]
+
+
+# ------------------------------------------------------- hypothesis: LM fold
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = st.lists(
+    st.sampled_from(["a", "b", "c", "dd", "e9"]), min_size=0, max_size=12
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_WORDS, min_size=1, max_size=8))
+def test_lm_score_matches_python_fold(spark, texts):
+    """For ANY tiny corpus, the distributed score equals a sequential
+    pure-python replay of the same add-one bigram LM (counts, V, and
+    the round-to-8 decimal quantization)."""
+    from collections import Counter
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(t)) for i, t in enumerate(texts)]
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent"])
+        for r in text.ngram_lm_score(df).collect()
+    }
+    occ = {
+        i: list(zip(t, t[1:])) for i, t in enumerate(texts) if len(t) >= 2
+    }
+    c12 = Counter(bg for bgs in occ.values() for bg in bgs)
+    c1 = Counter(bg[0] for bgs in occ.values() for bg in bgs)
+    vocab = len({bg[1] for bgs in occ.values() for bg in bgs})
+    exp = {}
+    for i, bgs in occ.items():
+        if not bgs:
+            continue
+        bits = [
+            round(-math.log2((c12[bg] + 1) / (c1[bg[0]] + vocab)), 8)
+            for bg in bgs
+        ]
+        exp[i] = (len(bgs), sum(bits) / len(bgs))
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0]
+        assert abs(got[i][1] - exp[i][1]) < 1e-9
