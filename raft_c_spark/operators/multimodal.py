@@ -628,3 +628,107 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     actual pixel/sample/frame features. Served as a parquet scan (see
     synthetic_media_path)."""
     return spark.read.parquet(synthetic_media_path(n, seed))
+
+
+#: aHash chunk layout: 64 bits → 5 pigeonhole chunks (13+13+13+13+12).
+#: Any pair at hamming ≤ 4 shares at least one identical chunk, so a
+#: chunk equi-join finds every qualifying pair without all-pairs.
+AHASH_CHUNKS = [(0, 13), (13, 13), (26, 13), (39, 13), (52, 12)]
+
+
+def ahash64_from_pixels(px: "np.ndarray") -> int:
+    """Integer-exact 64-bit average hash (aHash) of an (h, w, ch)
+    uint8 array: integer grayscale (channel-sum // ch), 8×8 block
+    integer means, bit = block mean STRICTLY above the global block
+    mean. Every step is integer floor arithmetic, so the hash is
+    bit-reproducible from the raw pixels in any engine/runtime — the
+    property that lets the oracle verify the real-decode path against
+    pre-encode ground truth. Returned as a SIGNED 64-bit value (bit
+    63 wraps) so it round-trips through BIGINT columns."""
+    gray = px.astype(np.int64).sum(axis=2) // px.shape[2]
+    h, w = gray.shape
+    re_ = (np.arange(9) * h) // 8
+    ce_ = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8), dtype=np.int64)
+    for r in range(8):
+        for c in range(8):
+            sub = gray[re_[r] : re_[r + 1], ce_[c] : ce_[c + 1]]
+            blocks[r, c] = sub.sum() // sub.size
+    mean = blocks.sum() // 64
+    bits = 0
+    for idx, v in enumerate(blocks.flatten()):
+        if int(v) > int(mean):
+            bits |= 1 << idx
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def ahash_chunks(ahash: int) -> list[int]:
+    """The pigeonhole chunk values of a signed 64-bit aHash — computed
+    on the unsigned view so the layout is shift-convention-independent
+    (arithmetic vs logical >> never enters the contract)."""
+    u = ahash & ((1 << 64) - 1)
+    return [(u >> s) & ((1 << w) - 1) for s, w in AHASH_CHUNKS]
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual hash of every image row via the REAL decode path:
+    PNG payload → pixels → ``ahash64_from_pixels``. One narrow
+    mapInPandas kernel (payload bytes never shuffle); emits the hash
+    plus its five pigeonhole chunk columns so pair generation is pure
+    JVM joins downstream."""
+    from raft_c_spark.functions.png import png_decode
+
+    imgs = df.filter(F.col("kind") == "image").select("media_id", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                a = ahash64_from_pixels(png_decode(bytes(payload)))
+                out.append((int(mid), a, *ahash_chunks(a)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "ahash", "c0", "c1", "c2", "c3", "c4"]
+            )
+
+    return imgs.mapInPandas(
+        kernel,
+        "media_id long, ahash long, c0 int, c1 int, c2 int, c3 int, c4 int",
+    )
+
+
+def ahash_pairs(hashes: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """All image pairs (a < b) with aHash hamming distance ≤
+    ``max_hamming`` — near-duplicate image detection, the visual dual
+    of SimHash text dedup. Candidates come from a pigeonhole chunk
+    equi-join (any pair at hamming ≤ 4 matches on ≥ 1 of the 5
+    chunks — never all-pairs; at corpus scale candidate cost tracks
+    per-chunk bucket density exactly like the SimHash path); verify
+    is one integer ``bit_count(xor)``. All JVM column expressions
+    after the decode kernel."""
+    if max_hamming >= len(AHASH_CHUNKS):
+        raise ValueError("max_hamming must be < number of chunks (5)")
+    h = hashes.cache()
+    melt = F.explode(
+        F.array(*[
+            F.struct(F.lit(j).alias("j"), F.col(f"c{j}").alias("v"))
+            for j in range(5)
+        ])
+    )
+    left = h.select(
+        F.col("media_id").alias("a"), F.col("ahash").alias("ha"), melt.alias("kc")
+    ).select("a", "ha", "kc.j", "kc.v")
+    right = h.select(
+        F.col("media_id").alias("b"), F.col("ahash").alias("hb"), melt.alias("kc")
+    ).select("b", "hb", "kc.j", "kc.v")
+    return (
+        left.join(right, ["j", "v"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

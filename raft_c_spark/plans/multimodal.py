@@ -313,3 +313,149 @@ ORACLES: dict[str, str] = {
         f"val_sum, val_min, val_max FROM read_parquet('{expected_parquet_path()}')"
     ),
 }
+
+
+# ---- image near-dup dedup (round 7): REAL decode → aHash → pairs ----
+
+MM_DEDUP_N = 48  # image-only dup corpus size
+MM_DEDUP_SEED = 43
+MM_DEDUP_EVERY = 4  # every 4th image is a perturbed copy of its predecessor
+MM_DEDUP_MAXHAM = 4
+MM_DEDUP_VERSION = 1
+
+
+def _dedup_pixels(i: int) -> "object":
+    """Pre-encode pixel ground truth for the dup corpus: every
+    MM_DEDUP_EVERY-th image is its predecessor brightened by +3 on a
+    sparse pixel stride — a near-duplicate whose aHash sits within a
+    few bits (clip keeps uint8 exact; the hash replays from these
+    arrays without any codec)."""
+    import numpy as np
+
+    from raft_c_spark.operators.multimodal import synthetic_pixels
+
+    if i % MM_DEDUP_EVERY == MM_DEDUP_EVERY - 1:
+        base = _dedup_pixels(i - 1)
+        out = base.copy()
+        out[::7, ::5] = np.clip(out[::7, ::5].astype(np.int32) + 3, 0, 255)
+        return out.astype(np.uint8)
+    w, h = 64 + i % 32, 48 + i % 24
+    return synthetic_pixels(i, MM_DEDUP_SEED, w, h)
+
+
+def image_dedup_corpus_path() -> str:
+    """Materialize the dup-planted image corpus (real PNG payloads) as
+    parquet — same atomic-publish pattern as synthetic_media_path."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raft_c_spark.functions import diskcache
+    from raft_c_spark.functions.png import png_encode
+
+    final = diskcache.cache_path(
+        f"media_dedup_v{MM_DEDUP_VERSION}_n{MM_DEDUP_N}_s{MM_DEDUP_SEED}.parquet"
+    )
+    if not os.path.exists(final):
+        os.makedirs(diskcache.cache_root(), exist_ok=True)
+        rows = []
+        for i in range(MM_DEDUP_N):
+            px = _dedup_pixels(i)
+            rows.append(
+                {
+                    "media_id": i,
+                    "kind": "image",
+                    "payload": png_encode(px),
+                    "mime": "image/png",
+                    "width": int(px.shape[1]),
+                    "height": int(px.shape[0]),
+                }
+            )
+        staging = f"{final}.tmp.{os.getpid()}"
+        pq.write_table(
+            pa.Table.from_pylist(
+                rows,
+                schema=pa.schema(
+                    [
+                        ("media_id", pa.int64()),
+                        ("kind", pa.string()),
+                        ("payload", pa.binary()),
+                        ("mime", pa.string()),
+                        ("width", pa.int32()),
+                        ("height", pa.int32()),
+                    ]
+                ),
+            ),
+            staging,
+        )
+        diskcache.publish_atomic(staging, final)
+    return final
+
+
+def image_hashes_expected_parquet_path() -> str:
+    """Ground-truth aHashes + pigeonhole chunks computed from the
+    PRE-ENCODE pixel arrays (no PNG codec anywhere on this side) —
+    a driver hash match therefore proves the real decode path
+    reproduces the raw pixels bit-exactly AND the hash/pair logic
+    agrees across engines."""
+    from raft_c_spark.operators.multimodal import (
+        ahash64_from_pixels,
+        ahash_chunks,
+    )
+
+    rows = []
+    for i in range(MM_DEDUP_N):
+        a = ahash64_from_pixels(_dedup_pixels(i))
+        c = ahash_chunks(a)
+        rows.append(
+            {
+                "media_id": i,
+                "ahash": a,
+                "c0": c[0], "c1": c[1], "c2": c[2], "c3": c[3], "c4": c[4],
+            }
+        )
+    import pyarrow as pa
+
+    return _ground_truth_parquet(
+        f"expected_image_hashes_v{MM_DEDUP_VERSION}_n{MM_DEDUP_N}"
+        f"_s{MM_DEDUP_SEED}.parquet",
+        rows,
+        [
+            ("media_id", pa.int64()),
+            ("ahash", pa.int64()),
+            ("c0", pa.int32()), ("c1", pa.int32()), ("c2", pa.int32()),
+            ("c3", pa.int32()), ("c4", pa.int32()),
+        ],
+    )
+
+
+def q_mm_image_dedup(spark, sf_dir):
+    """Image near-dup pairs over the dup-planted corpus: REAL PNG
+    decode → integer-exact aHash → pigeonhole chunk join →
+    bit_count(xor) ≤ 4 — the visual dual of SimHash dedup (see
+    multimodal.image_ahash / ahash_pairs). Oracle: the identical
+    pair logic in SQL over hashes computed from the PRE-ENCODE
+    pixels, so the driver hash match certifies the decode."""
+    from raft_c_spark.operators import multimodal as mm
+
+    media = spark.read.parquet(image_dedup_corpus_path())
+    return mm.ahash_pairs(mm.image_ahash(media), max_hamming=MM_DEDUP_MAXHAM)
+
+
+QUERIES["mm_image_dedup"] = q_mm_image_dedup
+
+ORACLES["mm_image_dedup"] = f"""
+    WITH h AS (
+        SELECT * FROM read_parquet('{image_hashes_expected_parquet_path()}')
+    ),
+    m AS (
+        SELECT media_id, ahash, unnest([c0, c1, c2, c3, c4]) AS v,
+               unnest([0, 1, 2, 3, 4]) AS j
+        FROM h
+    )
+    SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+           bit_count(xor(x.ahash, y.ahash)) AS hamming
+    FROM m x JOIN m y ON x.j = y.j AND x.v = y.v AND x.media_id < y.media_id
+    WHERE bit_count(xor(x.ahash, y.ahash)) <= {MM_DEDUP_MAXHAM}
+"""

@@ -168,6 +168,11 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # real_resize/frame_index/features in-window) for the
     # fractional-epoch upsampling query.
     ("mm_real_frames", "ds_epoch_upsample"),
+    # mm_image_dedup's insertion pushed the tail out by one; demote
+    # mm_real_resize (hash-green r6; mm keeps frame_index/features +
+    # the new image_dedup in-window, and the resize chain stays
+    # pinned by test_multimodal).
+    ("mm_real_resize", "ds_temperature_mixture"),
 ]
 
 

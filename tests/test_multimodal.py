@@ -220,3 +220,44 @@ def test_real_resize_reencodes_pixels(media):
         assert px.shape == (12, 16, 3)
         expect = resize_nearest(png_decode(bytes(orig[mid]["payload"])), 16, 12)
         assert np.array_equal(px, expect)
+
+
+def test_image_ahash_matches_pre_encode_ground_truth(spark):
+    """The REAL decode path must reproduce the aHash computed from the
+    raw pre-encode pixel arrays, bit for bit, for every corpus image
+    (the decode-certification contract of mm_image_dedup)."""
+    import duckdb
+
+    from raft_c_spark.operators import multimodal as mm
+    from raft_c_spark.plans.multimodal import (
+        image_dedup_corpus_path,
+        image_hashes_expected_parquet_path,
+    )
+
+    media = spark.read.parquet(image_dedup_corpus_path())
+    got = {
+        r["media_id"]: r["ahash"]
+        for r in mm.image_ahash(media).collect()
+    }
+    exp = {
+        mid: ah
+        for mid, ah in duckdb.sql(
+            f"SELECT media_id, ahash FROM "
+            f"read_parquet('{image_hashes_expected_parquet_path()}')"
+        ).fetchall()
+    }
+    assert got == exp and len(got) == 48
+
+
+def test_image_dedup_finds_exactly_planted_pairs(spark):
+    """Every planted perturbed-copy pair (i-1, i) for i % 4 == 3 is
+    found at hamming ≤ 4, and NO unplanted pair qualifies (random
+    images sit ~32 bits apart)."""
+    from raft_c_spark.plans.multimodal import MM_DEDUP_N, q_mm_image_dedup
+
+    pairs = {
+        (r["a"], r["b"])
+        for r in q_mm_image_dedup(spark, "/root/testdata/sf0.001").collect()
+    }
+    planted = {(i - 1, i) for i in range(3, MM_DEDUP_N, 4)}
+    assert pairs == planted
