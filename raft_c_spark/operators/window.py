@@ -247,3 +247,53 @@ def running_agg(
     )
     fn = getattr(F, agg)
     return df.withColumn(f"running_{agg}", fn(value_col).over(w))
+
+
+def mad_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    k: float = 8.0,
+) -> DataFrame:
+    """Robust per-series anomaly detection by median absolute
+    deviation — the outlier filter classical z-scores get wrong on
+    heavy-tailed metrics (the mean and stddev are themselves dragged
+    by the outliers; the median and MAD are not). Flags rows with
+    |x − median| > k·MAD and reports the robust z ((x − med)/MAD).
+
+    Determinism: Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the linear-interpolation definition and bit-match on the
+    same doubles (pinned by ev_exact_percentiles); |x − med| is one
+    subtraction, the second percentile interpolates those exact
+    doubles, and the threshold compare and robust z are single IEEE
+    ops — the whole predicate replays bit-exactly cross-engine.
+
+    Scale shape: two grouped EXACT percentiles (each needs the full
+    sorted group — the audit-scale path; swap percentile_approx in at
+    100 TB, same plan otherwise) + two broadcast joins of S-row
+    median/MAD tables back onto the scan. The fact table never
+    pre-shuffles."""
+    med = df.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), key_col).withColumn(
+        "_absdev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(key_col).agg(
+        F.expr("percentile(_absdev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), key_col)
+        .filter(F.col("_absdev") > F.lit(k) * F.col("mad"))
+        .select(
+            key_col,
+            ts_col,
+            value_col,
+            "med",
+            "mad",
+            ((F.col(value_col) - F.col("med")) / F.col("mad")).alias(
+                "robust_z"
+            ),
+        )
+    )

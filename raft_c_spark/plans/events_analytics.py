@@ -469,3 +469,45 @@ ORACLES = {
                      RANGE BETWEEN {HOUR_NS} PRECEDING AND CURRENT ROW)
     """,
 }
+
+
+MAD_K = 8.0
+
+
+def q_ev_anomaly_mad(spark, sf_dir):
+    """Median-absolute-deviation anomaly detection per event series
+    (|x − med| > 8·MAD) — the robust-outlier surface a metrics TSDB
+    ships; see window.mad_anomalies for the bit-exact percentile
+    contract and the two-pass audit-scale shape."""
+    from raft_c_spark.operators import window as w
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts_ns"),
+        "value",
+    )
+    return w.mad_anomalies(pts, "event_type", "ts_ns", "value", k=MAD_K)
+
+
+QUERIES["ev_anomaly_mad"] = q_ev_anomaly_mad
+
+ORACLES["ev_anomaly_mad"] = f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, epoch_ns(e.ts) AS ts_ns, e.value, m.med,
+               abs(e.value - m.med) AS absdev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, d.ts_ns, d.value, d.med, m.mad,
+           (d.value - d.med) / m.mad AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.absdev > {MAD_K} * m.mad
+"""

@@ -173,6 +173,11 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # the new image_dedup in-window, and the resize chain stays
     # pinned by test_multimodal).
     ("mm_real_resize", "ds_temperature_mixture"),
+    # ev_rollup_profile demoted (hash-green r6; ev keeps cohort/
+    # zscore/trailing/approx/salted_agg in-window and the new CUBE
+    # data-card covers grouping-sets semantics) for the MAD anomaly
+    # query.
+    ("ev_rollup_profile", "ev_anomaly_mad"),
 ]
 
 

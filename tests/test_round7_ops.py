@@ -400,3 +400,30 @@ def test_lm_score_matches_python_fold(spark, texts):
     for i in exp:
         assert got[i][0] == exp[i][0]
         assert abs(got[i][1] - exp[i][1]) < 1e-9
+
+
+# -------------------------------------------------------------- MAD anomalies
+
+
+def test_mad_flags_planted_outlier_classical_z_misses_direction(spark):
+    """A giant outlier among small values must be flagged, and the
+    MEDIAN/MAD the flags are computed from must be unmoved by the
+    outlier itself (the robustness property that motivates MAD over
+    mean/stddev)."""
+    from raft_c_spark.operators import window as w
+
+    rows = [Row(s="a", t=i, v=float(10 + (i % 5))) for i in range(100)]
+    rows.append(Row(s="a", t=1000, v=10_000.0))
+    df = spark.createDataFrame(rows)
+    out = w.mad_anomalies(df, "s", "t", "v", k=8.0).collect()
+    assert [r["t"] for r in out] == [1000]
+    assert out[0]["med"] == 12.0 and out[0]["mad"] == 1.0
+
+
+def test_mad_no_flags_on_tight_series(spark):
+    from raft_c_spark.operators import window as w
+
+    df = spark.createDataFrame(
+        [Row(s="a", t=i, v=float(i % 3)) for i in range(60)]
+    )
+    assert w.mad_anomalies(df, "s", "t", "v", k=8.0).count() == 0
