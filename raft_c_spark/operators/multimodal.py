@@ -732,3 +732,62 @@ def ahash_pairs(hashes: DataFrame, max_hamming: int = 4) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def audio_ahash64_from_pcm(pcm: "np.ndarray") -> int:
+    """Integer-exact 64-bit energy hash of an int16 PCM array — the
+    audio dual of ``ahash64_from_pixels``: 64 equal-span sample blocks
+    (integer edges), block energy = mean |sample| under floor
+    division, bit = block energy STRICTLY above the global mean of
+    block energies. Pure integer arithmetic end to end, so the hash
+    replays from the raw samples in any engine/runtime. Fewer than 64
+    samples hashes to 0 (too short to fingerprint)."""
+    x = np.abs(pcm.astype(np.int64))
+    n = x.shape[0]
+    if n < 64:
+        return 0
+    edges = (np.arange(65) * n) // 64
+    blocks = np.empty(64, dtype=np.int64)
+    for b in range(64):
+        seg = x[edges[b] : edges[b + 1]]
+        blocks[b] = seg.sum() // seg.size
+    mean = blocks.sum() // 64
+    bits = 0
+    for idx, v in enumerate(blocks):
+        if int(v) > int(mean):
+            bits |= 1 << idx
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def audio_ahash(df: DataFrame) -> DataFrame:
+    """Energy-profile fingerprint of every audio row via the REAL
+    decode path: WAV payload → int16 samples → ``audio_ahash64_from_
+    pcm``. Same narrow-kernel + chunk-column layout as image_ahash,
+    so ``ahash_pairs`` serves both modalities unchanged."""
+    import io
+    import wave
+
+    auds = df.filter(F.col("kind") == "audio").select("media_id", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+                    if wf.getsampwidth() != 2:
+                        raise ValueError("only 16-bit PCM WAV supported")
+                    pcm = np.frombuffer(
+                        wf.readframes(wf.getnframes()), dtype=np.int16
+                    )
+                a = audio_ahash64_from_pcm(pcm)
+                out.append((int(mid), a, *ahash_chunks(a)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "ahash", "c0", "c1", "c2", "c3", "c4"]
+            )
+
+    return auds.mapInPandas(
+        kernel,
+        "media_id long, ahash long, c0 int, c1 int, c2 int, c3 int, c4 int",
+    )

@@ -459,3 +459,158 @@ ORACLES["mm_image_dedup"] = f"""
     FROM m x JOIN m y ON x.j = y.j AND x.v = y.v AND x.media_id < y.media_id
     WHERE bit_count(xor(x.ahash, y.ahash)) <= {MM_DEDUP_MAXHAM}
 """
+
+
+# ---- audio near-dup dedup (round 7): REAL WAV decode → energy hash ----
+
+MM_ADEDUP_N = 48
+MM_ADEDUP_SEED = 47
+MM_ADEDUP_VERSION = 3
+
+
+def _dedup_pcm(i: int) -> "object":
+    """Pre-encode PCM ground truth for the audio dup corpus: an
+    amplitude-modulated sine (64-segment seeded envelope — one
+    envelope point per hash block, so all 64 bits are quasi-
+    independent; an 8-segment envelope left only ~8 effective bits
+    and 48 clips collided by birthday); every MM_DEDUP_EVERY-th row is its
+    predecessor with +700 added to every 13th sample (clipped int16)
+    — a genuine perturbation (block energies shift ~54 counts) that
+    still lands within a few hash bits."""
+    import numpy as np
+
+    if i % MM_DEDUP_EVERY == MM_DEDUP_EVERY - 1:
+        base = _dedup_pcm(i - 1)
+        out = base.astype(np.int32).copy()
+        out[::13] = np.clip(out[::13] + 700, -32768, 32767)
+        return out.astype(np.int16)
+    rng = np.random.default_rng(MM_ADEDUP_SEED * 1_000_003 + i)
+    rate, dur_ms = 8000, 1000 * (1 + i % 5)
+    n = rate * dur_ms // 1000
+    freq = 110.0 * (1 + i % 16)
+    t = np.arange(n) / rate
+    env_pts = rng.uniform(0.15, 1.0, size=64)
+    env = np.repeat(env_pts, (n + 63) // 64)[:n]
+    x = env * np.sin(2 * np.pi * freq * t)
+    return (x * 30000).astype(np.int16)
+
+
+def audio_dedup_corpus_path() -> str:
+    """Materialize the dup-planted audio corpus (real 16-bit WAV
+    payloads) as parquet."""
+    import io
+    import os
+    import wave
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raft_c_spark.functions import diskcache
+
+    final = diskcache.cache_path(
+        f"media_adedup_v{MM_ADEDUP_VERSION}_n{MM_ADEDUP_N}"
+        f"_s{MM_ADEDUP_SEED}.parquet"
+    )
+    if not os.path.exists(final):
+        os.makedirs(diskcache.cache_root(), exist_ok=True)
+        rows = []
+        for i in range(MM_ADEDUP_N):
+            pcm = _dedup_pcm(i)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(8000)
+                wf.writeframes(pcm.tobytes())
+            rows.append(
+                {
+                    "media_id": i,
+                    "kind": "audio",
+                    "payload": buf.getvalue(),
+                    "mime": "audio/wav",
+                    "duration_ms": int(len(pcm) * 1000 // 8000),
+                }
+            )
+        staging = f"{final}.tmp.{os.getpid()}"
+        pq.write_table(
+            pa.Table.from_pylist(
+                rows,
+                schema=pa.schema(
+                    [
+                        ("media_id", pa.int64()),
+                        ("kind", pa.string()),
+                        ("payload", pa.binary()),
+                        ("mime", pa.string()),
+                        ("duration_ms", pa.int64()),
+                    ]
+                ),
+            ),
+            staging,
+        )
+        diskcache.publish_atomic(staging, final)
+    return final
+
+
+def audio_hashes_expected_parquet_path() -> str:
+    """Ground-truth energy hashes from the PRE-ENCODE PCM arrays (no
+    wave codec on this side) — the audio decode-certification dual of
+    image_hashes_expected_parquet_path."""
+    from raft_c_spark.operators.multimodal import (
+        ahash_chunks,
+        audio_ahash64_from_pcm,
+    )
+
+    rows = []
+    for i in range(MM_ADEDUP_N):
+        a = audio_ahash64_from_pcm(_dedup_pcm(i))
+        c = ahash_chunks(a)
+        rows.append(
+            {
+                "media_id": i,
+                "ahash": a,
+                "c0": c[0], "c1": c[1], "c2": c[2], "c3": c[3], "c4": c[4],
+            }
+        )
+    import pyarrow as pa
+
+    return _ground_truth_parquet(
+        f"expected_audio_hashes_v{MM_ADEDUP_VERSION}_n{MM_ADEDUP_N}"
+        f"_s{MM_ADEDUP_SEED}.parquet",
+        rows,
+        [
+            ("media_id", pa.int64()),
+            ("ahash", pa.int64()),
+            ("c0", pa.int32()), ("c1", pa.int32()), ("c2", pa.int32()),
+            ("c3", pa.int32()), ("c4", pa.int32()),
+        ],
+    )
+
+
+def q_mm_audio_dedup(spark, sf_dir):
+    """Audio near-dup pairs: REAL WAV decode → integer-exact 64-block
+    energy hash → the same pigeonhole pair join as mm_image_dedup
+    (multimodal.ahash_pairs serves both modalities). Oracle replays
+    the pair SQL over hashes computed from PRE-ENCODE PCM — the hash
+    match certifies the audio decode bit-exactly."""
+    from raft_c_spark.operators import multimodal as mm
+
+    media = spark.read.parquet(audio_dedup_corpus_path())
+    return mm.ahash_pairs(mm.audio_ahash(media), max_hamming=MM_DEDUP_MAXHAM)
+
+
+QUERIES["mm_audio_dedup"] = q_mm_audio_dedup
+
+ORACLES["mm_audio_dedup"] = f"""
+    WITH h AS (
+        SELECT * FROM read_parquet('{audio_hashes_expected_parquet_path()}')
+    ),
+    m AS (
+        SELECT media_id, ahash, unnest([c0, c1, c2, c3, c4]) AS v,
+               unnest([0, 1, 2, 3, 4]) AS j
+        FROM h
+    )
+    SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+           bit_count(xor(x.ahash, y.ahash)) AS hamming
+    FROM m x JOIN m y ON x.j = y.j AND x.v = y.v AND x.media_id < y.media_id
+    WHERE bit_count(xor(x.ahash, y.ahash)) <= {MM_DEDUP_MAXHAM}
+"""

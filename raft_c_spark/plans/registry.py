@@ -178,6 +178,10 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # data-card covers grouping-sets semantics) for the MAD anomaly
     # query.
     ("ev_rollup_profile", "ev_anomaly_mad"),
+    # mm_audio_dedup's insertion pushed the tail out by one; demote
+    # mm_features (hash-green r4–r6; mm keeps frame_index plus the
+    # two new decode-certifying dedup queries in-window).
+    ("mm_features", "ds_dataset_card"),
 ]
 
 

@@ -261,3 +261,45 @@ def test_image_dedup_finds_exactly_planted_pairs(spark):
     }
     planted = {(i - 1, i) for i in range(3, MM_DEDUP_N, 4)}
     assert pairs == planted
+
+
+def test_audio_ahash_matches_pre_encode_ground_truth(spark):
+    """The REAL WAV decode path must reproduce the energy hash
+    computed from the raw pre-encode PCM arrays, bit for bit."""
+    import duckdb
+
+    from raft_c_spark.operators import multimodal as mm
+    from raft_c_spark.plans.multimodal import (
+        audio_dedup_corpus_path,
+        audio_hashes_expected_parquet_path,
+    )
+
+    media = spark.read.parquet(audio_dedup_corpus_path())
+    got = {
+        r["media_id"]: r["ahash"] for r in mm.audio_ahash(media).collect()
+    }
+    exp = {
+        mid: ah
+        for mid, ah in duckdb.sql(
+            f"SELECT media_id, ahash FROM "
+            f"read_parquet('{audio_hashes_expected_parquet_path()}')"
+        ).fetchall()
+    }
+    assert got == exp and len(got) == 48
+
+
+def test_audio_dedup_finds_exactly_planted_pairs(spark):
+    """Planted perturbed copies (+700 on every 13th sample) hash
+    IDENTICALLY — the mean-relative energy hash is invariant to a
+    uniform energy shift by construction (global mean moves with the
+    blocks), which is precisely its dup-detection robustness. No
+    unplanted pair qualifies (64 quasi-independent envelope bits)."""
+    from raft_c_spark.plans.multimodal import (
+        MM_ADEDUP_N,
+        q_mm_audio_dedup,
+    )
+
+    rows = q_mm_audio_dedup(spark, "/root/testdata/sf0.001").collect()
+    pairs = {(r["a"], r["b"]) for r in rows}
+    assert pairs == {(i - 1, i) for i in range(3, MM_ADEDUP_N, 4)}
+    assert all(r["hamming"] == 0 for r in rows)
