@@ -791,3 +791,42 @@ def audio_ahash(df: DataFrame) -> DataFrame:
         kernel,
         "media_id long, ahash long, c0 int, c1 int, c2 int, c3 int, c4 int",
     )
+
+
+def video_ahash64_from_frames(frames: "np.ndarray") -> int:
+    """Integer-exact 64-bit hash of an (n, h, w, 3) uint8 frame
+    stack: integer mean frame across time on the first (Y) plane —
+    floor of the per-pixel frame sum — then the same 8×8 block aHash
+    as images. Robust to small per-frame perturbations and frame
+    drops (the temporal mean barely moves) while two different clips
+    diverge on their spatial energy layout."""
+    y = frames[:, :, :, 0].astype(np.int64)
+    mean_frame = (y.sum(axis=0) // y.shape[0]).astype(np.int64)
+    return ahash64_from_pixels(mean_frame[:, :, None])
+
+
+def video_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual hash of every video row via the REAL y4m decode
+    path — same chunk-column layout as image_ahash/audio_ahash, so
+    ``ahash_pairs`` serves all three modalities."""
+    from raft_c_spark.functions.y4m import y4m_decode
+
+    vids = df.filter(F.col("kind") == "video").select("media_id", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, _fps = y4m_decode(bytes(payload))
+                a = video_ahash64_from_frames(frames)
+                out.append((int(mid), a, *ahash_chunks(a)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "ahash", "c0", "c1", "c2", "c3", "c4"]
+            )
+
+    return vids.mapInPandas(
+        kernel,
+        "media_id long, ahash long, c0 int, c1 int, c2 int, c3 int, c4 int",
+    )

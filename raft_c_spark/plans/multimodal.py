@@ -614,3 +614,151 @@ ORACLES["mm_audio_dedup"] = f"""
     FROM m x JOIN m y ON x.j = y.j AND x.v = y.v AND x.media_id < y.media_id
     WHERE bit_count(xor(x.ahash, y.ahash)) <= {MM_DEDUP_MAXHAM}
 """
+
+
+# ---- video near-dup dedup (round 7): REAL y4m decode → frame hash ----
+
+MM_VDEDUP_N = 36
+MM_VDEDUP_SEED = 53
+MM_VDEDUP_VERSION = 2
+
+
+def _dedup_frames(i: int) -> "object":
+    """Pre-encode frame ground truth for the video dup corpus: a
+    STATIC seeded spatial pattern plus independent per-frame noise
+    (±20) — real clips have spatial structure that survives temporal
+    averaging; frame stacks of pure noise average to a near-uniform
+    gray whose 8×8 blocks all sit within a couple of counts of the
+    global mean, a degenerate aHash regime where any perturbation
+    flips many bits (the v1 corpus measured one planted pair at
+    hamming > 4 exactly that way). Every MM_DEDUP_EVERY-th row reuses
+    its predecessor's frames with +3 (clipped) on a sparse pixel
+    stride of every frame — a near-duplicate clip within a few
+    bits."""
+    import numpy as np
+
+    from raft_c_spark.operators.multimodal import VIDEO_H, VIDEO_W
+
+    if i % MM_DEDUP_EVERY == MM_DEDUP_EVERY - 1:
+        base = _dedup_frames(i - 1)
+        out = base.astype(np.int32).copy()
+        out[:, ::5, ::7, :] = np.clip(out[:, ::5, ::7, :] + 3, 0, 255)
+        return out.astype(np.uint8)
+    dur_ms = 1000 * (1 + i % 7)
+    n = max(1, dur_ms * 4 // 1000)
+    rng = np.random.default_rng(MM_VDEDUP_SEED * 1_000_003 + i)
+    pattern = rng.integers(0, 256, size=(VIDEO_H, VIDEO_W, 3), dtype=np.int32)
+    noise = rng.integers(-20, 21, size=(n, VIDEO_H, VIDEO_W, 3))
+    return np.clip(pattern[None] + noise, 0, 255).astype(np.uint8)
+
+
+def video_dedup_corpus_path() -> str:
+    """Materialize the dup-planted video corpus (real y4m payloads)
+    as parquet."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raft_c_spark.functions import diskcache
+    from raft_c_spark.functions.y4m import y4m_encode
+
+    final = diskcache.cache_path(
+        f"media_vdedup_v{MM_VDEDUP_VERSION}_n{MM_VDEDUP_N}"
+        f"_s{MM_VDEDUP_SEED}.parquet"
+    )
+    if not os.path.exists(final):
+        os.makedirs(diskcache.cache_root(), exist_ok=True)
+        rows = []
+        for i in range(MM_VDEDUP_N):
+            frames = _dedup_frames(i)
+            rows.append(
+                {
+                    "media_id": i,
+                    "kind": "video",
+                    "payload": y4m_encode(frames, fps=(4, 1)),
+                    "mime": "video/x-yuv4mpeg",
+                    "duration_ms": int(frames.shape[0] * 1000 // 4),
+                }
+            )
+        staging = f"{final}.tmp.{os.getpid()}"
+        pq.write_table(
+            pa.Table.from_pylist(
+                rows,
+                schema=pa.schema(
+                    [
+                        ("media_id", pa.int64()),
+                        ("kind", pa.string()),
+                        ("payload", pa.binary()),
+                        ("mime", pa.string()),
+                        ("duration_ms", pa.int64()),
+                    ]
+                ),
+            ),
+            staging,
+        )
+        diskcache.publish_atomic(staging, final)
+    return final
+
+
+def video_hashes_expected_parquet_path() -> str:
+    """Ground-truth mean-frame hashes from the PRE-ENCODE frame
+    arrays (no y4m codec on this side) — the video member of the
+    decode-certification triple."""
+    from raft_c_spark.operators.multimodal import (
+        ahash_chunks,
+        video_ahash64_from_frames,
+    )
+
+    rows = []
+    for i in range(MM_VDEDUP_N):
+        a = video_ahash64_from_frames(_dedup_frames(i))
+        c = ahash_chunks(a)
+        rows.append(
+            {
+                "media_id": i,
+                "ahash": a,
+                "c0": c[0], "c1": c[1], "c2": c[2], "c3": c[3], "c4": c[4],
+            }
+        )
+    import pyarrow as pa
+
+    return _ground_truth_parquet(
+        f"expected_video_hashes_v{MM_VDEDUP_VERSION}_n{MM_VDEDUP_N}"
+        f"_s{MM_VDEDUP_SEED}.parquet",
+        rows,
+        [
+            ("media_id", pa.int64()),
+            ("ahash", pa.int64()),
+            ("c0", pa.int32()), ("c1", pa.int32()), ("c2", pa.int32()),
+            ("c3", pa.int32()), ("c4", pa.int32()),
+        ],
+    )
+
+
+def q_mm_video_dedup(spark, sf_dir):
+    """Video near-dup pairs: REAL y4m decode → temporal-mean-frame
+    aHash → the shared pigeonhole pair join — completing the
+    image/audio/video decode-certifying dedup triple."""
+    from raft_c_spark.operators import multimodal as mm
+
+    media = spark.read.parquet(video_dedup_corpus_path())
+    return mm.ahash_pairs(mm.video_ahash(media), max_hamming=MM_DEDUP_MAXHAM)
+
+
+QUERIES["mm_video_dedup"] = q_mm_video_dedup
+
+ORACLES["mm_video_dedup"] = f"""
+    WITH h AS (
+        SELECT * FROM read_parquet('{video_hashes_expected_parquet_path()}')
+    ),
+    m AS (
+        SELECT media_id, ahash, unnest([c0, c1, c2, c3, c4]) AS v,
+               unnest([0, 1, 2, 3, 4]) AS j
+        FROM h
+    )
+    SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+           bit_count(xor(x.ahash, y.ahash)) AS hamming
+    FROM m x JOIN m y ON x.j = y.j AND x.v = y.v AND x.media_id < y.media_id
+    WHERE bit_count(xor(x.ahash, y.ahash)) <= {MM_DEDUP_MAXHAM}
+"""

@@ -182,6 +182,11 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # mm_features (hash-green r4–r6; mm keeps frame_index plus the
     # two new decode-certifying dedup queries in-window).
     ("mm_features", "ds_dataset_card"),
+    # mm_video_dedup's insertion pushed ev_salted_agg to slot 50;
+    # demote text_quality_model instead (hash-green r5+r6; text keeps
+    # analyze/clean_corpus/lm_score in-window) so the skew family
+    # keeps its in-window representative.
+    ("text_quality_model", "ev_salted_agg"),
 ]
 
 

@@ -303,3 +303,41 @@ def test_audio_dedup_finds_exactly_planted_pairs(spark):
     pairs = {(r["a"], r["b"]) for r in rows}
     assert pairs == {(i - 1, i) for i in range(3, MM_ADEDUP_N, 4)}
     assert all(r["hamming"] == 0 for r in rows)
+
+
+def test_video_ahash_matches_pre_encode_ground_truth(spark):
+    """The REAL y4m decode path must reproduce the temporal-mean-frame
+    hash computed from the raw pre-encode frame stacks, bit for bit."""
+    import duckdb
+
+    from raft_c_spark.operators import multimodal as mm
+    from raft_c_spark.plans.multimodal import (
+        video_dedup_corpus_path,
+        video_hashes_expected_parquet_path,
+    )
+
+    media = spark.read.parquet(video_dedup_corpus_path())
+    got = {
+        r["media_id"]: r["ahash"] for r in mm.video_ahash(media).collect()
+    }
+    exp = {
+        mid: ah
+        for mid, ah in duckdb.sql(
+            f"SELECT media_id, ahash FROM "
+            f"read_parquet('{video_hashes_expected_parquet_path()}')"
+        ).fetchall()
+    }
+    assert got == exp and len(got) == 36
+
+
+def test_video_dedup_finds_exactly_planted_pairs(spark):
+    from raft_c_spark.plans.multimodal import (
+        MM_VDEDUP_N,
+        q_mm_video_dedup,
+    )
+
+    pairs = {
+        (r["a"], r["b"])
+        for r in q_mm_video_dedup(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert pairs == {(i - 1, i) for i in range(3, MM_VDEDUP_N, 4)}
