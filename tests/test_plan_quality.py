@@ -484,3 +484,28 @@ def test_lm_score_partial_aggregation(spark, sf_dir):
     plan = plan_of(text.ngram_lm_score(docs))
     assert "partial_count" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dataset_card_single_expand_aggregate(spark, sf_dir):
+    """The CUBE data card must compile to ONE Expand feeding a
+    partial+final HashAggregate pair — a single scan + single shuffle
+    for every granularity."""
+    from raft_c_spark.plans.sampling import q_ds_dataset_card
+
+    plan = plan_of(q_ds_dataset_card(spark, sf_dir))
+    assert plan.count("Expand") >= 1, plan
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ahash_pairs_equi_join_no_cartesian(spark):
+    """The multimodal dedup pair join must stay an equi-join on the
+    pigeonhole chunk key (the mm_* family is excluded from the
+    registry-wide cartesian sweep, so pin it here)."""
+    from raft_c_spark.operators import multimodal as mm
+    from raft_c_spark.plans.multimodal import image_dedup_corpus_path
+
+    media = spark.read.parquet(image_dedup_corpus_path())
+    plan = plan_of(mm.ahash_pairs(mm.image_ahash(media), max_hamming=4))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

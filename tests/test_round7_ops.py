@@ -427,3 +427,32 @@ def test_mad_no_flags_on_tight_series(spark):
         [Row(s="a", t=i, v=float(i % 3)) for i in range(60)]
     )
     assert w.mad_anomalies(df, "s", "t", "v", k=8.0).count() == 0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    b1=st.floats(min_value=0.05, max_value=3.0),
+    b2=st.floats(min_value=0.05, max_value=3.0),
+)
+def test_epoch_repeats_monotone_in_budget(spark, docs, b1, b2):
+    """For ANY budget pair, every row's n_repeats is monotone
+    non-decreasing in the budget (floor + nested hash carry are both
+    monotone) — raising a mixture's epoch budget never drops data."""
+    lo, hi = sorted([b1, b2])
+    a = {
+        r["doc_id"]: r["n_repeats"]
+        for r in sampling.epoch_repeats(
+            docs, "doc_id", "source", budget_epochs=lo
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["n_repeats"]
+        for r in sampling.epoch_repeats(
+            docs, "doc_id", "source", budget_epochs=hi
+        ).collect()
+    }
+    assert all(b[k] >= v for k, v in a.items())
