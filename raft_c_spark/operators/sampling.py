@@ -336,7 +336,16 @@ def temperature_sample(
     Determinism: counts are integers; pow/division run once per
     stratum and the resulting rate is floored onto a 16^digits grid
     before the hex-string compare (see TEMP_DIGITS note), so the
-    selection is bit-reproducible in any engine with md5."""
+    selection is bit-reproducible in any engine with md5.
+
+    Grid floor regime (advisor r7): a stratum whose rate floors
+    below 1/16^digits would get thr = 0 and contribute ZERO rows —
+    a silent total-drop when its exact expected draw count
+    n_s = rate·count_s is still ≥ 1 (large strata under tight
+    budgets). The threshold is therefore clamped to the minimum
+    representable grid cell whenever n_s ≥ 1; the resulting
+    overshoot is bounded by count_s/16^digits expected rows — raise
+    ``digits`` when stratum counts approach 16^digits."""
     counts = df.groupBy(F.col(strata_col).alias("_s")).agg(
         F.count(F.lit(1)).alias("_cnt")
     )
@@ -352,7 +361,10 @@ def temperature_sample(
         * F.pow(F.col("_cnt").cast("double"), F.lit(alpha))
         / (F.col("_w") * F.col("_cnt")),
     )
-    thr_int = F.floor(rate * F.lit(grid)).cast("int")
+    thr_int = F.greatest(
+        F.floor(rate * F.lit(grid)).cast("int"),
+        F.when(rate * F.col("_cnt") >= 1, F.lit(1)).otherwise(F.lit(0)),
+    )
     rates = counts.crossJoin(F.broadcast(tot)).select(
         "_s",
         thr_int.alias("thr"),
@@ -408,7 +420,15 @@ def epoch_repeats(
         / (F.col("_w") * F.col("_cnt"))
     )
     base = F.floor(epochs).cast("int")
-    frac_thr = F.floor((epochs - F.floor(epochs)) * F.lit(grid)).cast("int")
+    # same grid-floor clamp as temperature_sample (advisor r7): a
+    # sub-epoch stratum (base = 0) whose fraction floors to 0 would
+    # vanish entirely even with n_s = e_s·count_s ≥ 1 expected draws
+    frac_thr = F.greatest(
+        F.floor((epochs - F.floor(epochs)) * F.lit(grid)).cast("int"),
+        F.when(
+            (base == 0) & (epochs * F.col("_cnt") >= 1), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
     rates = counts.crossJoin(F.broadcast(tot)).select(
         "_s",
         base.alias("base_epochs"),

@@ -269,6 +269,13 @@ def mad_anomalies(
     doubles, and the threshold compare and robust z are single IEEE
     ops — the whole predicate replays bit-exactly cross-engine.
 
+    Degenerate regime (advisor r7): a series where ≥ 50% of values
+    equal the median has MAD = 0, making |x − med| > k·0 flag every
+    non-median point regardless of ``k`` and robust_z = ±Inf. Such a
+    series has no robust scale to judge against, so it is EXCLUDED
+    from flagging (``mad > 0`` below; the oracle replays the same
+    predicate) rather than drowning the output in false anomalies.
+
     Scale shape: two grouped EXACT percentiles (each needs the full
     sorted group — the audit-scale path; swap percentile_approx in at
     100 TB, same plan otherwise) + two broadcast joins of S-row
@@ -285,7 +292,10 @@ def mad_anomalies(
     )
     return (
         dev.join(F.broadcast(mad), key_col)
-        .filter(F.col("_absdev") > F.lit(k) * F.col("mad"))
+        .filter(
+            (F.col("mad") > 0)
+            & (F.col("_absdev") > F.lit(k) * F.col("mad"))
+        )
         .select(
             key_col,
             ts_col,

@@ -509,5 +509,5 @@ ORACLES["ev_anomaly_mad"] = f"""
     SELECT d.event_type, d.ts_ns, d.value, d.med, m.mad,
            (d.value - d.med) / m.mad AS robust_z
     FROM dev d JOIN mad m USING (event_type)
-    WHERE d.absdev > {MAD_K} * m.mad
+    WHERE m.mad > 0 AND d.absdev > {MAD_K} * m.mad
 """

@@ -137,56 +137,73 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("text_lang_profile", "ev_approx_profile"),
     # -- round-7 addition: the new leakage-safe split query enters the
     # window immediately (never driver-verified by definition);
-    # text_tfidf_terms demoted — hash-green every round since r1 and
-    # the text family keeps analyze/clean_corpus/quality_model
-    # in-window.
+    # text_tfidf_terms demoted — driver-green r2–r6 (plus the
+    # internal oracle every round) and the text family keeps
+    # analyze/clean_corpus/quality_model in-window.
     ("text_tfidf_terms", "ds_split_leakage_safe"),
     # -- round-7 new-operator batch: the four queries added this round
     # enter the window immediately (never driver-verified by
     # definition). text_lm_score and sim_cluster_assign land in-window
     # by module position; the other two swap in. Demoted slots:
-    # ds_mixture_sample (hash-green r1–r6; sampling keeps source_topk/
-    # pack_sequences/split_leakage_safe in-window) and mm_real_decode
-    # (hash-green r5–r6; mm keeps real_frames/real_resize/frame_index/
-    # features in-window).
+    # ds_mixture_sample (driver-green r3–r6; sampling keeps
+    # source_topk/pack_sequences/split_leakage_safe in-window) and
+    # mm_real_decode (driver-green r4–r6; mm keeps real_frames/
+    # real_resize/frame_index/features in-window).
     ("ds_mixture_sample", "ds_temperature_mixture"),
     ("mm_real_decode", "dedup_containment"),
-    # stream_dedup demoted (hash-green r6; the streaming family keeps
+    # stream_dedup demoted (driver-green r6; the streaming family keeps
     # tumbling_avg/click_attribution/sliding_rate/session_window
     # in-window) for the new CUBE data-card query.
     ("stream_dedup", "ds_dataset_card"),
     # dedup_semantic's module-position insertion pushed the tail query
     # out by one; re-seat it by demoting ev_exact_percentiles
-    # (hash-green r5+r6; ev keeps salted_agg/join, cohort, zscore,
+    # (driver-green r3–r6; ev keeps salted_agg/join, cohort, zscore,
     # trailing, rollup, approx in-window).
     ("ev_exact_percentiles", "ds_temperature_mixture"),
     # stream_enrich_join's insertion pushed the tail out by one again;
-    # demote ev_salted_join (hash-green r5+r6; the skew family keeps
+    # demote ev_salted_join (driver-green r3–r6; the skew family keeps
     # ev_salted_agg in-window and the salted==direct equality suite).
     ("ev_salted_join", "ds_dataset_card"),
-    # mm_real_frames demoted (hash-green r5+r6; mm keeps
+    # mm_real_frames demoted (driver-green r5+r6; mm keeps
     # real_resize/frame_index/features in-window) for the
     # fractional-epoch upsampling query.
     ("mm_real_frames", "ds_epoch_upsample"),
     # mm_image_dedup's insertion pushed the tail out by one; demote
-    # mm_real_resize (hash-green r6; mm keeps frame_index/features +
+    # mm_real_resize (driver-green r6; mm keeps frame_index/features +
     # the new image_dedup in-window, and the resize chain stays
     # pinned by test_multimodal).
     ("mm_real_resize", "ds_temperature_mixture"),
-    # ev_rollup_profile demoted (hash-green r6; ev keeps cohort/
+    # ev_rollup_profile demoted (driver-green r6; ev keeps cohort/
     # zscore/trailing/approx/salted_agg in-window and the new CUBE
     # data-card covers grouping-sets semantics) for the MAD anomaly
     # query.
     ("ev_rollup_profile", "ev_anomaly_mad"),
     # mm_audio_dedup's insertion pushed the tail out by one; demote
-    # mm_features (hash-green r4–r6; mm keeps frame_index plus the
-    # two new decode-certifying dedup queries in-window).
+    # mm_features (internal-oracle-green r4–r6 but NEVER driver-green
+    # — its only driver row is the r1 err; re-promoted in the r8
+    # batch below; mm keeps frame_index plus the two new
+    # decode-certifying dedup queries in-window).
     ("mm_features", "ds_dataset_card"),
     # mm_video_dedup's insertion pushed ev_salted_agg to slot 50;
-    # demote text_quality_model instead (hash-green r5+r6; text keeps
+    # demote text_quality_model instead (driver-green r6,
+    # internal-oracle-green every round; text keeps
     # analyze/clean_corpus/lm_score in-window) so the skew family
     # keeps its in-window representative.
     ("text_quality_model", "ev_salted_agg"),
+    # -- round-8 batch (judge's r7 ask #1): the two remaining
+    # never-driver-green queries enter the window, this time demoting
+    # slots that HAVE green driver rows (the r7 batch demoted
+    # mm_features in the same batch that promoted it, silently
+    # defeating the rotation's goal — tests/test_window_policy.py now
+    # asserts the net effect keeps every never-driver-green query
+    # in-window). ts_sample_1d demoted: driver-green r1–r7 (seven
+    # consecutive CORRECTNESS rows); ts keeps ts_sample_fill in-window
+    # and the lang_* paths exercise the same scan/bucket operators.
+    ("ts_sample_1d", "mm_features"),
+    # ev_trailing_window demoted: driver-green r6+r7; within-family
+    # swap — ev keeps cohort/zscore/anomaly_mad/approx/salted_agg
+    # in-window and gains session_attribution.
+    ("ev_trailing_window", "ev_session_attribution"),
 ]
 
 

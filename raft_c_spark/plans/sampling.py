@@ -232,11 +232,16 @@ ORACLES["ds_temperature_mixture"] = f"""
     ),
     r AS (
         SELECT s,
-               CAST(floor(least(1.0,
-                   {TEMP_BUDGET_FRAC} * n
-                   * pow(CAST(cnt AS DOUBLE), {TEMP_ALPHA})
-                   / (w * cnt)) * {_TGRID}) AS INTEGER) AS thr
-        FROM c CROSS JOIN t
+               GREATEST(CAST(floor(f * {_TGRID}) AS INTEGER),
+                        CASE WHEN f * cnt >= 1 THEN 1 ELSE 0 END) AS thr
+        FROM (
+            SELECT s, cnt,
+                   least(1.0,
+                       {TEMP_BUDGET_FRAC} * n
+                       * pow(CAST(cnt AS DOUBLE), {TEMP_ALPHA})
+                       / (w * cnt)) AS f
+            FROM c CROSS JOIN t
+        )
     )
     SELECT d.doc_id, d.source, d.n_chars, r.thr
     FROM documents d JOIN r ON d.source = r.s
@@ -274,8 +279,8 @@ QUERIES["ds_dataset_card"] = q_ds_dataset_card
 ORACLES["ds_dataset_card"] = """
     SELECT source, lang,
            CAST(GROUPING(source, lang) AS BIGINT) AS gid,
-           COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY CUBE (source, lang)
 """
@@ -311,9 +316,13 @@ ORACLES["ds_epoch_upsample"] = f"""
     r AS (
         SELECT s,
                CAST(floor(e) AS INTEGER) AS base_epochs,
-               CAST(floor((e - floor(e)) * {_TGRID}) AS INTEGER) AS frac_thr
+               GREATEST(
+                   CAST(floor((e - floor(e)) * {_TGRID}) AS INTEGER),
+                   CASE WHEN floor(e) = 0 AND e * cnt >= 1
+                        THEN 1 ELSE 0 END
+               ) AS frac_thr
         FROM (
-            SELECT s,
+            SELECT s, cnt,
                    {EPOCH_BUDGET} * n * pow(CAST(cnt AS DOUBLE), {TEMP_ALPHA})
                        / (w * cnt) AS e
             FROM c CROSS JOIN t

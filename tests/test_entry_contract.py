@@ -65,6 +65,25 @@ def test_every_query_has_callable_and_name_parity():
     assert not stray, f"oracle_sql keys without queries: {stray}"
 
 
+def test_no_oracle_emits_hugeint(oracle_con):
+    """The driver hashes *serialized* values, so a DuckDB HUGEINT
+    column (e.g. un-cast ``SUM(integer)``) hash-mismatches Spark's
+    BIGINT even when every value is identical — exactly the r7
+    ``ds_dataset_card`` red. Any oracle producing a HUGEINT/UHUGEINT
+    column is therefore a latent driver failure: fail it here."""
+    bad = {}
+    for name, sql in entrymod.oracle_sql().items():
+        rel = oracle_con.sql(sql)
+        huge = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(t)
+        ]
+        if huge:
+            bad[name] = huge
+    assert not bad, f"oracles with HUGEINT output columns: {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
 def test_query_matches_oracle(spark, oracle_con, name):
     qs = entrymod.queries()

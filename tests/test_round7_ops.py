@@ -105,6 +105,40 @@ def test_temperature_nested_in_budget(spark, docs):
     assert lo <= hi
 
 
+def test_temperature_tiny_rate_clamps_not_drops(spark):
+    """Advisor r7: a stratum whose keep-rate floors below the 1/4096
+    grid must NOT silently contribute zero rows when its exact
+    expected draw count n_s >= 1 — the threshold clamps to the
+    minimum grid cell instead (thr = 1 > 0)."""
+    # 20k-row stratum, tiny budget: rate ≈ 0.0001 < 1/4096 but
+    # n_s = rate·20000 ≈ 2 ≥ 1
+    rows = [Row(id=i, s="big") for i in range(20_000)]
+    out = sampling.temperature_sample(
+        spark.createDataFrame(rows), "id", "s",
+        alpha=1.0, budget_frac=0.0001,
+    )
+    thr = out.select("thr").distinct().collect()
+    # clamped to 1, and the selection is non-empty with high
+    # probability (expected ≈ 20000/4096 ≈ 5 rows at thr=1)
+    assert [r["thr"] for r in thr] == [1]
+    assert out.count() > 0
+
+
+def test_epoch_repeats_sub_epoch_stratum_not_dropped(spark):
+    """Same clamp on epoch_repeats' fractional part: a base=0 stratum
+    whose fraction floors to 0 keeps frac_thr = 1 when it still owes
+    n_s >= 1 expected draws."""
+    rows = [Row(id=i, s="big") for i in range(20_000)] + [
+        Row(id=100_000 + i, s="tiny") for i in range(4)
+    ]
+    rep = sampling.epoch_repeats(
+        spark.createDataFrame(rows), "id", "s",
+        alpha=0.0, budget_epochs=0.0001,
+    )
+    big = rep.filter("s = 'big'").select("base_epochs", "frac_thr").distinct().collect()
+    assert [(r["base_epochs"], r["frac_thr"]) for r in big] == [(0, 1)]
+
+
 # ------------------------------------------------------------------- clusters
 
 
@@ -427,6 +461,24 @@ def test_mad_no_flags_on_tight_series(spark):
         [Row(s="a", t=i, v=float(i % 3)) for i in range(60)]
     )
     assert w.mad_anomalies(df, "s", "t", "v", k=8.0).count() == 0
+
+
+def test_mad_zero_series_excluded_not_all_flagged(spark):
+    """Advisor r7: a series where >=50% of values equal the median has
+    MAD = 0 — |x−med| > k·0 would flag EVERY non-median point and
+    robust_z would divide by zero. Such series are excluded from
+    flagging entirely; a healthy series in the same frame still
+    flags its outlier."""
+    from raft_c_spark.operators import window as w
+
+    rows = [Row(s="deg", t=i, v=5.0) for i in range(50)]
+    rows += [Row(s="deg", t=100 + i, v=float(1000 + i)) for i in range(10)]
+    rows += [Row(s="ok", t=i, v=float(10 + (i % 5))) for i in range(100)]
+    rows.append(Row(s="ok", t=1000, v=10_000.0))
+    out = w.mad_anomalies(
+        spark.createDataFrame(rows), "s", "t", "v", k=8.0
+    ).collect()
+    assert [(r["s"], r["t"]) for r in out] == [("ok", 1000)]
 
 
 @settings(
