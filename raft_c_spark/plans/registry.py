@@ -204,6 +204,12 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # swap — ev keeps cohort/zscore/anomaly_mad/approx/salted_agg
     # in-window and gains session_attribution.
     ("ev_trailing_window", "ev_session_attribution"),
+    # -- round-8 addition (judge's r7 ask #7): the new retention/
+    # dup-policy language query enters the window immediately (never
+    # driver-verified by definition). lang_sample_by demoted:
+    # driver-green r1–r7, within-family swap — lang keeps multi_agg,
+    # sample_fill and the new retention path in-window.
+    ("lang_sample_by", "lang_retention"),
 ]
 
 

@@ -123,6 +123,40 @@ FLAGSHIPS = [
         "CUBE data card: one Expand + one map-side-combined aggregate "
         "(single scan + single shuffle for all granularities)",
     ),
+    (
+        "mm_audio_dedup",
+        "Audio near-dup: decode + energy hash in narrow mapInPandas, "
+        "pigeonhole 5-chunk equi-join — payload bytes never shuffle",
+    ),
+    (
+        "mm_video_dedup",
+        "Video near-dup: y4m decode + temporal-mean frame aHash, same "
+        "pigeonhole equi-join as images — never all-pairs",
+    ),
+    (
+        "ds_epoch_upsample",
+        "Fractional-epoch upsampling: S-row rate table broadcast onto "
+        "the scan, map-only md5 fraction — zero corpus pre-shuffle",
+    ),
+    (
+        "dedup_repeated_spans",
+        "ExactSubstr spans (r8 skew-immune plan): gram counts via "
+        "map-side-combined aggregate on a 128-bit hash + measured-cap "
+        "broadcast join-back — no Window.partitionBy(gram) hot-key "
+        "partition; only per-doc gaps-and-islands windows remain",
+    ),
+    (
+        "stream_enrich_join",
+        "Stream-static enrich: the streaming execution happens inside "
+        "the query (watermarked micro-batch + broadcast static side); "
+        "this is the finished memory-sink frame the driver consumes",
+    ),
+    (
+        "lang_retention",
+        "Retention DDL read path: the 7d cutoff filter reaches the "
+        "partitioned store scan (day PartitionFilters + timestamp "
+        "PushedFilters), dup-ignored duplicates absent by construction",
+    ),
 ]
 
 
