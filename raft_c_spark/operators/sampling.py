@@ -445,3 +445,114 @@ def epoch_repeats(
         .withColumn("n_repeats", F.col("base_epochs") + extra)
         .drop("_s", "_thr_hex")
     )
+
+
+#: DSIR hashed-feature space: 4096 buckets keeps the per-bucket count
+#: table broadcastable at ANY corpus size (the table is B rows no
+#: matter how many documents flow through) while leaving hash
+#: collisions at the level the method tolerates by design (DSIR's
+#: hashed n-grams ARE a collision-accepting sketch).
+DSIR_BUCKETS = 4096
+
+
+def importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    num_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Hashed n-gram importance weights for data selection — DSIR
+    (Xie et al., "Data Selection for Language Models via Importance
+    Resampling", NeurIPS 2023, public): score every raw document by
+    how much its hashed unigram+bigram feature distribution looks
+    like a small high-quality TARGET subset, log w(x) =
+    Σ_f [log p̂_target(f) − log p̂_raw(f)], with add-one–smoothed
+    bucket probabilities. Downstream selects top-k by weight or
+    Gumbel-resamples — both deterministic given these weights.
+
+    ``target_col`` is a boolean column marking the target docs (they
+    are scored too — harmless, and keeping one stream avoids a second
+    pass over the text).
+
+    Determinism contract (same rule as ``text.ngram_lm_score``):
+    bucket ids come from md5 (the one hash Spark and DuckDB share —
+    first 8 hex digits → int, mod B), counts are integers, each
+    bucket's log-ratio is rounded to 8 decimals and cast to
+    DECIMAL(18,8) BEFORE the per-doc sum (exact and
+    order-independent), and the final cast to double is one IEEE op.
+
+    Scale shape: tokenize → map-side unigram+bigram transform →
+    explode to one (doc, bucket) stream, cached (two consumers, one
+    text parse). ONE map-side-combined aggregate computes BOTH
+    distributions (count(*) + conditional sum — the target counts
+    ride the same shuffle), totals REDUCE the B-row count frame via a
+    broadcast cross join, and the B-row (≤4096) log-ratio table
+    broadcast-joins back onto the stream for the per-doc sum. The
+    corpus stream shuffles exactly twice (bucket aggregate, doc
+    aggregate); nothing grows with corpus size except those two
+    linear passes."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(target_col).cast("boolean").alias("is_tgt"),
+        toks.alias("toks"),
+    )
+    idxs = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))),
+        lambda i: (i + 1) <= F.size("toks"),
+    )
+    bigrams = F.transform(
+        idxs,
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+        ),
+    )
+    occ = (
+        base.select(
+            "doc",
+            "is_tgt",
+            F.explode(F.concat(F.col("toks"), bigrams)).alias("g"),
+        )
+        .select(
+            "doc",
+            "is_tgt",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("g").cast("binary")), 1, 8),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(num_buckets),
+            ).alias("b"),
+        )
+        .cache()
+    )
+    cnt = occ.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.col("is_tgt").cast("long")).alias("c_tgt"),
+    )
+    tot = cnt.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    lr = F.log(
+        (F.col("c_tgt") + 1).cast("double")
+        / (F.col("n_tgt") + num_buckets).cast("double")
+    ) - F.log(
+        (F.col("c_raw") + 1).cast("double")
+        / (F.col("n_raw") + num_buckets).cast("double")
+    )
+    rates = cnt.crossJoin(F.broadcast(tot)).select(
+        "b", F.round(lr, 8).cast("decimal(18,8)").alias("lr")
+    )
+    return (
+        occ.join(F.broadcast(rates), ["b"])
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lr").cast("double").alias("log_weight"),
+        )
+        .select(F.col("doc").alias(id_col), "n_feats", "log_weight")
+    )

@@ -210,6 +210,13 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # driver-green r1–r7, within-family swap — lang keeps multi_agg,
     # sample_fill and the new retention path in-window.
     ("lang_sample_by", "lang_retention"),
+    # -- round-8 new operator: DSIR hashed n-gram importance weights
+    # enter the window immediately (never driver-verified by
+    # definition). ds_snapshot_diff demoted: driver-green r6+r7,
+    # within-family — sampling/ds keeps bloom_decontaminate,
+    # shard_manifest, pipeline_e2e, temperature_mixture,
+    # epoch_upsample, split_leakage_safe and the CUBE card in-window.
+    ("ds_snapshot_diff", "ds_importance_dsir"),
 ]
 
 

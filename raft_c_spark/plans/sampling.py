@@ -336,3 +336,74 @@ ORACLES["ds_epoch_upsample"] = f"""
                   THEN 1 ELSE 0 END AS n_repeats
     FROM documents d JOIN r ON d.source = r.s
 """
+
+
+#: DSIR target sources: two of the 20 synthetic sources stand in for
+#: the small curated target corpus (Wikipedia-like) the method
+#: upweights toward — ~10% of rows, enough hashed-feature mass for a
+#: stable target distribution at every SF.
+DSIR_TARGET_SOURCES = ("src0", "src1")
+
+
+def q_ds_importance_dsir(spark, sf_dir):
+    """DSIR importance weights (hashed n-gram importance resampling,
+    Xie et al. NeurIPS'23): score every document by how target-like
+    its hashed unigram+bigram distribution is, against a curated
+    target subset (source ∈ src0/src1). See
+    sampling.importance_weights for the one-aggregate-both-
+    distributions scale shape and the DECIMAL determinism contract;
+    downstream selects top-k by log_weight or Gumbel-resamples."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_tgt", F.col("source").isin(*DSIR_TARGET_SOURCES)
+    )
+    return sampling.importance_weights(docs, "doc_id", "text", "is_tgt")
+
+
+QUERIES["ds_importance_dsir"] = q_ds_importance_dsir
+
+ORACLES["ds_importance_dsir"] = f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id,
+               source IN ('src0', 'src1') AS is_tgt,
+               CAST('0x' || substring(md5(g), 1, 8) AS BIGINT)
+                   % {sampling.DSIR_BUCKETS} AS b
+        FROM (
+            SELECT doc_id, source,
+                   unnest(list_concat(
+                       toks,
+                       list_transform(
+                           list_filter(
+                               generate_series(1, greatest(len(toks) - 1, 1)),
+                               i -> i + 1 <= len(toks)),
+                           i -> toks[i] || ' ' || toks[i + 1])
+                   )) AS g
+            FROM t
+        )
+    ),
+    c AS (
+        SELECT b, COUNT(*) AS c_raw,
+               SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt
+        FROM o GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM c),
+    r AS (
+        SELECT b, CAST(round(
+            ln(CAST(c_tgt + 1 AS DOUBLE)
+               / CAST(n_tgt + {sampling.DSIR_BUCKETS} AS DOUBLE))
+            - ln(CAST(c_raw + 1 AS DOUBLE)
+               / CAST(n_raw + {sampling.DSIR_BUCKETS} AS DOUBLE)),
+            8) AS DECIMAL(18,8)) AS lr
+        FROM c CROSS JOIN tot
+    )
+    SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(lr) AS DOUBLE) AS log_weight
+    FROM o JOIN r USING (b)
+    GROUP BY o.doc_id
+"""

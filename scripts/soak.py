@@ -428,6 +428,9 @@ SOAK_QUERIES = [
     ("stream_session_window", None,
      "~linear in events (state = open sessions only; same harness "
      "floor caveat)"),
+    ("ds_importance_dsir", None,
+     "linear (two map-side-combined passes over the feature stream + "
+     "a B-row broadcast; B fixed at 4096)"),
 ]
 
 

@@ -535,3 +535,16 @@ def test_repeated_spans_skew_immune_gram_count(spark, sf_dir):
 
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "gram" not in spec and "h1" not in spec, spec
+
+
+def test_dsir_importance_broadcast_rates_two_shuffles(spark, sf_dir):
+    """The DSIR weight pass must broadcast the B-row log-ratio table
+    back onto the feature stream (never shuffle the corpus for it)
+    and keep partial aggregation on both grouped passes."""
+    from raft_c_spark.plans.sampling import q_ds_importance_dsir
+
+    plan = plan_of(q_ds_importance_dsir(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan

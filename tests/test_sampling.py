@@ -353,3 +353,48 @@ def test_leakage_safe_split_validates_fractions(docs, doc_pairs):
         sampling.leakage_safe_split(
             docs, "doc_id", doc_pairs, {"train": 1.5, "val": -0.5}
         )
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    """Raw docs written in the target's vocabulary must out-score raw
+    docs written in a disjoint vocabulary, and every doc gets scored
+    (targets included)."""
+    from pyspark.sql import functions as F
+
+    from raft_c_spark.operators import sampling as s
+
+    rows = []
+    for i in range(40):  # target: 'alpha beta gamma' style
+        rows.append((i, "alpha beta gamma delta alpha beta", True))
+    for i in range(40, 60):  # raw, target-like
+        rows.append((i, "beta gamma alpha delta beta gamma", False))
+    for i in range(60, 80):  # raw, disjoint vocabulary
+        rows.append((i, "omega sigma tau rho omega sigma", False))
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    out = s.importance_weights(df, "doc_id", "text", "t").collect()
+    got = {r["doc_id"]: r["log_weight"] for r in out}
+    assert len(got) == 80
+    like = [got[i] for i in range(40, 60)]
+    unlike = [got[i] for i in range(60, 80)]
+    assert min(like) > max(unlike)
+
+
+def test_dsir_importance_partition_stable(spark):
+    from raft_c_spark.operators import sampling as s
+
+    rows = [
+        (i, f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 5}", i % 5 == 0)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    a = sorted(
+        (r["doc_id"], r["n_feats"], r["log_weight"])
+        for r in s.importance_weights(df, "doc_id", "text", "t").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_feats"], r["log_weight"])
+        for r in s.importance_weights(
+            df.repartition(7), "doc_id", "text", "t"
+        ).collect()
+    )
+    assert a == b and a
