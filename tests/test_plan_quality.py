@@ -516,19 +516,21 @@ def test_repeated_spans_skew_immune_gram_count(spark, sf_dir):
     aggregate on the 128-bit gram hash (judge r7 ask #3), never a
     window partitioned by gram: a hot boilerplate gram under
     Window.partitionBy(gram) lands in ONE partition — the skew shape
-    this pin forbids. The repeated-key join-back must be an equi-join
-    (broadcast under the measured cap at this size)."""
+    this pin forbids. The repeated-key set must be persisted (the
+    measured-cap count must not recompute the aggregate) and
+    broadcast under the cap so the gram probe stream never shuffles
+    for the join."""
     from raft_c_spark.operators import dedup
     from raft_c_spark.sources.testdata import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    plan = plan_of(
-        dedup.repeated_substring_spans(docs, "doc_id", "text", min_len=40)
-    )
+    df = dedup.repeated_substring_spans(docs, "doc_id", "text", min_len=40)
+    plan = plan_of(df)
     # the only windows left are the per-doc gaps-and-islands passes
     assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+    assert "InMemoryTableScan" in plan, plan  # persisted key set
     # no window function reads the gram/hash columns; window specs in
     # the plan must all be the per-doc position passes
     import re
