@@ -556,3 +556,49 @@ def importance_weights(
         )
         .select(F.col("doc").alias(id_col), "n_feats", "log_weight")
     )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: draw
+    exactly ``k`` rows with inclusion odds ∝ softmax(weight) via the
+    Gumbel-top-k trick (Kool et al., "Stochastic Beams and Where to
+    Find Them", ICML 2019 — public): key = weight + Gumbel noise,
+    keep the k largest keys. The noise is derived from md5(id)
+    instead of an RNG — u = (h + 1)/(2^32 + 2) ∈ (0,1) from the
+    first 8 md5 hex digits, g = −ln(−ln u) — so the draw is
+    reproducible on any engine, repartition-stable, and
+    oracle-checkable (the same recipe as every sampler in this
+    module). Completes DSIR: ``importance_weights`` scores, this
+    RESAMPLES.
+
+    Determinism contract: u is an exact rational of exact integers;
+    the two ln calls may differ from another engine's libm in the
+    last ulp, so the key is rounded to 8 decimals and cast to
+    DECIMAL(18,8), with the id as the total-order tiebreak.
+
+    Scale shape: the key is a map-only column expression and the
+    top-k is an ``orderBy(...).limit(k)`` — Catalyst plans
+    TakeOrderedAndProject (per-partition heaps + one k-row driver
+    merge), never a global sort. One pass, zero shuffles."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**32 + 2))
+    g = -F.log(-F.log(u))
+    key = (
+        F.round(F.col(weight_col).cast("double") + g, 8)
+        .cast("decimal(18,8)")
+        .alias("gumbel_key")
+    )
+    return (
+        df.withColumn("gumbel_key", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -217,6 +217,11 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # shard_manifest, pipeline_e2e, temperature_mixture,
     # epoch_upsample, split_leakage_safe and the CUBE card in-window.
     ("ds_snapshot_diff", "ds_importance_dsir"),
+    # Gumbel-top-k resampling (the selection half of DSIR) enters the
+    # window immediately. ds_shard_manifest demoted: driver-green
+    # r6+r7, within-family — the two-phase prefix rank stays pinned by
+    # pytest and the sampling family keeps eight other in-window slots.
+    ("ds_shard_manifest", "ds_dsir_resample"),
 ]
 
 

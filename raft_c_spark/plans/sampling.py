@@ -407,3 +407,43 @@ ORACLES["ds_importance_dsir"] = f"""
     FROM o JOIN r USING (b)
     GROUP BY o.doc_id
 """
+
+
+DSIR_K = 100
+
+
+def q_ds_dsir_resample(spark, sf_dir):
+    """The selection half of DSIR: Gumbel-top-k resampling over the
+    importance weights — exactly 100 docs drawn without replacement
+    with inclusion odds ∝ softmax(log_weight), noise keyed on
+    md5(doc_id) so the draw replays bit-for-bit in the oracle. See
+    sampling.gumbel_topk for the rounding/tiebreak contract and the
+    TakeOrderedAndProject (no global sort) plan shape."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_tgt", F.col("source").isin(*DSIR_TARGET_SOURCES)
+    )
+    w = sampling.importance_weights(docs, "doc_id", "text", "is_tgt")
+    return sampling.gumbel_topk(w, "doc_id", "log_weight", DSIR_K).select(
+        "doc_id", "n_feats", "log_weight", "gumbel_key"
+    )
+
+
+QUERIES["ds_dsir_resample"] = q_ds_dsir_resample
+
+_DSIR_WEIGHTS_SQL = ORACLES["ds_importance_dsir"]
+
+ORACLES["ds_dsir_resample"] = f"""
+    WITH w AS ({_DSIR_WEIGHTS_SQL})
+    SELECT doc_id, n_feats, log_weight,
+           CAST(round(
+               log_weight
+               - ln(-ln((CAST('0x' || substring(
+                     md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+                   / CAST({2**32 + 2} AS DOUBLE))),
+               8) AS DECIMAL(18,8)) AS gumbel_key
+    FROM w
+    ORDER BY gumbel_key DESC, doc_id
+    LIMIT {DSIR_K}
+"""

@@ -550,3 +550,14 @@ def test_dsir_importance_broadcast_rates_two_shuffles(spark, sf_dir):
     assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_gumbel_resample_takeordered_no_global_sort(spark, sf_dir):
+    """The Gumbel-top-k draw must plan TakeOrderedAndProject
+    (per-partition heaps + k-row driver merge), never a global Sort
+    exchange over the scored corpus."""
+    from raft_c_spark.plans.sampling import q_ds_dsir_resample
+
+    plan = plan_of(q_ds_dsir_resample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -398,3 +398,24 @@ def test_dsir_importance_partition_stable(spark):
         ).collect()
     )
     assert a == b and a
+
+
+def test_gumbel_topk_exact_k_partition_stable_and_weight_sensitive(spark):
+    """Exactly k rows; the draw is identical after repartitioning;
+    and with extreme weight separation every selected row comes from
+    the heavy group (softmax odds e^20 : 1)."""
+    from raft_c_spark.operators import sampling as s
+
+    rows = [(i, 10.0 if i < 50 else -10.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = s.gumbel_topk(df, "doc_id", "w", 20).collect()
+    b = s.gumbel_topk(df.repartition(7), "doc_id", "w", 20).collect()
+    assert len(a) == 20
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    assert all(r["doc_id"] < 50 for r in a)
+    # flat weights: the draw is a uniform k-subset keyed on md5 —
+    # nested determinism means it differs from the weighted draw
+    flat = s.gumbel_topk(
+        df.withColumn("w", df.w * 0), "doc_id", "w", 20
+    ).collect()
+    assert len(flat) == 20 and any(r["doc_id"] >= 50 for r in flat)
