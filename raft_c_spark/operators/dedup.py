@@ -1703,6 +1703,14 @@ def repeated_substring_spans(
     the raw string keeps the shuffled rows narrow; a collision needs
     two distinct grams agreeing on both independent xxhash64 values
     (~2^-128 per pair — no observed effect at any tested scale).
+
+    Lifecycle note: building the plan is EAGER (the measured-cap
+    count materializes the repeated-key aggregate) and the key set
+    stays persisted for the session so the returned plan can read it
+    — the registry's per-query ``clearCache()`` hygiene releases it
+    between driver queries; long-lived library sessions calling this
+    over many corpora should ``spark.catalog.clearCache()`` (or
+    unpersist) between corpora themselves.
     """
     from pyspark.sql import Window
 

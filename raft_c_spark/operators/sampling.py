@@ -491,7 +491,11 @@ def importance_weights(
     broadcast-joins back onto the stream for the per-doc sum. The
     corpus stream shuffles exactly twice (bucket aggregate, doc
     aggregate); nothing grows with corpus size except those two
-    linear passes."""
+    linear passes. The cached occurrence stream stays pinned for the
+    session (same contract as ``text.ngram_lm_score``): the
+    registry's per-query ``clearCache()`` hygiene releases it between
+    driver queries, and long-lived library sessions should
+    ``spark.catalog.clearCache()`` between corpora."""
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
     )
@@ -547,7 +551,7 @@ def importance_weights(
     rates = cnt.crossJoin(F.broadcast(tot)).select(
         "b", F.round(lr, 8).cast("decimal(18,8)").alias("lr")
     )
-    return (
+    scored = (
         occ.join(F.broadcast(rates), ["b"])
         .groupBy("doc")
         .agg(
@@ -556,6 +560,17 @@ def importance_weights(
         )
         .select(F.col("doc").alias(id_col), "n_feats", "log_weight")
     )
+    # docs with no [a-z0-9] tokens produce zero feature rows and would
+    # otherwise vanish from the output entirely; "score EVERY raw
+    # document" means they carry the neutral weight (empty product →
+    # log w = 0) so downstream selection still sees them. Map-only
+    # union — no join back onto the corpus.
+    empty = base.filter(F.size("toks") == 0).select(
+        F.col("doc").alias(id_col),
+        F.lit(0).cast("long").alias("n_feats"),
+        F.lit(0.0).alias("log_weight"),
+    )
+    return scored.unionByName(empty)
 
 
 def gumbel_topk(

@@ -181,10 +181,23 @@ def q_language_retention(spark, sf_dir):
         eng.execute("CREATEDB rmetrics")
         eng.execute("USE rmetrics")
         eng.execute(f"CREATE clickr {RET_DAYS}d 'ignore'", now=RET_NOW_NS)
+        # deterministic pre-dedup (min value per timestamp): DP_IGNORE
+        # drops IN-BATCH duplicate timestamps with an arbitrary
+        # survivor (dropDuplicates), so a corpus that happens to carry
+        # two clicks in the same microsecond would diverge from any
+        # fixed oracle replay. The shipped SFs have zero such
+        # collisions today, but at sf1 (~200k clicks of µs ticks) the
+        # birthday odds are real — collapsing to MIN(value) first
+        # makes the ingest input unique-keyed on BOTH sides, so the
+        # policy's in-batch branch never has to pick a survivor. The
+        # cross-batch branch (the poisoned replay below) stays fully
+        # exercised.
         pts = (
             events_as_points(spark, sf_dir)
             .filter(F.col("series") == "click")
-            .withColumn("series", F.lit("clickr"))
+            .groupBy("timestamp")
+            .agg(F.min("value").alias("value"))
+            .select(F.lit("clickr").alias("series"), "timestamp", "value")
         )
         eng.store.insert_df("rmetrics", pts, duplication="ignore")
         eng.store.insert_df(
@@ -213,8 +226,9 @@ _CLICK = f"SELECT timestamp, value FROM ({POINTS_SQL}) WHERE series = 'click'"
 
 ORACLES = {
     "lang_retention": f"""
-        SELECT timestamp, value FROM ({_CLICK})
+        SELECT timestamp, min(value) AS value FROM ({_CLICK})
         WHERE timestamp >= {RET_CUTOFF_NS}
+        GROUP BY timestamp
     """,
     "lang_sample_by": f"""
         SELECT bucket_ts AS timestamp, {sql_avg('value')} AS value

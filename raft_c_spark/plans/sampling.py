@@ -406,6 +406,10 @@ ORACLES["ds_importance_dsir"] = f"""
            CAST(SUM(lr) AS DOUBLE) AS log_weight
     FROM o JOIN r USING (b)
     GROUP BY o.doc_id
+    UNION ALL
+    SELECT doc_id, CAST(0 AS BIGINT) AS n_feats,
+           CAST(0 AS DOUBLE) AS log_weight
+    FROM t WHERE len(toks) = 0
 """
 
 

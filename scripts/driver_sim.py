@@ -23,7 +23,9 @@ if REPO not in sys.path:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--window", type=int, default=50)
+    from raft_c_spark.plans.verification import WINDOW
+
+    ap.add_argument("--window", type=int, default=WINDOW)
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
 

@@ -419,3 +419,18 @@ def test_gumbel_topk_exact_k_partition_stable_and_weight_sensitive(spark):
         df.withColumn("w", df.w * 0), "doc_id", "w", 20
     ).collect()
     assert len(flat) == 20 and any(r["doc_id"] >= 50 for r in flat)
+
+
+def test_dsir_importance_scores_tokenless_docs_neutral(spark):
+    """Docs with no [a-z0-9] tokens must appear with the neutral
+    weight (empty product -> log w = 0), not vanish from the output
+    (reviewer r8)."""
+    from raft_c_spark.operators import sampling as s
+
+    rows = [(1, "alpha beta", True), (2, "alpha gamma", False),
+            (3, "!!! ???", False), (4, "", False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    got = {r["doc_id"]: (r["n_feats"], r["log_weight"])
+           for r in s.importance_weights(df, "doc_id", "text", "t").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[3] == (0, 0.0) and got[4] == (0, 0.0)

@@ -8,32 +8,26 @@ that failure mode mechanical: they read the actual driver artifacts
 (``CORRECTNESS_r*.json`` at the repo root) and assert the *net effect*
 of ``_WINDOW_SWAPS`` keeps every never-driver-green query inside the
 window — including brand-new queries that have no driver row at all.
+
+The window size and the green-row parse come from
+``raft_c_spark.plans.verification`` — the same module
+``scripts/gen_driver_green.py`` uses, so the guard and the generated
+COVERAGE audit cannot silently disagree.
 """
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 
 import pytest
 
+from raft_c_spark.plans.verification import (
+    WINDOW,
+    correctness_artifacts,
+    driver_green_rounds,
+)
+
 REPO = Path(__file__).resolve().parent.parent
-WINDOW = 50  # the driver hash-checks the first 50 registry queries
-
-
-def _driver_green_rounds() -> dict[str, list[int]]:
-    """Per query: rounds with an all-green driver row (rows+schema+hash)."""
-    out: dict[str, list[int]] = {}
-    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        rnd = int(f.stem.split("_r")[1])
-        for q, row in json.loads(f.read_text()).items():
-            if (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-            ):
-                out.setdefault(q, []).append(rnd)
-    return out
 
 
 @pytest.fixture(scope="module")
@@ -47,19 +41,19 @@ def test_artifacts_present():
     # If the driver artifacts ever move, the policy tests below would
     # vacuously pass (everything looks never-green ... but then the
     # in-window assertion would fire). Guard the precondition.
-    assert list(REPO.glob("CORRECTNESS_r*.json")), (
+    assert correctness_artifacts(REPO), (
         "no CORRECTNESS_r*.json artifacts at repo root"
     )
 
 
 def test_never_driver_green_queries_are_in_window(ordering):
     """Every registered query lacking an all-green driver row in ANY
-    round's artifact must sit inside the first-50 window of the
+    round's artifact must sit inside the first-WINDOW slots of the
     CURRENT net ordering — this is the invariant the r7 same-batch
     promote+demote of mm_features violated. New queries (no driver
     row yet) are covered too: they must enter the window immediately.
     """
-    green = _driver_green_rounds()
+    green = driver_green_rounds(REPO)
     window = set(ordering[:WINDOW])
     never_green = [q for q in ordering if not green.get(q)]
     out_of_window = [q for q in never_green if q not in window]
@@ -75,7 +69,7 @@ def test_no_red_query_promoted_then_demoted(ordering):
     of a later pair — the net effect silently un-verifies it."""
     from raft_c_spark.plans.registry import _WINDOW_SWAPS
 
-    green = _driver_green_rounds()
+    green = driver_green_rounds(REPO)
     promoted_at = {}
     violations = []
     for i, (out_q, in_q) in enumerate(_WINDOW_SWAPS):
