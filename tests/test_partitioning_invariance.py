@@ -34,6 +34,12 @@ CASES = [
     "ts_sample_fill",         # generated grid + carry-forward window
     "ds_pipeline_e2e",        # five chained stages end-to-end
     "dedup_best_survivor",    # components + windowed argmax ties
+    # -- round-8 additions --
+    "ds_importance_dsir",     # decimal log-ratio sums + bucket counts
+    "ds_dsir_resample",       # Gumbel-key top-k tie-breaks
+    "lang_retention",         # store build + dedup policy + retention read
+    "dedup_repeated_spans",   # persisted key set + gaps-and-islands
+    "ds_dataset_card",        # CUBE grouping-id aggregate
 ]
 
 
