@@ -26,25 +26,15 @@ def vec_dim(df: DataFrame, vec_col: str) -> int:
     return df.select(F.size(vec_col)).first()[0]
 
 
-def dot_unrolled(va: str, vb: str, dim: int) -> Column:
-    """Σ va[i]·vb[i] as an unrolled left-associative sum — numerically
-    identical to a sequential fold (the oracle's semantics) but fully
-    inside whole-stage codegen, no per-element lambda machinery. This
-    is the inner loop of O(n²) pair scans — constants matter."""
-    total: Column | None = None
-    for i in range(dim):
-        term = F.element_at(va, i + 1) * F.element_at(vb, i + 1)
-        total = term if total is None else total + term
-    return total
-
-
 def dot_fold(va, vb) -> Column:
     """Σ va[i]·vb[i] as a sequential zip_with/aggregate fold — the
     same left-associative float addition order as the SQL oracle's
-    list_sum (and as dot_unrolled), but with a constant-size
-    expression tree: a 2·dim-element_at unrolled chain takes seconds
-    of janino compile time and can drop the stage out of whole-stage
-    codegen entirely (measured ~8x slower end-to-end at dim=64)."""
+    list_sum, but with a constant-size expression tree: a
+    2·dim-element_at unrolled chain takes seconds of janino compile
+    time and can drop the stage out of whole-stage codegen entirely
+    (measured ~8x slower end-to-end at dim=64 — which is why the
+    unrolled builder this module once carried was deleted rather than
+    kept as an attractive nuisance)."""
     return F.aggregate(
         F.zip_with(va, vb, lambda x, y: x * y),
         F.lit(0.0),
@@ -52,16 +42,30 @@ def dot_fold(va, vb) -> Column:
     )
 
 
-def with_norm(df: DataFrame, id_col: str, vec_col: str, dim: int | None = None) -> DataFrame:
+def with_norm(
+    df: DataFrame, id_col: str, vec_col: str, dim: int | None = None
+) -> DataFrame:
     """Project to (doc, vec: array<double>, norm). Casting float→double
-    once up front keeps later arithmetic deterministic."""
+    once up front keeps later arithmetic deterministic. When ``dim``
+    is given, every vector's length is validated against it (fail
+    fast with the offending doc id — reviewer r8: the parameter was
+    previously accepted by every caller and silently ignored, so a
+    ragged embedding column surfaced as a wrong dot product or a deep
+    numpy shape error instead of this message)."""
     vec = F.expr(f"transform({vec_col}, x -> cast(x as double))")
+    if dim is not None:
+        # the guard is folded INTO the vec expression (a dropped
+        # side-column gets pruned by Catalyst and the raise never
+        # fires): every consumer of vec/norm forces the check
+        msg = F.concat(
+            F.lit(f"vector length != dim={dim} for "),
+            F.col(id_col).cast("string"),
+        )
+        vec = F.when(F.size(vec) == F.lit(dim), vec).otherwise(
+            F.array(F.raise_error(msg).cast("double"))
+        )
     out = df.select(F.col(id_col).alias("doc"), vec.alias("vec"))
     return out.withColumn("norm", F.sqrt(dot_fold("vec", "vec")))
-
-
-def cosine_expr(va: str, vb: str, na: str, nb: str, dim: int) -> Column:
-    return dot_unrolled(va, vb, dim) / (F.col(na) * F.col(nb))
 
 
 def quantize_int8(
@@ -371,6 +375,8 @@ def semantic_dedup_pairs(
         cluster_assign(df, k=k, id_col=id_col, vec_col=vec_col)
         .select(id_col, "cluster")
         .cache()
+        # session-pinned cache (registry clearCache() releases it;
+        # library sessions clear between corpora themselves)
     )
     a = assign.select(F.col(id_col).alias("a"), "cluster")
     b = assign.select(F.col(id_col).alias("b"), "cluster")
@@ -419,6 +425,17 @@ def knn_join(
     from raft_c_spark.operators.dedup import _widen
 
     dim = vec_dim(corpus_df, vec_col)
+    for side, frame in (("queries", queries_df), ("corpus", corpus_df)):
+        t = frame.schema[id_col].dataType.simpleString()
+        if t not in ("bigint", "int"):
+            # the numpy pack/searchsorted kernels require integral ids
+            # (reviewer r8: a string id previously surfaced as an
+            # opaque ValueError deep inside pandas, executor-side)
+            raise TypeError(
+                f"knn_join requires integral ids; {side} {id_col!r} "
+                f"is {t} — add a surrogate key (e.g. "
+                "monotonically_increasing_id) or hash the id to long"
+            )
     n_q = queries_df.count()
     if n_q * dim * 8 > _VERIFY_BROADCAST_BYTES:
         raise ValueError(
@@ -985,6 +1002,8 @@ def lsh_bucketed_pairs(
             sigs = part if sigs is None else sigs.unionByName(part)
         n_tables = sum(g[1] for g in groups)
         sigs = sigs.cache()
+        # session-pinned cache (registry clearCache() releases it;
+        # library sessions clear between corpora themselves)
     else:
         if bits is None or tables is None:
             a_bits, a_tables = auto_lsh_params(df.count(), threshold)
@@ -992,6 +1011,8 @@ def lsh_bucketed_pairs(
             tables = a_tables if tables is None else tables
         n_tables = tables
         sigs = pair_signatures(df, id_col, vec_col, bits, tables).cache()
+        # session-pinned cache (registry clearCache() releases it;
+        # library sessions clear between corpora themselves)
     n_rows = sigs.count()  # forces cache + prices the broadcast hint
     y_side = sigs.alias("y")
     if n_rows <= 4_000_000:

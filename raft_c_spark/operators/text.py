@@ -12,6 +12,8 @@ and double arithmetic on those ints — no float-accumulation anywhere.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -37,8 +39,12 @@ def regex_token_count(col: Column) -> Column:
 
 
 def non_ascii_ratio(col: Column) -> Column:
-    """Fraction of characters outside printable ASCII (CJK etc.)."""
-    non_ascii = F.length(F.regexp_replace(col, "[ -~]", ""))
+    """Fraction of characters outside ASCII (CJK etc.). The kept
+    class is printable ASCII PLUS tab/newline/CR (reviewer r8):
+    without the whitespace controls, a tab-indented or line-broken
+    pure-ASCII doc read as >30% "non-ASCII" and tripped the CJK gate
+    in lang_id."""
+    non_ascii = F.length(F.regexp_replace(col, "[\t\n\r -~]", ""))
     return non_ascii.cast("double") / F.greatest(F.length(col), F.lit(1))
 
 
@@ -156,21 +162,13 @@ def heavy_hitter_ngrams(
     heap + driver merge of k rows — no global sort shuffle). Ties are
     totally ordered by (count desc, ngram asc), so the k-boundary is
     deterministic across engines and partitionings. N-gram generation
-    is a JVM higher-order transform over the token array — no UDF.
+    is ``_word_ngrams`` — the single shared generator every gram
+    consumer (decontamination, bloom, this) uses, so a tokenization
+    fix lands everywhere at once (reviewer r8: this body previously
+    duplicated it verbatim).
     """
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
-    base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
-    # index sequence is kept ascending (floor 1) and over-long indices
-    # filtered out, so docs shorter than n yield no grams
-    idxs = F.filter(
-        F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))),
-        lambda i: (i + (n - 1)) <= F.size("toks"),
-    )
-    grams = base.select(
-        "doc",
-        F.explode(
-            F.transform(idxs, lambda i: F.concat_ws(" ", F.slice("toks", i, n)))
-        ).alias("ngram"),
+    grams = _word_ngrams(df, id_col, text_col, n).withColumnRenamed(
+        "gram", "ngram"
     )
     per_doc = grams.groupBy("doc", "ngram").agg(F.count(F.lit(1)).alias("n"))
     return (
@@ -290,8 +288,9 @@ def _word_ngrams(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
     """(doc, gram) word n-grams (with per-doc repeats) — JVM
-    higher-order transform over the token array (same generation as
-    heavy_hitter_ngrams; docs shorter than n yield no grams)."""
+    higher-order transform over the token array; the ONE shared gram
+    generator (heavy_hitter_ngrams, decontaminate, bloom all consume
+    it; docs shorter than n yield no grams)."""
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
     )
@@ -360,7 +359,7 @@ def decontaminate(
         .join(right, "gram")
         .groupBy("doc")
         .agg(F.count_distinct(F.col("gram")).alias("overlap_grams"))
-        .select(F.col("doc").alias("doc_id"), "overlap_grams")
+        .select(F.col("doc").alias(id_col), "overlap_grams")
     )
 
 
@@ -618,6 +617,20 @@ def bloom_decontaminate(
         np.bitwise_or.at(
             bits, pos // 8, (1 << (pos % 8)).astype(np.uint8)
         )
+    # saturation gate (reviewer r8): the byte gate above bounds the
+    # eval TEXT, not the filter's fill — a 10 MB eval set (~2M
+    # distinct 5-grams) saturates a 2^20-bit filter to fpr ≈ 1 and
+    # every training gram gets "flagged", silently. fill = fraction
+    # of set bits; fpr ≈ fill^k, so fill 0.5 → ~3% at k=5. Beyond
+    # that the output is noise: fail loudly with the m_bits to use.
+    fill = float(np.unpackbits(bits).sum()) / m_bits
+    if fill > 0.5:
+        need = 1 << int(math.ceil(math.log2(len(pos) * 3)))
+        raise ValueError(
+            f"bloom filter saturated: {fill:.0%} of {m_bits} bits set "
+            f"(fpr ≈ {fill**k:.1%}) — the eval gram set needs a larger "
+            f"filter; pass m_bits >= {need}"
+        )
     bc = train.sparkSession.sparkContext.broadcast(bits)
 
     h1, h2 = _bloom_hashes(F.col("gram"))
@@ -768,6 +781,8 @@ def ngram_lm_score(
             )
         ).alias("bg"),
     ).select("doc", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # session-pinned cache (registry clearCache() releases it;
+    # library sessions clear between corpora themselves)
     occ = occ.cache()
     c12 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     # context counts and vocabulary REDUCE the (vocabulary-sized) c12

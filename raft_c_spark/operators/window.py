@@ -71,6 +71,15 @@ def asof_join(
     last_value(ignoreNulls). One shuffle on the key, linear in
     |L|+|R| — no range-join explosion (a naive join + filter + max is
     O(|L|·|R|) per key).
+
+    Duplicate right rows at the same (key, ts) are totally ordered by
+    the right value struct itself (reviewer r8: with only (ts, side)
+    in the sort, WHICH duplicate's values were carried depended on
+    partition-local order — nondeterministic across runs). The struct
+    compares field-by-field in ``right_cols`` order, so the carried
+    row is the lexicographic maximum — deterministic on any engine.
+    Right sides containing non-orderable columns (maps) must exclude
+    them via ``right_cols``.
     """
     right_cols = right_cols or [
         c for c in right.columns if c not in (key, right_ts)
@@ -104,7 +113,7 @@ def asof_join(
     u = l2.unionByName(r2)
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn(

@@ -169,7 +169,8 @@ _PUNCT = (
     r" / greatest(length(text), 1)"
 )
 _NON_ASCII = (
-    "CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS DOUBLE)"
+    "CAST(length(regexp_replace(text,"
+    " '[\\t\\n\\r -~]', '', 'g')) AS DOUBLE)"
     " / greatest(length(text), 1)"
 )
 _BEST = (

@@ -508,3 +508,23 @@ def test_epoch_repeats_monotone_in_budget(spark, docs, b1, b2):
         ).collect()
     }
     assert all(b[k] >= v for k, v in a.items())
+
+
+def test_asof_join_deterministic_on_duplicate_right_ts(spark):
+    """Two right rows at the same (key, ts) with different values:
+    the carried row must be the lexicographic max of the value struct
+    — identical across partitionings (reviewer r8)."""
+    from raft_c_spark.operators import window as w
+
+    left = spark.createDataFrame([("k", 100)], "key string, timestamp long")
+    right = spark.createDataFrame(
+        [("k", 100, 5.0), ("k", 100, 9.0)],
+        "key string, timestamp long, price double",
+    )
+    outs = []
+    for parts in (1, 7):
+        out = w.asof_join(
+            left, right.repartition(parts), key="key"
+        ).collect()
+        outs.append([(r["key"], r["right_price"]) for r in out])
+    assert outs[0] == outs[1] == [("k", 9.0)]

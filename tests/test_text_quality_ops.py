@@ -287,3 +287,49 @@ class TestBloomSupersetProperty:
         assert set(exact) <= set(bloom)
         for d, n_exact in exact.items():
             assert bloom[d] >= n_exact
+
+
+def test_non_ascii_ratio_ignores_ascii_whitespace(spark):
+    """Tab/newline/CR are ASCII: a line-broken numeric list must not
+    trip the CJK gate (reviewer r8)."""
+    from raft_c_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "1\n2\n3\n4"), (2, "中文中文中文中文中文")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["non_ascii_ratio"], r["pred_lang"])
+           for r in t.analyze(df).collect()}
+    assert out[1][0] == 0.0 and out[1][1] != "zh"
+    assert out[2][1] == "zh"
+
+
+def test_bloom_decontaminate_saturation_raises(spark):
+    """An eval gram set that saturates the filter must fail loudly
+    (fpr ~= 1 makes the output noise) instead of flagging everything."""
+    import pytest
+
+    from raft_c_spark.operators import text as t
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(200)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="saturated"):
+        t.bloom_decontaminate(
+            df, df, "doc_id", "text", n=4, m_bits=1 << 10, k=5,
+            max_eval_bytes=256 << 20,
+        )
+
+
+def test_decontaminate_honors_id_col_name(spark):
+    from raft_c_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")],
+        "page_id long, text string",
+    )
+    out = t.decontaminate(
+        df.filter("page_id = 1"), df.filter("page_id = 2"),
+        id_col="page_id", text_col="text", n=3,
+    )
+    assert "page_id" in out.columns

@@ -455,3 +455,30 @@ class TestXxhashReplay:
             ).collect()
         }
         assert keep_replay == keep_spark and keep_replay
+
+
+def test_knn_join_rejects_string_ids(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from raft_c_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(f"u{i}", [float(i), 1.0]) for i in range(8)],
+        "uid string, embedding array<float>",
+    )
+    with pytest.raises(TypeError, match="integral ids"):
+        sim.knn_join(df, df, id_col="uid", vec_col="embedding", k=2)
+
+
+def test_with_norm_validates_dim(spark):
+    import pytest
+
+    from raft_c_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="vector length"):
+        sim.with_norm(df, "vec_id", "embedding", dim=2).collect()
