@@ -36,6 +36,11 @@ _MERSENNE_P = (1 << 31) - 1
 # every hint below is conditional on a measured row count (the frames
 # are cached and counted anyway for plan-reuse reasons).
 _BROADCAST_MAX_BANDED_ROWS = 4_000_000  # (doc, band, bucket) ≈ 20 B/row
+
+#: byte cap on the bitmap mask frame for the above-numpy-cap theta
+#: join's broadcast hint (reviewer r8); beyond it ngram_jaccard_pairs
+#: falls back to the prefix strategy
+_BITMAP_BROADCAST_BYTES = 400 << 20
 # Verify-path crossover, re-measured r6 on row-grouped corpora (the
 # r5 measurement that pushed this to 800k was taken on single-row-
 # group parquet where the equi-join fallback silently ran in ONE task
@@ -200,6 +205,30 @@ def ngram_jaccard_pairs(
         strategy = "prefix"
     if unit == "word" and strategy == "bitmap":
         raise ValueError("bitmap strategy requires unit='char'")
+    if strategy in ("auto", "bitmap") and max_shingle_df is not None:
+        # the bitmap executor computes exact Jaccard over ALL
+        # shingles — it cannot honor a stop-shingle df-cap (reviewer
+        # r8: auto used to silently ignore the caller's cap when the
+        # vocabulary was small, returning a different pair set than
+        # prefix/join with identical arguments)
+        if strategy == "bitmap":
+            raise ValueError(
+                "bitmap strategy cannot honor max_shingle_df; "
+                "use strategy='prefix' or 'join'"
+            )
+        strategy = "prefix"
+    if strategy in ("auto", "bitmap") and df.schema[
+        id_col
+    ].dataType.simpleString() not in ("bigint", "int"):
+        # the bitmap kernels pack ids as int64 (reviewer r8: string
+        # ids died with an opaque Arrow error executor-side); the
+        # SQL strategies handle any id type
+        if strategy == "bitmap":
+            raise TypeError(
+                f"bitmap strategy requires integral ids; {id_col!r} "
+                f"is {df.schema[id_col].dataType.simpleString()}"
+            )
+        strategy = "prefix"
     if strategy in ("auto", "bitmap"):
         # one text-parse pass: per-doc shingle-code arrays, cached —
         # the vocab probe and the mask build both read from it. With
@@ -217,8 +246,12 @@ def ngram_jaccard_pairs(
         codes = codes.cache()
         codes.count()
         vocab = _collect_vocab_codes(codes, max_bitmap_shingles)
-        if vocab is not None:
-            pairs = _jaccard_bitmap(codes, vocab, threshold)
+        pairs = (
+            _jaccard_bitmap(codes, vocab, threshold)
+            if vocab is not None
+            else None
+        )
+        if pairs is not None:
             if pair_key is not None:
                 from raft_c_spark.functions.diskcache import cached_parquet
 
@@ -227,7 +260,8 @@ def ngram_jaccard_pairs(
         codes.unpersist()
         if strategy == "bitmap":
             raise ValueError(
-                f"bitmap strategy needs ≤{max_bitmap_shingles} distinct shingles"
+                f"bitmap strategy needs ≤{max_bitmap_shingles} distinct "
+                "shingles and a mask frame under the broadcast byte cap"
             )
         strategy = "prefix"
     shingle_fn = word_shingles if unit == "word" else char_shingles
@@ -506,6 +540,18 @@ def _jaccard_bitmap(codes: DataFrame, vocab_codes, threshold: float) -> DataFram
     n_docs = masks.count()
     if n_docs <= _BROADCAST_MAX_SIG_ROWS:
         return _bitmap_pairs_numpy(masks, n_words, threshold)
+    # the pair scan below is a theta join (size prefilter + a < b):
+    # its only distributed form broadcasts the mask frame. Gate the
+    # hint by the frame's actual bytes (reviewer r8: the hint was
+    # unconditional in the ABOVE-cap branch — at 500k docs × 1041
+    # mask words that forced a ~4 GB driver materialization, the
+    # exact failure the module header says every hint must be gated
+    # against). Beyond the cap, exact bitmap Jaccard is the wrong
+    # tool: return None and the caller falls back to the prefix
+    # strategy (auto) or raises (explicit bitmap).
+    if n_docs * (n_words * 8 + 24) > _BITMAP_BROADCAST_BYTES:
+        masks.unpersist()
+        return None
     n_part = codes.sparkSession.sparkContext.defaultParallelism
     a = masks.repartition(n_part).select(
         F.col("doc").alias("a"), F.col("sz").alias("sz_a"), F.col("mask").alias("ma")
@@ -1243,19 +1289,29 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 8,
     cache_key: str | None = None,
+    n_chunks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance. Candidate blocking:
-    split the 60-bit hash into 4 × 15-bit chunks — any pair within
-    hamming ≤ 3 shares at least one exact chunk (pigeonhole); larger
-    ``max_hamming`` still prunes most of the n² space. Scale path:
-    equi-join per chunk, never all-pairs.
+    """Near-dup pairs by SimHash hamming distance, with pigeonhole
+    chunk blocking. CONTRACT (explicit per reviewer r8 — this is a
+    blocked candidate set, not an exhaustive scan): the 60-bit hash
+    splits into ``n_chunks`` equal chunks and candidates are pairs
+    sharing ≥ 1 exact chunk, so the output is COMPLETE for
+    hamming ≤ n_chunks − 1 (pigeonhole) and best-effort above —
+    with the default 4 chunks, a hamming-5 pair that differs in every
+    chunk is (correctly, by this contract) absent. Callers needing
+    completeness at the default max_hamming=8 pass ``n_chunks=10``
+    (any divisor of 60; more chunks = shorter keys = denser buckets,
+    the standard recall/cost dial). Scale path: equi-join per chunk,
+    never all-pairs.
 
     ``cache_key`` persists the (doc, simhash) signature frame AND the
     verified pair frame per corpus (same stored-column layout as the
     minhash signatures/pairs) — the md5 vocabulary hashing that makes
     the signatures oracle-replicable, and the chunk self-join, are
     paid once per corpus, not per run."""
-    chunk_bits = SIMHASH_BITS // 4
+    if SIMHASH_BITS % n_chunks:
+        raise ValueError(f"n_chunks must divide {SIMHASH_BITS}")
+    chunk_bits = SIMHASH_BITS // n_chunks
     pair_key = None
     if cache_key is not None:
         # pair-level cache (same pattern as minhash_lsh_pairs): repeat
@@ -1264,7 +1320,8 @@ def simhash_pairs(
 
         pair_key = (
             f"simhashpairs{SIMHASH_BITS}_{cache_key}_{id_col}_{text_col}"
-            f"_h{max_hamming}_w{SIMHASH_WEIGHT_CAP}_v3"  # v3: tf×capped-idf votes
+            f"_h{max_hamming}_c{n_chunks}"
+            f"_w{SIMHASH_WEIGHT_CAP}_v3"  # v3: tf×capped-idf votes
         )
         if os.path.isdir(cache_path(pair_key)):
             return df.sparkSession.read.parquet(cache_path(pair_key))
@@ -1290,7 +1347,7 @@ def simhash_pairs(
                         .bitwiseAND(F.lit((1 << chunk_bits) - 1))
                         .alias("key"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("cc"),
@@ -1315,7 +1372,7 @@ def simhash_pairs(
     # simhashes cluster the raw candidate stream is enormous (the r6
     # 500k soak counted 4.1e9 candidate rows) — filtering inside the
     # join's output stage keeps all of that in codegen and lets only
-    # true near-dup pairs (×multiplicity ≤4) reach the distinct's
+    # true near-dup pairs (×multiplicity ≤ n_chunks) reach the distinct's
     # shuffle, instead of shuffling every candidate first
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     pairs = (

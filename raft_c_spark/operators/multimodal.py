@@ -74,6 +74,12 @@ def _real_image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     px = png_decode(payload).astype(np.float64) / 255.0
     if px.shape[2] == 1:
         rgb = np.repeat(px, 3, axis=2)
+    elif px.shape[2] == 2:
+        # grayscale+alpha (PNG color type 4, which png_decode
+        # supports): replicate the gray plane, drop alpha — the old
+        # px[:, :, :3] slice left 2 channels and the luma mix raised
+        # IndexError, killing the whole kernel task (reviewer r8)
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
     else:
         rgb = px[:, :, :3]
     luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
@@ -781,6 +787,12 @@ def audio_ahash(df: DataFrame) -> DataFrame:
                     pcm = np.frombuffer(
                         wf.readframes(wf.getnframes()), dtype=np.int16
                     )
+                if len(pcm) < 64:
+                    # too short to fingerprint: EXCLUDED from dedup —
+                    # the 0-sentinel hash previously made every tiny
+                    # clip an exact "duplicate" of every other one
+                    # (N·(N−1)/2 false pairs at hamming 0)
+                    continue
                 a = audio_ahash64_from_pcm(pcm)
                 out.append((int(mid), a, *ahash_chunks(a)))
             yield pd.DataFrame(
@@ -820,6 +832,11 @@ def video_ahash(df: DataFrame) -> DataFrame:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 frames, _fps = y4m_decode(bytes(payload))
+                if frames.shape[0] == 0:
+                    # zero-frame stream: numpy's integer // 0 would
+                    # yield an all-zero "hash" (same false-duplicate
+                    # trap as short audio) — excluded instead
+                    continue
                 a = video_ahash64_from_frames(frames)
                 out.append((int(mid), a, *ahash_chunks(a)))
             yield pd.DataFrame(

@@ -97,6 +97,16 @@ class TimeSeriesStore:
         rows: list[tuple[int, float]],
         duplication: str = "insert",
     ) -> int:
+        if duplication == "ignore":
+            # reference DP_IGNORE keeps the FIRST arrival; statement
+            # order is real here (unlike a bulk frame), so pre-dedup
+            # python-side before the order-free in-batch aggregate
+            seen: set[int] = set()
+            rows = [
+                (t, v)
+                for t, v in rows
+                if int(t) not in seen and not seen.add(int(t))
+            ]
         df = self.spark.createDataFrame(
             [(series, int(t), float(v)) for t, v in rows], POINT_SCHEMA
         )
@@ -119,7 +129,19 @@ class TimeSeriesStore:
         if duplication == "update":
             return self._upsert(db, out)
         if duplication == "ignore":
-            out = out.dropDuplicates(["series", "timestamp"])
+            # deterministic in-batch survivor (reviewer r8):
+            # dropDuplicates keeps whichever row partition order
+            # surfaces first — repeated runs of the same bulk ingest
+            # could persist different values. A bulk frame has no
+            # meaningful arrival order, so the canonical survivor is
+            # MIN(value) per (series, timestamp); the engine INSERT
+            # path pre-dedups statement-order first-arrival above
+            # (reference DP_IGNORE semantics) before reaching this.
+            out = (
+                out.groupBy("series", "timestamp")
+                .agg(F.min("value").alias("value"))
+                .select("series", "timestamp", "value")
+            )
             existing = self._read_raw(db)
             if existing is not None:
                 # prune the anti-join's right side to the (series, day)
@@ -213,6 +235,11 @@ class TimeSeriesStore:
 
     def _read_raw(self, db: str) -> DataFrame | None:
         path = self._points_path(db)
+        bak = path + ".pre_compact"
+        if not os.path.exists(path) and os.path.exists(bak):
+            # a compact() crashed between its two renames: the backup
+            # IS the store — restore it before reading
+            os.rename(bak, path)
         if not os.path.exists(path):
             return None
         try:
@@ -276,8 +303,22 @@ class TimeSeriesStore:
             .partitionBy("series", "day")
             .parquet(tmp)
         )
-        shutil.rmtree(path)
+        # two renames instead of rmtree-then-rename (reviewer r8): a
+        # crash between the old rmtree and the rename left NO points
+        # directory — every read returned empty, silent total loss
+        # from the reader's perspective. With rename→rename the store
+        # is only ever the old data or the new data; a crash between
+        # the renames leaves the old store recoverable at .pre_compact
+        # (restored automatically by the next compact call).
+        bak = path + ".pre_compact"
+        if os.path.exists(bak):
+            # stale backup from a compact that crashed after BOTH
+            # renames but before cleanup (the live path exists and is
+            # newer — _read_raw handles the between-renames case)
+            shutil.rmtree(bak)
+        os.rename(path, bak)
         os.rename(tmp, path)
+        shutil.rmtree(bak)
 
     def vacuum(self, db: str, series: str, retention_ns: int, now: int) -> None:
         """Physically drop whole day-partitions older than retention —

@@ -79,10 +79,26 @@ def stream_ingest_to_store(
     lateness_ns: int = LATENESS_NS,
     stats: dict | None = None,
 ):
-    """Exactly-once-ish ingest: foreachBatch appends each micro-batch
-    to the partitioned store (idempotent per epoch via overwrite-free
-    append + checkpoint tracking — the WAL/flush story of the
-    reference, storage-layer durability).
+    """Checkpointed ingest: foreachBatch appends each micro-batch to
+    the partitioned store — the WAL/flush story of the reference,
+    storage-layer durability.
+
+    Delivery contract (reviewer r8 — the old docstring over-claimed
+    "idempotent per epoch"): foreachBatch is AT-LEAST-ONCE. A crash
+    between an epoch's append and its checkpoint commit replays the
+    epoch, and under ``duplication='insert'`` (the default, matching
+    the reference's DP_INSERT) the replay appends the same rows
+    again. Effective exactly-once requires ``duplication='ignore'``
+    (replayed timestamps anti-join away against the already-written
+    partitions) or ``'update'`` (replays overwrite themselves) —
+    pick the policy by the series' semantics, exactly as the
+    reference's duplication option chooses.
+
+    Rows with a NULL event time are rejected in the sink (counted in
+    ``stats['n_null_ts']``): a point without a timestamp can't be
+    routed, and the old behavior depended on arrival order (inserted
+    when they landed in the first batch, silently dropped by the
+    null-rejecting watermark filters afterwards).
 
     Late data is never dropped. Each batch splits at the running
     event-time high-water-mark minus ``lateness_ns``: in-window rows
@@ -107,6 +123,11 @@ def stream_ingest_to_store(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
         try:
+            n_null = batch_df.filter(F.col("timestamp").isNull()).count()
+            if n_null:
+                if stats is not None:
+                    stats["n_null_ts"] = stats.get("n_null_ts", 0) + n_null
+                batch_df = batch_df.filter(F.col("timestamp").isNotNull())
             hi = batch_df.agg(F.max("timestamp").alias("m")).first()["m"]
             if hi is None:
                 return

@@ -418,3 +418,31 @@ def test_lsh_bucketed_pairs_above_cap_matches_broadcast(
     assert want, "no pairs at threshold: test is vacuous"
     monkeypatch.setattr(similarity, "_VERIFY_BROADCAST_BYTES", 1)
     assert run() == want
+
+
+def test_simhash_more_chunks_complete_superset(spark, docs):
+    """The blocking contract: n_chunks=10 guarantees completeness for
+    hamming <= 9, so at max_hamming=8 its pair set must contain every
+    pair the default 4-chunk blocking (complete only to hamming 3)
+    surfaces — and equal the exhaustive hamming scan."""
+    p4 = _pairs(
+        dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+    )
+    p10 = _pairs(
+        dedup.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=8, n_chunks=10
+        )
+    )
+    assert p4 <= p10
+    sig = dedup.simhash60(docs, "doc_id", "text").cache()
+    sa = sig.select(F.col("doc").alias("a"), F.col("simhash").alias("ha"))
+    sb = sig.select(F.col("doc").alias("b"), F.col("simhash").alias("hb"))
+    exact = {
+        (r["a"], r["b"])
+        for r in sa.crossJoin(sb)
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 8)
+        .collect()
+    }
+    assert p10 == exact
+    sig.unpersist()

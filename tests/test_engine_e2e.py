@@ -334,6 +334,29 @@ def test_compaction_preserves_results(spark, tmp_path):
     assert n_files_after < n_files_before
 
 
+def test_compact_crash_between_renames_recovers(spark, tmp_path):
+    """Simulate a compact() that crashed between its two renames (the
+    live points dir renamed to .pre_compact, the new dir not yet in
+    place): the next read must restore the backup and see all data —
+    the old rmtree-then-rename swap returned an empty store forever
+    (reviewer r8)."""
+    import os
+
+    wh = str(tmp_path / "crash")
+    e = Engine(spark, warehouse=wh)
+    e.execute("CREATEDB d")
+    e.execute("USE d")
+    e.execute("CREATE s")
+    e.execute(f"INSERT INTO s VALUES ({BASE}, 1.0), ({BASE + 1000}, 2.0)")
+    before = _rows(e.execute("SELECT value FROM s"))
+    path = f"{wh}/d/points"
+    os.rename(path, path + ".pre_compact")  # the crash window
+    assert _rows(e.execute("SELECT value FROM s")) == before
+    # and a subsequent compact still works end-to-end
+    e.store.compact("d")
+    assert _rows(e.execute("SELECT value FROM s")) == before
+
+
 def test_at_point_lookup(fixture_engine):
     """AT <time> — our grammar path for the reference's S_SINGLE
     selector (declared in its AST, src/statement_parse.h:192-203, but
