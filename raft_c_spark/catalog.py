@@ -82,12 +82,34 @@ class Catalog:
         name: str,
         retention_ns: int | None = None,
         duplication: str | None = None,
-    ) -> None:
-        self._db(db)["series"][name] = {
+    ) -> bool:
+        """Create (or re-create) a series; returns True when the
+        series is new. Re-CREATE of an existing series with NO options
+        keeps its current retention/duplication (reviewer r8: the
+        unconditional assignment silently reset an 'ignore' series to
+        the default 'insert' — existing data then obeyed different
+        dedup semantics with no warning); re-CREATE WITH options
+        updates them explicitly. The reference's ts_create neither
+        checks existence nor stores the policy (its TODO at
+        src/statement_execute.c:101-103), so the preserve rule is an
+        extension with no parity cost."""
+        series = self._db(db)["series"]
+        existing = series.get(name)
+        if existing is not None:
+            if retention_ns is None and duplication is None:
+                return False
+            if retention_ns is not None:
+                existing["retention_ns"] = retention_ns
+            if duplication is not None:
+                existing["duplication"] = duplication
+            self._save()
+            return False
+        series[name] = {
             "retention_ns": retention_ns,
             "duplication": duplication or "insert",
         }
         self._save()
+        return True
 
     def series_opts(self, db: str, name: str) -> dict:
         try:

@@ -43,8 +43,9 @@ class Engine:
 
     def execute(self, query: str, now: int | None = None) -> DataFrame:
         """Parse and run one statement; ``now`` pins now() for
-        deterministic tests."""
-        return self.execute_stmt(parse(query), now=now)
+        deterministic tests — including the parse-time stamps of the
+        VALUE / '*' insert forms (passed into the parser)."""
+        return self.execute_stmt(parse(query, now=now), now=now)
 
     def sql(self, query: str, now: int | None = None) -> DataFrame:
         return self.execute(query, now=now)
@@ -89,10 +90,19 @@ class Engine:
         retention = (
             eval_timeunit(stmt.retention, now) if stmt.retention is not None else None
         )
-        self.catalog.create_series(
+        created = self.catalog.create_series(
             db, stmt.ts_name, retention_ns=retention, duplication=stmt.duplication
         )
-        return self._status(f"series {stmt.ts_name} created")
+        if created:
+            return self._status(f"series {stmt.ts_name} created")
+        return self._status(
+            f"series {stmt.ts_name} already exists"
+            + (
+                " (options updated)"
+                if retention is not None or stmt.duplication is not None
+                else ""
+            )
+        )
 
     def _exec_delete(self, stmt: ast.Delete) -> DataFrame:
         """DELETE ts [FROM db] | DELETE db — executor-stubbed in the

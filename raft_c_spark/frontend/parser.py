@@ -29,7 +29,16 @@ from raft_c_spark.functions.timefn import now_ns
 
 
 class _Parser:
-    def __init__(self, tokens: list[Token]):
+    def __init__(self, tokens: list[Token], now: int | None = None):
+        #: pinned now() for the PARSE-TIME stamps (VALUE / '*' forms,
+        #: reference semantics src/statement_parse.c:990-991); falls
+        #: back to wall clock when unpinned. Reviewer r8: these two
+        #: forms previously ignored the engine's ``now`` pin, so
+        #: "now pins now() for deterministic tests" was false for them
+        self._now = now
+        self.__init_tokens(tokens)
+
+    def __init_tokens(self, tokens: list[Token]):
         self.toks = tokens
         self.i = 0
 
@@ -89,11 +98,27 @@ class _Parser:
             return ast.TuFunc(Fn.NOW)
         raise ParseError(f"expected time expression, got {t.value!r}", t.pos)
 
-    def _parse_number(self) -> float:
+    def _parse_number(self) -> float | int:
+        """NUMBER with optional unary minus — EXTENSION: the reference
+        lexes '-' only as a binary operator (src/statement_parse.c:137)
+        so negative literals are inexpressible there, which makes
+        negative measurements unstorable through the language; accepted
+        here. Integral literals stay Python int (reviewer r8): coercing
+        every literal to float silently rounded epoch-ns WHERE bounds —
+        doubles near 1.7e18 are spaced 256 apart — breaking the
+        integer-exact timestamp comparisons the repo's own ns rule
+        requires."""
+        neg = False
+        t = self.peek()
+        if t.type is T.BINOP and t.value == "-":
+            self.next()
+            neg = True
         t = self.next()
         if t.type is not T.NUMBER:
             raise ParseError(f"expected number, got {t.value!r}", t.pos)
-        return float(t.value)
+        text = t.value
+        v = float(text) if ("." in text or "e" in text.lower()) else int(text)
+        return -v if neg else v
 
     # -- statements --------------------------------------------------------
 
@@ -164,7 +189,9 @@ class _Parser:
                     # src/statement_parse.h:135): '*' = server-stamped
                     # now(), like the VALUE form
                     self.next()
-                    tu: ast.TimeUnit = ast.TuValue(now_ns())
+                    tu: ast.TimeUnit = ast.TuValue(
+                        self._now if self._now is not None else now_ns()
+                    )
                 else:
                     tu = self.parse_timeunit()
                 self.expect(T.COMMA)
@@ -177,7 +204,14 @@ class _Parser:
             # auto-timestamp: the reference stamps current_nanos() at
             # *parse* time (src/statement_parse.c:990-991) — replicated.
             val = self._parse_number()
-            records.append(ast.InsertRecord(ast.TuValue(now_ns()), val))
+            records.append(
+                ast.InsertRecord(
+                    ast.TuValue(
+                        self._now if self._now is not None else now_ns()
+                    ),
+                    val,
+                )
+            )
         else:
             t = self.peek()
             raise ParseError("expected VALUES or VALUE", t.pos)
@@ -321,6 +355,8 @@ class _Parser:
             raise ParseError(f"unexpected trailing input {t.value!r}", t.pos)
 
 
-def parse(query: str) -> ast.Statement:
-    """Parse one statement (stmt_parse, src/statement_parse.c:1156-1197)."""
-    return _Parser(tokenize(query)).parse()
+def parse(query: str, now: int | None = None) -> ast.Statement:
+    """Parse one statement (stmt_parse, src/statement_parse.c:1156-1197).
+    ``now`` pins the PARSE-TIME stamps of the VALUE / '*' insert forms
+    (explicit now() expressions are pinned later by eval_timeunit)."""
+    return _Parser(tokenize(query), now=now).parse()

@@ -35,16 +35,24 @@ def interval_join(
     NULL interval columns."""
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type {how!r}")
-    b = F.lit(bucket_ns)
     p = points.withColumn("_bucket", F.expr(f"{ts_col} div {bucket_ns}L"))
     iv_cols = [c for c in intervals.columns]
-    iv = intervals.withColumn(
-        "_buckets",
-        F.sequence(
-            F.expr(f"{start_col} div {bucket_ns}L"),
-            F.expr(f"{end_col} div {bucket_ns}L"),
-        ),
-    ).select(*iv_cols, F.explode("_buckets").alias("_bucket"))
+    # inverted intervals (end < start) match nothing — filtered BEFORE
+    # the bucket explode (reviewer r8: F.sequence on a descending pair
+    # generates the whole DESCENDING bucket list — one corrupt row
+    # exploded ~half a million rows per epoch-magnitude inversion
+    # before the bound filter discarded them all)
+    iv = (
+        intervals.filter(F.col(end_col) >= F.col(start_col))
+        .withColumn(
+            "_buckets",
+            F.sequence(
+                F.expr(f"{start_col} div {bucket_ns}L"),
+                F.expr(f"{end_col} div {bucket_ns}L"),
+            ),
+        )
+        .select(*iv_cols, F.explode("_buckets").alias("_bucket"))
+    )
     cond = (
         (p[key] == iv[key])
         & (p["_bucket"] == iv["_bucket"])

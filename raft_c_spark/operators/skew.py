@@ -33,7 +33,12 @@ def salted_agg(
     stage2_cols: list[Column] = []
     for name, (fn, col) in aggs.items():
         if fn == "count":
-            stage1_cols.append(F.count(F.lit(1)).alias(f"_{name}_cnt"))
+            # SQL count('*') counts rows; count(col) skips NULLs —
+            # the old F.count(lit(1)) ignored the column argument and
+            # diverged from the unsalted groupBy this decomposes
+            # (reviewer r8)
+            cnt = F.count(F.lit(1)) if col == "*" else F.count(col)
+            stage1_cols.append(cnt.alias(f"_{name}_cnt"))
             stage2_cols.append(F.sum(f"_{name}_cnt").alias(name))
         elif fn == "sum":
             stage1_cols.append(F.sum(col).alias(f"_{name}_sum"))

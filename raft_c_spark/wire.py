@@ -210,6 +210,16 @@ class _Handler(socketserver.StreamRequestHandler):
                 try:
                     req, used = decode_request(buf)
                 except WireError:
+                    if buf and not buf.startswith(b"$"):
+                        # a request must open with '$' — no amount of
+                        # further bytes can repair this frame, so
+                        # answer and close instead of blocking both
+                        # ends until 2 KB of garbage accumulates
+                        # (reviewer r8)
+                        self.wfile.write(
+                            encode_response(StringResponse("bad request", rc=1))
+                        )
+                        return
                     if len(buf) > 4 * QUERYSIZE:
                         self.wfile.write(
                             encode_response(StringResponse("bad request", rc=1))
@@ -312,16 +322,31 @@ class WireClient:
                 self._buf += chunk
 
     def execute(self, query: str):
-        """Send one query; returns StringResponse, ArrayResponse, or a
-        list of (ts, value) records for streamed results."""
+        """Send one query; returns a StringResponse (status / error) or
+        a list of (ts, value) records for point results — the SAME
+        shape whether the result is empty or streamed (reviewer r8:
+        empty point results used to come back as a bare ArrayResponse
+        while non-empty ones were a list, so ``len(...)`` worked
+        exactly until the result was empty)."""
         self.sock.sendall(encode_request(Request(query)))
         first = self._recv_one()
+        if isinstance(first, ArrayResponse):
+            return list(first.records)
         if not isinstance(first, StreamChunk):
             return first
         records = list(first.records)
         while not first.is_final:
-            first = self._recv_one()
-            records.extend(first.records)
+            nxt = self._recv_one()
+            if not isinstance(nxt, StreamChunk):
+                # server failure mid-stream (the handler's except wrote
+                # an error response between chunks): surface the actual
+                # message instead of AttributeError on .records
+                # (reviewer r8), and drop the now-desynchronized buffer
+                self._buf = b""
+                msg = getattr(nxt, "message", repr(nxt))
+                raise WireError(f"server error mid-stream: {msg}")
+            records.extend(nxt.records)
+            first = nxt
         return records
 
     def close(self) -> None:

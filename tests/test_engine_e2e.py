@@ -490,3 +490,57 @@ def test_sampled_multi_agg_through_parser(spark, tmp_path):
     ).collect()
     got = {r["timestamp"]: (r["min_value"], r["max_value"], r["avg_value"]) for r in rows}
     assert got == {10: (1.0, 9.0, 5.0), 20: (4.0, 4.0, 4.0)}
+
+
+def test_recreate_preserves_series_options(spark, tmp_path):
+    """Re-CREATE of an existing series with no options keeps its
+    retention/duplication (reviewer r8: it used to silently reset an
+    'ignore' series to 'insert'); re-CREATE with options updates only
+    the provided ones."""
+    e = Engine(spark, warehouse=str(tmp_path / "rc"))
+    e.execute("CREATEDB d")
+    e.execute("USE d")
+    e.execute("CREATE s 7d 'ignore'")
+    msg = e.execute("CREATE s").first()["status"]
+    assert "already exists" in msg
+    opts = e.catalog.series_opts("d", "s")
+    assert opts["duplication"] == "ignore"
+    assert opts["retention_ns"] == 7 * 86_400 * 10**9
+    e.execute("CREATE s 'update'")
+    opts = e.catalog.series_opts("d", "s")
+    assert opts["duplication"] == "update"
+    assert opts["retention_ns"] == 7 * 86_400 * 10**9  # kept
+
+
+def test_negative_literals_and_exact_ns_where(spark, tmp_path):
+    """Unary-minus extension + integer-exact WHERE bounds: negative
+    values insert and filter correctly, and an epoch-ns WHERE bound
+    one count away from a point must distinguish them (a float-coerced
+    bound rounds both to the same double — doubles near 1.7e18 are
+    spaced 256 apart)."""
+    e = Engine(spark, warehouse=str(tmp_path / "neg"))
+    e.execute("CREATEDB d")
+    e.execute("USE d")
+    e.execute("CREATE s")
+    t = 1_699_999_999_999_999_900
+    e.execute(f"INSERT INTO s VALUES ({t}, -2.5), ({t + 7}, 1.0)")
+    rows = _rows(e.execute("SELECT value FROM s WHERE value < -2"))
+    assert rows == [(t, -2.5)]
+    rows = _rows(
+        e.execute(f"SELECT value FROM s WHERE timestamp > {t}")
+    )
+    assert rows == [(t + 7, 1.0)]
+
+
+def test_value_insert_honors_now_pin(spark, tmp_path):
+    """The VALUE / '*' insert forms stamp at parse time (reference
+    semantics) but must honor the engine's pinned now for
+    deterministic tests (reviewer r8)."""
+    e = Engine(spark, warehouse=str(tmp_path / "pin"))
+    e.execute("CREATEDB d")
+    e.execute("USE d")
+    e.execute("CREATE s")
+    e.execute("INSERT INTO s VALUE 5", now=BASE)
+    e.execute("INSERT INTO s VALUES (*, 6)", now=BASE + 1)
+    rows = _rows(e.execute("SELECT value FROM s"))
+    assert rows == [(BASE, 5.0), (BASE + 1, 6.0)]
