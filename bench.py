@@ -130,7 +130,8 @@ def main() -> None:
     # never silently reports a disk-cache hit as the operator's cost.
     # Only _BENCH_CACHE is ever deleted (set above), never a shared
     # cache root's other entries.
-    if os.environ.get("SPARK_GRAFT_BENCH_COLD", "1") == "1":
+    cold_wiped = os.environ.get("SPARK_GRAFT_BENCH_COLD", "1") == "1"
+    if cold_wiped:
         import shutil
 
         shutil.rmtree(_BENCH_CACHE, ignore_errors=True)
@@ -188,6 +189,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
+        "cold_wiped": cold_wiped,
         "cold_total": round(sum(cold.values()), 4),
         "sf": sf,
         "passes": passes,

@@ -194,7 +194,12 @@ def ts_avg(df: DataFrame, group_by_series: bool = True) -> DataFrame:
             .agg(exact_avg("value").alias("avg_value"))
             .orderBy("series")
         )
-    return df.agg(exact_avg("value").alias("avg_value"))
+    # groupless agg on empty input yields ONE all-NULL row — drop it
+    # so the empty-input contract matches ts_min/max/latest/earliest
+    # (empty frame ≙ the reference's empty record_array_t)
+    return df.agg(exact_avg("value").alias("avg_value")).where(
+        F.col("avg_value").isNotNull()
+    )
 
 
 def ts_latest(df: DataFrame, group_by_series: bool = True) -> DataFrame:
@@ -359,7 +364,10 @@ def sample_by_fill(
     # The check lives INSIDE the sequence bound so column pruning can
     # never drop it.
     max_buckets = 10_000_000
-    n_buckets = (F.col("hi") - F.col("lo")) / F.lit(interval_ns) + 1
+    # integer div — the float form re-introduced the exact >2^53
+    # imprecision this module's ns rule exists to prevent (a 1-year
+    # span is ~3.15e16 ns; near the threshold the guard could flip)
+    n_buckets = F.expr(f"(hi - lo) div {interval_ns}L") + 1
     hi_checked = F.when(
         n_buckets > F.lit(max_buckets),
         F.raise_error(

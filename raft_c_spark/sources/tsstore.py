@@ -101,12 +101,10 @@ class TimeSeriesStore:
             # reference DP_IGNORE keeps the FIRST arrival; statement
             # order is real here (unlike a bulk frame), so pre-dedup
             # python-side before the order-free in-batch aggregate
-            seen: set[int] = set()
-            rows = [
-                (t, v)
-                for t, v in rows
-                if int(t) not in seen and not seen.add(int(t))
-            ]
+            first: dict[int, tuple[int, float]] = {}
+            for t, v in rows:
+                first.setdefault(int(t), (t, v))
+            rows = list(first.values())
         df = self.spark.createDataFrame(
             [(series, int(t), float(v)) for t, v in rows], POINT_SCHEMA
         )
@@ -163,6 +161,11 @@ class TimeSeriesStore:
         # integer `div` — float division would lose precision at
         # epoch-ns magnitudes (> 2^53)
         out = out.withColumn("day", F.expr(f"timestamp div {DAY_NS}L"))
+        # one materialization for the count AND the write (reviewer
+        # r8): without it the dedup/anti-join pipeline re-executed for
+        # each — up to 3x the batch cost on the ignore path (the
+        # touched-partition collect, the count, the write)
+        out = out.localCheckpoint(eager=True)
         n = out.count()
         if n == 0:
             # an empty partitioned write still creates the directory
@@ -274,9 +277,32 @@ class TimeSeriesStore:
 
     # -- maintenance -------------------------------------------------------
 
+    def _series_dir(self, db: str, series: str) -> str | None:
+        """Actual ``series=<escaped>`` directory for a series name.
+        Spark Hive-escapes partition values on write (':' → '%3A'
+        etc.), so joining the RAW name silently misses any series
+        with a special character (reviewer r8: drop/vacuum no-op'd) —
+        resolve by unescaping the directory names instead."""
+        import re as _re
+
+        base = self._points_path(db)
+        if not os.path.isdir(base):
+            return None
+        for d in os.listdir(base):
+            if not d.startswith("series="):
+                continue
+            raw = _re.sub(
+                "%([0-9A-Fa-f]{2})",
+                lambda m: chr(int(m.group(1), 16)),
+                d[len("series="):],
+            )
+            if raw == series:
+                return os.path.join(base, d)
+        return None
+
     def drop_series(self, db: str, series: str) -> None:
-        path = os.path.join(self._points_path(db), f"series={series}")
-        if os.path.exists(path):
+        path = self._series_dir(db, series)
+        if path is not None:
             shutil.rmtree(path)
 
     def drop_db(self, db: str) -> None:
@@ -325,8 +351,8 @@ class TimeSeriesStore:
         O(directories), no data rewrite (day granularity; read-time
         filtering handles the partial boundary day)."""
         cutoff_day = (now - retention_ns) // DAY_NS
-        base = os.path.join(self._points_path(db), f"series={series}")
-        if not os.path.exists(base):
+        base = self._series_dir(db, series)
+        if base is None:
             return
         for d in os.listdir(base):
             if d.startswith("day=") and int(d.split("=", 1)[1]) < cutoff_day:

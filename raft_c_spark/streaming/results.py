@@ -61,7 +61,12 @@ def stream_results_pumped(
     import queue
     import threading
 
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    # Python's Queue treats maxsize=0 as UNBOUNDED — exactly the
+    # opposite of a caller asking for strict lockstep (reviewer r8);
+    # clamp to 1, the tightest bound a Queue can express, keeping the
+    # "at most prefetch + 1 batches driver-side" promise (= 2 at the
+    # clamp)
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
     cancel = threading.Event()
 
     def _put(item) -> bool:

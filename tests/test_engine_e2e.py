@@ -544,3 +544,29 @@ def test_value_insert_honors_now_pin(spark, tmp_path):
     e.execute("INSERT INTO s VALUES (*, 6)", now=BASE + 1)
     rows = _rows(e.execute("SELECT value FROM s"))
     assert rows == [(BASE, 5.0), (BASE + 1, 6.0)]
+
+
+def test_drop_and_vacuum_escaped_series_names(spark, tmp_path):
+    """Series names with Hive-escaped characters (':' writes as
+    series=cpu%3Aload) must still be droppable and vacuumable —
+    joining the raw name silently no-op'd (reviewer r8)."""
+    from raft_c_spark.sources.tsstore import TimeSeriesStore
+
+    st = TimeSeriesStore(spark, str(tmp_path / "esc"))
+    day = 86_400 * 10**9
+    st.insert_rows("d", "cpu:load", [(BASE, 1.0), (BASE + 3 * day, 2.0)])
+    assert st.read("d", series="cpu:load").count() == 2
+    st.vacuum("d", "cpu:load", retention_ns=day, now=BASE + 4 * day)
+    assert st.read("d", series="cpu:load").count() == 1
+    st.drop_series("d", "cpu:load")
+    assert st.read("d", series="cpu:load").count() == 0
+
+
+def test_ts_avg_empty_input_empty_frame(spark):
+    """Groupless ts_avg on empty input returns an EMPTY frame like its
+    sibling aggregates, not one all-NULL row (reviewer r8)."""
+    from raft_c_spark.operators import tsdb
+    from raft_c_spark.sources.tsstore import POINT_SCHEMA
+
+    empty = spark.createDataFrame([], POINT_SCHEMA)
+    assert tsdb.ts_avg(empty, group_by_series=False).count() == 0
