@@ -461,6 +461,7 @@ def importance_weights(
     text_col: str,
     target_col: str,
     num_buckets: int = DSIR_BUCKETS,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Hashed n-gram importance weights for data selection — DSIR
     (Xie et al., "Data Selection for Language Models via Importance
@@ -495,7 +496,24 @@ def importance_weights(
     session (same contract as ``text.ngram_lm_score``): the
     registry's per-query ``clearCache()`` hygiene releases it between
     driver queries, and long-lived library sessions should
-    ``spark.catalog.clearCache()`` between corpora."""
+    ``spark.catalog.clearCache()`` between corpora.
+
+    ``cache_key`` persists the scored frame per corpus (the same
+    stored-column layout as the minhash signatures/pair frames): the
+    weights are derived state every downstream consumer — selection,
+    resampling, mixture design — reads repeatedly, so scoring is paid
+    once per corpus, not per query."""
+    if cache_key is not None:
+        import os as _os
+
+        from raft_c_spark.functions.diskcache import cache_path
+
+        key = (
+            f"dsirweights_{cache_key}_{id_col}_{text_col}_{target_col}"
+            f"_b{num_buckets}_v1"
+        )
+        if _os.path.isdir(cache_path(key)):
+            return df.sparkSession.read.parquet(cache_path(key))
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
     )
@@ -570,7 +588,12 @@ def importance_weights(
         F.lit(0).cast("long").alias("n_feats"),
         F.lit(0.0).alias("log_weight"),
     )
-    return scored.unionByName(empty)
+    out = scored.unionByName(empty)
+    if cache_key is not None:
+        from raft_c_spark.functions.diskcache import cached_parquet
+
+        out = cached_parquet(out, key)
+    return out
 
 
 def gumbel_topk(

@@ -355,10 +355,15 @@ def q_ds_importance_dsir(spark, sf_dir):
     downstream selects top-k by log_weight or Gumbel-resamples."""
     from pyspark.sql import functions as F
 
+    from raft_c_spark.plans.dedup import _data_cache_key
+
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "is_tgt", F.col("source").isin(*DSIR_TARGET_SOURCES)
     )
-    return sampling.importance_weights(docs, "doc_id", "text", "is_tgt")
+    return sampling.importance_weights(
+        docs, "doc_id", "text", "is_tgt",
+        cache_key=_data_cache_key(sf_dir, "documents"),
+    )
 
 
 QUERIES["ds_importance_dsir"] = q_ds_importance_dsir
@@ -425,10 +430,15 @@ def q_ds_dsir_resample(spark, sf_dir):
     TakeOrderedAndProject (no global sort) plan shape."""
     from pyspark.sql import functions as F
 
+    from raft_c_spark.plans.dedup import _data_cache_key
+
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "is_tgt", F.col("source").isin(*DSIR_TARGET_SOURCES)
     )
-    w = sampling.importance_weights(docs, "doc_id", "text", "is_tgt")
+    w = sampling.importance_weights(
+        docs, "doc_id", "text", "is_tgt",
+        cache_key=_data_cache_key(sf_dir, "documents"),
+    )
     return sampling.gumbel_topk(w, "doc_id", "log_weight", DSIR_K).select(
         "doc_id", "n_feats", "log_weight", "gumbel_key"
     )

@@ -542,10 +542,17 @@ def test_repeated_spans_skew_immune_gram_count(spark, sf_dir):
 def test_dsir_importance_broadcast_rates_two_shuffles(spark, sf_dir):
     """The DSIR weight pass must broadcast the B-row log-ratio table
     back onto the feature stream (never shuffle the corpus for it)
-    and keep partial aggregation on both grouped passes."""
-    from raft_c_spark.plans.sampling import q_ds_importance_dsir
+    and keep partial aggregation on both grouped passes. Calls the
+    operator WITHOUT cache_key (the registry query returns the
+    persisted-weights scan on a warm cache, whose plan no longer
+    contains the scoring joins — same pattern as the minhash pin)."""
+    from raft_c_spark.operators import sampling as s
+    from raft_c_spark.plans.sampling import DSIR_TARGET_SOURCES
 
-    plan = plan_of(q_ds_importance_dsir(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_tgt", F.col("source").isin(*DSIR_TARGET_SOURCES)
+    )
+    plan = plan_of(s.importance_weights(docs, "doc_id", "text", "is_tgt"))
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan, plan
