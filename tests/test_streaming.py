@@ -484,3 +484,44 @@ def test_session_window_gap_boundary(spark, tmp_path):
     # 30:00 also merges — next start == open session end); event 4 at
     # 30:01 after event 3 is past the end → new session
     assert rows == [1, 3]
+
+
+def test_stream_ingest_rejects_null_ts_consistently(spark, tmp_path):
+    """Rows with a NULL event time are rejected in EVERY batch and
+    counted in stats (reviewer r8: they were inserted when they
+    arrived in the first batch and silently dropped afterwards —
+    retention depended on arrival order)."""
+    from raft_c_spark.streaming.ingest import EVENT_SCHEMA
+
+    src = str(tmp_path / "null_src")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [
+            (1, None, 1, "click", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 10, 0), 1, "click", 2.0, "{}"),
+        ],
+        EVENT_SCHEMA,
+    )
+    _drop(b1, src, "b1")
+    store = TimeSeriesStore(spark, str(tmp_path / "wh_null"))
+    stats: dict = {}
+    stream = read_event_stream(spark, src)
+    q = stream_ingest_to_store(
+        stream, store, "ndb", str(tmp_path / "ckpt_null"), stats=stats
+    )
+    try:
+        q.processAllAvailable()
+        b2 = spark.createDataFrame(
+            [
+                (3, None, 1, "click", 3.0, "{}"),
+                (4, dt.datetime(2024, 1, 1, 10, 5), 1, "click", 4.0, "{}"),
+            ],
+            EVENT_SCHEMA,
+        )
+        _drop(b2, src, "b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    vals = sorted(r["value"] for r in store.read("ndb").collect())
+    assert vals == [2.0, 4.0]  # both null-ts rows rejected
+    assert stats.get("n_null_ts") == 2
