@@ -75,3 +75,21 @@ def cached_parquet(df: DataFrame, key: str) -> DataFrame:
         df.write.mode("overwrite").parquet(staging)
         publish_atomic(staging, final)
     return df.sparkSession.read.parquet(final)
+
+
+def data_cache_key(sf_dir: str, table: str) -> str:
+    """Cache key tied to the actual data file (basename + mtime +
+    size), so persisted indexes/signatures can NEVER go stale when the
+    driver regenerates the testdata between rounds — a new file means
+    a new key and a fresh build. Single definition (reviewer r8: two
+    verbatim copies lived in plans/dedup.py and plans/similarity.py —
+    a staleness fix to one would silently miss the other)."""
+    import os as _os
+
+    path = _os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = _os.stat(path)
+        tag = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        tag = "nofile"
+    return f"{_os.path.basename(sf_dir.rstrip('/'))}_{tag}"

@@ -769,7 +769,12 @@ def _shingle_codes(text: str, n: int) -> "np.ndarray":
 
     import numpy as np
 
-    norm = " ".join((text or "").lower().split())
+    from raft_c_spark.functions.norm import norm_ascii_ws
+
+    # ASCII-whitespace normalization — must match the SQL
+    # lower(trim(regexp_replace(text, '\\s+', ' '))) exactly
+    # (functions/norm.py; reviewer r8)
+    norm = norm_ascii_ws(text)
     if len(norm) < n:
         return np.empty(0, dtype=np.int64)
     if n == 3:

@@ -424,7 +424,12 @@ def _winnow_packed(text: str, k: int, w: int) -> "np.ndarray":
     import numpy as np
 
     pw_arr = [pow(WINNOW_B, k - 1 - j, WINNOW_M) for j in range(k)]
-    norm = " ".join((text or "").lower().split())
+    from raft_c_spark.functions.norm import norm_ascii_ws
+
+    # ASCII-whitespace normalization — must match the SQL
+    # lower(trim(regexp_replace(text, '\\s+', ' '))) exactly
+    # (functions/norm.py; reviewer r8)
+    norm = norm_ascii_ws(text)
     cps = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(
         np.int64
     )

@@ -24,19 +24,12 @@ COSINE_THRESHOLD = 0.30  # driver embeddings are random; ~top-of-distribution
 
 
 def _data_cache_key(sf_dir: str, table: str) -> str:
-    """Cache key tied to the actual data file (basename + mtime +
-    size), so persisted indexes/signatures can NEVER go stale when the
-    driver regenerates the testdata between rounds — a new file means
-    a new key and a fresh build."""
-    import os
+    """Alias of functions.diskcache.data_cache_key — the single
+    definition of the staleness contract (reviewer r8: this was one
+    of two verbatim copies)."""
+    from raft_c_spark.functions.diskcache import data_cache_key
 
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        st = os.stat(path)
-        tag = f"{int(st.st_mtime)}_{st.st_size}"
-    except OSError:
-        tag = "nofile"
-    return f"{os.path.basename(sf_dir.rstrip('/'))}_{tag}"
+    return data_cache_key(sf_dir, table)
 
 def q_dedup_exact_groups(spark, sf_dir):
     """Exact-content groups (normalized text): survivor id + group
@@ -71,8 +64,6 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     Hash-oracled: the DuckDB oracle rebuilds the same signatures from
     the shared affine-permutation constants; recall vs exact Jaccard
     additionally tested in tests/test_dedup.py."""
-    import os
-
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_perm=64, bands=8,

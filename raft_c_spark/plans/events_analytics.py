@@ -341,12 +341,22 @@ ORACLES = {
                           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
         FROM ({_EV})
     """,
+    # deterministic replay instead of DuckDB's ASOF JOIN (reviewer
+    # r8): ASOF picks an ARBITRARY click among ties at the same
+    # (user, timestamp), while the Spark asof_join deterministically
+    # carries the lexicographic max of the (click_id, click_value)
+    # struct — the lateral top-1 below replays exactly that order
     "ev_asof_purchase_click": f"""
         SELECT p.event_id, p.user_id, p.timestamp, p.value,
-               c.event_id AS click_id, c.value AS click_value
+               c.click_id, c.click_value
         FROM (SELECT * FROM ({_EV}) WHERE event_type = 'purchase') p
-        ASOF LEFT JOIN (SELECT * FROM ({_EV}) WHERE event_type = 'click') c
-          ON p.user_id = c.user_id AND c.timestamp <= p.timestamp
+        LEFT JOIN LATERAL (
+            SELECT c.event_id AS click_id, c.value AS click_value
+            FROM (SELECT * FROM ({_EV}) WHERE event_type = 'click') c
+            WHERE c.user_id = p.user_id AND c.timestamp <= p.timestamp
+            ORDER BY c.timestamp DESC, c.event_id DESC, c.value DESC
+            LIMIT 1
+        ) c ON TRUE
     """,
     "ev_type_pivot": f"""
         SELECT user_id,

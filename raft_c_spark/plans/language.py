@@ -39,10 +39,15 @@ def _engine_with_click_series(spark, sf_dir: str) -> Engine:
     from raft_c_spark.functions import diskcache
 
     # repo-local (not world-writable /tmp); rebuilt per process — this
-    # is a mutable warehouse, not an immutable derived-state cache
+    # is a mutable warehouse, not an immutable derived-state cache.
+    # Keyed by data-file identity (mtime+size), not just the sf name
+    # (reviewer r8): testdata regenerated mid-process would otherwise
+    # keep serving the stale warehouse while the oracle reads fresh
+    # parquet.
     os.makedirs(diskcache.cache_root(), exist_ok=True)
     wh = os.path.join(
-        diskcache.cache_root(), f"lang_wh_{os.path.basename(sf_dir)}"
+        diskcache.cache_root(),
+        f"lang_wh_{diskcache.data_cache_key(sf_dir, 'events')}",
     )
     if wh in _BUILT_WAREHOUSES:
         eng = Engine(spark, warehouse=wh)
@@ -71,9 +76,10 @@ def q_language_sample_by(spark, sf_dir):
 
 def q_language_where_limit(spark, sf_dir):
     """SELECT with WHERE chain + LIMIT through the parser (top-50 by
-    timestamp order of the filtered scan — LIMIT applies to the
-    timestamp-ascending result, deterministic because event
-    timestamps are unique at µs resolution)."""
+    timestamp order of the filtered scan; the engine orders by
+    (timestamp, value) and the oracle replays the same tiebreak, so
+    the 50-row boundary stays deterministic even if two clicks ever
+    share a microsecond — reviewer r8)."""
     eng = _engine_with_click_series(spark, sf_dir)
     return eng.execute(
         "SELECT value FROM click WHERE value > 50 AND value < 200 LIMIT 50"
@@ -173,7 +179,8 @@ def q_language_retention(spark, sf_dir):
 
     os.makedirs(diskcache.cache_root(), exist_ok=True)
     wh = os.path.join(
-        diskcache.cache_root(), f"lang_ret_wh_{os.path.basename(sf_dir)}"
+        diskcache.cache_root(),
+        f"lang_ret_wh_{diskcache.data_cache_key(sf_dir, 'events')}",
     )
     if wh not in _BUILT_WAREHOUSES:
         shutil.rmtree(wh, ignore_errors=True)
@@ -260,7 +267,7 @@ ORACLES = {
     "lang_where_limit": f"""
         SELECT timestamp, value FROM ({_CLICK})
         WHERE value > 50 AND value < 200
-        ORDER BY timestamp LIMIT 50
+        ORDER BY timestamp, value LIMIT 50
     """,
     "lang_multi_agg": f"""
         SELECT MIN(value) AS min_value,

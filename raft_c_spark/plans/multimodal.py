@@ -102,11 +102,26 @@ def q_mm_real_decode(spark, sf_dir):
 MM_EVERY_MS = 500  # frame-sampling stride for the real video query
 
 
-def _ground_truth_parquet(key: str, rows: list[dict], fields: list) -> str:
+def _gt_cached(key: str) -> str | None:
+    """Early cache probe for the expensive ground-truth builders:
+    callers check this BEFORE computing their row lists (reviewer r8:
+    the IVF oracle re-ran its full pure-numpy k-means replay, and the
+    mm builders re-decoded every corpus item, on every oracle_sql()
+    call even with the parquet already on disk)."""
+    import os
+
+    from raft_c_spark.functions import diskcache
+
+    final = diskcache.cache_path(key)
+    return final if os.path.exists(final) else None
+
+
+def _ground_truth_parquet(key: str, rows, fields: list) -> str:
     """Materialize ground-truth rows as parquet (pure pyarrow, no
     Spark — the oracle side runs without a session) under the
     repo-local cache, atomically; return the absolute path for
-    read_parquet()."""
+    read_parquet(). ``rows`` may be a CALLABLE returning the row
+    list — invoked only on a cache miss."""
     import os
 
     import pyarrow as pa
@@ -116,6 +131,8 @@ def _ground_truth_parquet(key: str, rows: list[dict], fields: list) -> str:
 
     final = diskcache.cache_path(key)
     if not os.path.exists(final):
+        if callable(rows):
+            rows = rows()
         os.makedirs(diskcache.cache_root(), exist_ok=True)
         staging = f"{final}.tmp.{os.getpid()}"
         pq.write_table(
@@ -399,6 +416,13 @@ def image_hashes_expected_parquet_path() -> str:
     a driver hash match therefore proves the real decode path
     reproduces the raw pixels bit-exactly AND the hash/pair logic
     agrees across engines."""
+    _k = (
+        f"expected_image_hashes_v{MM_DEDUP_VERSION}_n{MM_DEDUP_N}"
+        f"_s{MM_DEDUP_SEED}.parquet"
+    )
+    hit = _gt_cached(_k)
+    if hit is not None:
+        return hit
     from raft_c_spark.operators.multimodal import (
         ahash64_from_pixels,
         ahash_chunks,
@@ -418,8 +442,7 @@ def image_hashes_expected_parquet_path() -> str:
     import pyarrow as pa
 
     return _ground_truth_parquet(
-        f"expected_image_hashes_v{MM_DEDUP_VERSION}_n{MM_DEDUP_N}"
-        f"_s{MM_DEDUP_SEED}.parquet",
+        _k,
         rows,
         [
             ("media_id", pa.int64()),
@@ -555,6 +578,13 @@ def audio_hashes_expected_parquet_path() -> str:
     """Ground-truth energy hashes from the PRE-ENCODE PCM arrays (no
     wave codec on this side) — the audio decode-certification dual of
     image_hashes_expected_parquet_path."""
+    _k = (
+        f"expected_audio_hashes_v{MM_ADEDUP_VERSION}_n{MM_ADEDUP_N}"
+        f"_s{MM_ADEDUP_SEED}.parquet"
+    )
+    hit = _gt_cached(_k)
+    if hit is not None:
+        return hit
     from raft_c_spark.operators.multimodal import (
         ahash_chunks,
         audio_ahash64_from_pcm,
@@ -574,8 +604,7 @@ def audio_hashes_expected_parquet_path() -> str:
     import pyarrow as pa
 
     return _ground_truth_parquet(
-        f"expected_audio_hashes_v{MM_ADEDUP_VERSION}_n{MM_ADEDUP_N}"
-        f"_s{MM_ADEDUP_SEED}.parquet",
+        _k,
         rows,
         [
             ("media_id", pa.int64()),
@@ -705,6 +734,13 @@ def video_hashes_expected_parquet_path() -> str:
     """Ground-truth mean-frame hashes from the PRE-ENCODE frame
     arrays (no y4m codec on this side) — the video member of the
     decode-certification triple."""
+    _k = (
+        f"expected_video_hashes_v{MM_VDEDUP_VERSION}_n{MM_VDEDUP_N}"
+        f"_s{MM_VDEDUP_SEED}.parquet"
+    )
+    hit = _gt_cached(_k)
+    if hit is not None:
+        return hit
     from raft_c_spark.operators.multimodal import (
         ahash_chunks,
         video_ahash64_from_frames,
@@ -724,8 +760,7 @@ def video_hashes_expected_parquet_path() -> str:
     import pyarrow as pa
 
     return _ground_truth_parquet(
-        f"expected_video_hashes_v{MM_VDEDUP_VERSION}_n{MM_VDEDUP_N}"
-        f"_s{MM_VDEDUP_SEED}.parquet",
+        _k,
         rows,
         [
             ("media_id", pa.int64()),

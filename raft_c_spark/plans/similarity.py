@@ -24,19 +24,12 @@ def _query_vec(spark, sf_dir) -> list[float]:
 
 
 def _data_cache_key(sf_dir: str, table: str) -> str:
-    """Cache key tied to the actual data file (basename + mtime +
-    size), so persisted indexes/signatures can NEVER go stale when the
-    driver regenerates the testdata between rounds — a new file means
-    a new key and a fresh build."""
-    import os
+    """Alias of functions.diskcache.data_cache_key — the single
+    definition of the staleness contract (reviewer r8: this was one
+    of two verbatim copies)."""
+    from raft_c_spark.functions.diskcache import data_cache_key
 
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        st = os.stat(path)
-        tag = f"{int(st.st_mtime)}_{st.st_size}"
-    except OSError:
-        tag = "nofile"
-    return f"{os.path.basename(sf_dir.rstrip('/'))}_{tag}"
+    return data_cache_key(sf_dir, table)
 
 def q_sim_topk_exact(spark, sf_dir):
     """Brute-force cosine top-20 against vec 0 — single scan,
@@ -53,8 +46,6 @@ def q_sim_topk_lsh(spark, sf_dir):
     replays bucket membership + the exact-cosine top-k; recall vs
     exact and index-vs-inline equivalence additionally verified in
     tests."""
-    import os
-
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_bucketed_topk(
         emb,
@@ -76,8 +67,6 @@ def q_sim_topk_ivf(spark, sf_dir):
     bit-for-bit — the oracle reads that pre-computed ground truth,
     keyed to the corpus by an exact integer fingerprint. Recall on
     planted clones additionally verified in tests/test_scale_ops.py."""
-    import os
-
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         emb,
@@ -162,6 +151,9 @@ ORACLES = {
 }
 
 
+# dim=64 is the DRIVER DATA CONTRACT, pinned loudly by
+# tests/test_data_contract.py (a regenerated corpus with another
+# dim fails there, not silently here)
 def _lsh_topk_oracle(bits: int = 8, tables: int = 16, dim: int = 64) -> str:
     """DuckDB replication of lsh_bucketed_topk(bits=8, tables=16):
     regenerate the hyperplanes from the shared md5 string key
@@ -332,7 +324,7 @@ def ivf_expected_parquet_path() -> str:
     return _ground_truth_parquet(
         f"ivf_expected_v{IVF_GT_VERSION}_l{IVF_LISTS}_p{IVF_PROBE}"
         f"_s{IVF_SEED}_k{TOP_K}_{tags}.parquet",
-        _ivf_expected_rows(),
+        _ivf_expected_rows,  # thunk: only replayed on a cache miss
         [
             ("corpus_fp", pa.int64()),
             ("doc", pa.int64()),

@@ -70,6 +70,22 @@ def _state_partitions(spark, sf_dir: str) -> int:
     return min(max(STATE_FLOOR, size // (64 << 20)), max(STATE_FLOOR, cores))
 
 
+def _drain_sink(spark, name: str):
+    """Materialize the memory sink's finished frame OFF the temp view
+    and drop the view (reviewer r8: every invocation registered a
+    fresh uuid-named view whose full result stayed pinned for the
+    session — ``clearCache()`` does not drop temp views, so N bench
+    passes over 6 streaming queries pinned N × 6 result sets).
+    ``localCheckpoint`` detaches the returned frame from the view
+    before the drop."""
+    out = spark.table(name).localCheckpoint(eager=True)
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    return out
+
+
 def _ephemeral_ckpt_root() -> str | None:
     """tmpfs checkpoint root for the ephemeral replays, if the host
     has one (local-mode containers do; on a cluster the conf simply
@@ -175,7 +191,7 @@ def q_stream_tumbling_avg(spark, sf_dir):
             q.processAllAvailable()
         finally:
             q.stop()
-    out = spark.table(name)
+    out = _drain_sink(spark, name)
     return out.select(
         "series",
         (F.unix_micros(F.col("win.start")) * 1000).alias("window_start"),
@@ -228,7 +244,7 @@ def q_stream_click_attribution(spark, sf_dir):
             q.processAllAvailable()
         finally:
             q.stop()
-    return spark.table(name).select(
+    return _drain_sink(spark, name).select(
         F.col("r_event_id").alias("purchase_id"),
         F.col("l_event_id").alias("click_id"),
         F.col("r_user_id").alias("user_id"),
@@ -276,7 +292,7 @@ def q_stream_dedup(spark, sf_dir):
             q.processAllAvailable()
         finally:
             q.stop()
-    return spark.table(name).select(
+    return _drain_sink(spark, name).select(
         "event_id",
         (F.unix_micros(F.col("event_time")) * 1000).alias("ts_ns"),
         "user_id",
@@ -330,7 +346,7 @@ def q_stream_sliding_rate(spark, sf_dir):
             q.processAllAvailable()
         finally:
             q.stop()
-    out = spark.table(name)
+    out = _drain_sink(spark, name)
     return out.select(
         "series",
         (F.unix_micros(F.col("win.start")) * 1000).alias("window_start"),
@@ -381,7 +397,7 @@ def q_stream_session_window(spark, sf_dir):
             q.processAllAvailable()
         finally:
             q.stop()
-    out = spark.table(name)
+    out = _drain_sink(spark, name)
     return out.select(
         "user_id",
         (F.unix_micros(F.col("win.start")) * 1000).alias("session_start"),
@@ -502,7 +518,7 @@ def q_stream_enrich_join(spark, sf_dir):
             q.processAllAvailable()
         finally:
             q.stop()
-    return spark.table(name).select(
+    return _drain_sink(spark, name).select(
         "event_id",
         "user_id",
         "event_type",

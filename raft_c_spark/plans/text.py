@@ -50,6 +50,10 @@ def q_text_lang_profile(spark, sf_dir):
 CLEAN_MIN_QUALITY = 0.5
 CLEAN_MIN_TOKENS = 20
 CLEAN_LANGS = ("en", "de", "es", "fr", "zh")
+#: SQL literal list interpolated into the oracle (reviewer r8: the
+#: oracle hard-coded the list, so editing CLEAN_LANGS silently
+#: diverged the Spark filter from the replay)
+_CLEAN_LANGS_SQL = ", ".join(f"'{l}'" for l in CLEAN_LANGS)
 
 
 def q_text_clean_corpus(spark, sf_dir):
@@ -279,7 +283,7 @@ ORACLES = {
         FROM ({_ANALYZE_SQL})
         WHERE quality >= {CLEAN_MIN_QUALITY}
           AND n_tokens >= {CLEAN_MIN_TOKENS}
-          AND pred_lang IN ('en', 'de', 'es', 'fr', 'zh')
+          AND pred_lang IN ({_CLEAN_LANGS_SQL})
         GROUP BY fingerprint
     """,
     "text_lang_profile": f"""

@@ -446,3 +446,19 @@ def test_simhash_more_chunks_complete_superset(spark, docs):
     }
     assert p10 == exact
     sig.unpersist()
+
+
+def test_ascii_ws_normalization_matches_sql(spark):
+    """The kernels' Python normalization must agree with the SQL
+    lower(trim(regexp_replace(text, '\\s+', ' '))) on NON-ASCII
+    whitespace (U+00A0 is data to Java/RE2 \\s — reviewer r8:
+    str.split() collapsed it and the kernels diverged from their own
+    oracles)."""
+    from raft_c_spark.functions.norm import norm_ascii_ws
+
+    raw = "A B  \t C　D "
+    spark_norm = spark.sql(
+        "SELECT lower(trim(regexp_replace('" + raw + r"', '\\s+', ' '))) AS n"
+    ).first()["n"]
+    assert norm_ascii_ws(raw) == spark_norm
+    assert " " in spark_norm and "　" in spark_norm
