@@ -23,7 +23,7 @@ import os
 import tempfile
 
 
-class CatalogError(KeyError):
+class CatalogError(LookupError):
     pass
 
 

@@ -150,7 +150,7 @@ def expected_parquet_path() -> str:
     return _ground_truth_parquet(
         f"mm_decode_expected_v{MM_EXPECTED_VERSION}"
         f"_n{MM_N}_seed{MM_SEED}.parquet",
-        mm.expected_decode_stats(n=MM_N, seed=MM_SEED),
+        lambda: mm.expected_decode_stats(n=MM_N, seed=MM_SEED),
         [
             ("media_id", pa.int64()),
             ("kind", pa.string()),
@@ -172,7 +172,9 @@ def frames_expected_parquet_path() -> str:
     return _ground_truth_parquet(
         f"mm_frames_expected_v{MM_EXPECTED_VERSION}"
         f"_n{MM_N}_seed{MM_SEED}_e{MM_EVERY_MS}.parquet",
-        mm.expected_frame_stats(n=MM_N, seed=MM_SEED, every_ms=MM_EVERY_MS),
+        lambda: mm.expected_frame_stats(
+            n=MM_N, seed=MM_SEED, every_ms=MM_EVERY_MS
+        ),
         [
             ("media_id", pa.int64()),
             ("frame_idx", pa.int64()),
@@ -231,7 +233,9 @@ def resize_expected_parquet_path() -> str:
     return _ground_truth_parquet(
         f"mm_resize_expected_v{MM_EXPECTED_VERSION}"
         f"_n{MM_N}_s{MM_SEED}_{MM_RESIZE_W}x{MM_RESIZE_H}.parquet",
-        expected_resize_stats(MM_N, MM_SEED, MM_RESIZE_W, MM_RESIZE_H),
+        lambda: expected_resize_stats(
+            MM_N, MM_SEED, MM_RESIZE_W, MM_RESIZE_H
+        ),
         [
             ("media_id", pa.int64()),
             ("kind", pa.string()),
@@ -280,7 +284,7 @@ def frame_index_expected_parquet_path() -> str:
     return _ground_truth_parquet(
         f"mm_frame_index_expected_v{MM_EXPECTED_VERSION}"
         f"_n{MM_INDEX_N}_e{MM_INDEX_EVERY_MS}.parquet",
-        expected_frame_index(MM_INDEX_N, MM_INDEX_EVERY_MS),
+        lambda: expected_frame_index(MM_INDEX_N, MM_INDEX_EVERY_MS),
         [
             ("media_id", pa.int64()),
             ("mime", pa.string()),
@@ -315,7 +319,7 @@ def features_expected_parquet_path() -> str:
     return _ground_truth_parquet(
         f"mm_features_expected_v{MM_EXPECTED_VERSION}"
         f"_n{MM_FEATURES_N}_s42.parquet",
-        expected_feature_norms(MM_FEATURES_N),
+        lambda: expected_feature_norms(MM_FEATURES_N),
         [
             ("media_id", pa.int64()),
             ("kind", pa.string()),
@@ -592,6 +596,12 @@ def audio_hashes_expected_parquet_path() -> str:
 
     rows = []
     for i in range(MM_ADEDUP_N):
+        if len(_dedup_pcm(i)) < 64:
+            # kernel parity: audio_ahash EXCLUDES sub-64-sample clips
+            # (0-sentinel false-duplicate trap); dormant here — every
+            # corpus clip is ≥ 8000 samples — but the builders must
+            # mirror the kernel contract (reviewer r8)
+            continue
         a = audio_ahash64_from_pcm(_dedup_pcm(i))
         c = ahash_chunks(a)
         rows.append(
@@ -748,6 +758,8 @@ def video_hashes_expected_parquet_path() -> str:
 
     rows = []
     for i in range(MM_VDEDUP_N):
+        if _dedup_frames(i).shape[0] == 0:
+            continue  # kernel parity: zero-frame clips are excluded
         a = video_ahash64_from_frames(_dedup_frames(i))
         c = ahash_chunks(a)
         rows.append(

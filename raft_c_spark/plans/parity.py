@@ -109,27 +109,14 @@ def q_avg(spark, sf_dir):
 
 
 def _sample_exact(df, interval_ns, t0=None, t1=None):
-    """sample_by with exact-decimal bucket averages (same semantics as
-    operators.tsdb.sample_by; see its docstring for the exclusive-bound
-    rules from ts_avg_sample, src/timeseries.c:1265-1308)."""
-    out = df
-    if t0 is not None:
-        t0n = t0 - t0 % interval_ns
-        out = out.filter(F.col("timestamp") >= F.lit(t0n))
-    if t1 is not None:
-        out = out.filter(F.col("timestamp") <= F.lit(t1))
-    out = out.filter(F.col("timestamp") % F.lit(interval_ns) != 0)
-    t = F.col("timestamp")
-    out = out.withColumn(
-        "bucket_ts", t - (t % F.lit(interval_ns)) + F.lit(interval_ns)
-    )
-    if t1 is not None:
-        out = out.filter(F.col("bucket_ts") < F.lit(t1))
-    return (
-        out.groupBy("series", "bucket_ts")
-        .agg(exact_avg("value").alias("avg_value"))
-        .orderBy("series", "bucket_ts")
-    )
+    """The REAL operator, not a replica (reviewer r8: this was a
+    line-for-line re-implementation of tsdb.sample_by, so the parity
+    suite certified a copy that could silently drift — it already
+    lacked the operator's inverted-range guard). The driver queries
+    must exercise the operator the engine ships."""
+    from raft_c_spark.operators import tsdb
+
+    return tsdb.sample_by(df, interval_ns, t0=t0, t1=t1)
 
 
 def q_sample_1h(spark, sf_dir):

@@ -74,7 +74,10 @@ def q_shipping_priority(spark, sf_dir):
         F.col("c_mktsegment") == "BUILDING"
     )
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+        # Q3 uses ONE pivot date on both sides — the previous
+        # 1998-03-15 order bound (reviewer r8: copy-paste typo) kept
+        # ~half of all orders and gutted the selective-date join shape
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
     )
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
@@ -178,7 +181,7 @@ ORACLES = {
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey ASC

@@ -55,13 +55,29 @@ def main(argv: list[str] | None = None) -> int:
             rows = [r for batch in stream_results(df) for r in batch]
             print(format_rows(rows))
             return 0
-        except (ParseError, Exception) as e:  # noqa: BLE001 - REPL surface
+        except Exception as e:  # noqa: BLE001 - REPL surface
             print(f"error: {e}", file=sys.stderr)
             return 1
 
+    def _split_statements(text: str) -> list[str]:
+        """Split on ';' OUTSIDE single-quoted literals (reviewer r8:
+        a naive split broke any statement whose '...' literal
+        contains a semicolon)."""
+        parts, buf, in_q = [], [], False
+        for ch in text:
+            if ch == "'":
+                in_q = not in_q
+            if ch == ";" and not in_q:
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        parts.append("".join(buf))
+        return parts
+
     if args.command:
         rc = 0
-        for stmt in args.command.split(";"):
+        for stmt in _split_statements(args.command):
             rc |= run_one(stmt)
         spark.stop()
         return rc
