@@ -617,7 +617,13 @@ def gumbel_topk(
     Determinism contract: u is an exact rational of exact integers;
     the two ln calls may differ from another engine's libm in the
     last ulp, so the key is rounded to 8 decimals and cast to
-    DECIMAL(18,8), with the id as the total-order tiebreak.
+    DECIMAL(18,8) *for the ordering*, with the id as the total-order
+    tiebreak. The *emitted* column is that decimal cast back to
+    DOUBLE: decimal(18,8) → double is correctly rounded on every
+    engine, so the values stay bit-identical cross-engine, while the
+    serialized form avoids Decimal canonicalization differences
+    (trailing-zero/exponent forms) that trip serialized-value
+    hashing even when the decimals compare equal.
 
     Scale shape: the key is a map-only column expression and the
     top-k is an ``orderBy(...).limit(k)`` — Catalyst plans
@@ -639,4 +645,5 @@ def gumbel_topk(
         df.withColumn("gumbel_key", key)
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
         .limit(k)
+        .withColumn("gumbel_key", F.col("gumbel_key").cast("double"))
     )

@@ -449,15 +449,20 @@ QUERIES["ds_dsir_resample"] = q_ds_dsir_resample
 _DSIR_WEIGHTS_SQL = ORACLES["ds_importance_dsir"]
 
 ORACLES["ds_dsir_resample"] = f"""
-    WITH w AS ({_DSIR_WEIGHTS_SQL})
-    SELECT doc_id, n_feats, log_weight,
-           CAST(round(
-               log_weight
-               - ln(-ln((CAST('0x' || substring(
-                     md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
-                   / CAST({2**32 + 2} AS DOUBLE))),
-               8) AS DECIMAL(18,8)) AS gumbel_key
-    FROM w
-    ORDER BY gumbel_key DESC, doc_id
-    LIMIT {DSIR_K}
+    WITH w AS ({_DSIR_WEIGHTS_SQL}),
+    g AS (
+        SELECT doc_id, n_feats, log_weight,
+               CAST(round(
+                   log_weight
+                   - ln(-ln((CAST('0x' || substring(
+                         md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+                       / CAST({2**32 + 2} AS DOUBLE))),
+                   8) AS DECIMAL(18,8)) AS gk
+        FROM w
+        ORDER BY gk DESC, doc_id
+        LIMIT {DSIR_K}
+    )
+    SELECT doc_id, n_feats, log_weight, CAST(gk AS DOUBLE) AS gumbel_key
+    FROM g
+    ORDER BY gk DESC, doc_id
 """

@@ -157,6 +157,21 @@ FLAGSHIPS = [
         "partitioned store scan (day PartitionFilters + timestamp "
         "PushedFilters), dup-ignored duplicates absent by construction",
     ),
+    (
+        "ds_importance_dsir",
+        "DSIR importance weights (Xie NeurIPS'23): ONE aggregate emits "
+        "both hashed-n-gram distributions, 4096-row log-ratio table "
+        "broadcast back onto the feature stream — corpus never "
+        "re-shuffles for the rates, partial_count on both passes",
+    ),
+    (
+        "ds_dsir_resample",
+        "Gumbel-top-k resampling (Kool ICML'19): md5-keyed noise is a "
+        "map-only expression, top-k plans TakeOrderedAndProject "
+        "(per-partition heaps + k-row driver merge) — zero shuffles, "
+        "no global Sort; gumbel_key emitted as DOUBLE (decimal only "
+        "inside the ordering) so the driver hash is engine-canonical",
+    ),
 ]
 
 

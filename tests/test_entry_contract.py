@@ -84,11 +84,66 @@ def test_no_oracle_emits_hugeint(oracle_con):
     assert not bad, f"oracles with HUGEINT output columns: {bad}"
 
 
+def _decimal_leaves(dt, path):
+    """Yield dotted paths of every DecimalType inside ``dt``,
+    descending through struct/array/map so a nested decimal can't
+    hide from the sweep."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        yield path
+    elif isinstance(dt, T.StructType):
+        for f in dt.fields:
+            yield from _decimal_leaves(f.dataType, f"{path}.{f.name}")
+    elif isinstance(dt, T.ArrayType):
+        yield from _decimal_leaves(dt.elementType, f"{path}[]")
+    elif isinstance(dt, T.MapType):
+        yield from _decimal_leaves(dt.keyType, f"{path}<key>")
+        yield from _decimal_leaves(dt.valueType, f"{path}<value>")
+
+
+def assert_driver_safe_schema(df, name):
+    """Spark-side mirror of ``test_no_oracle_emits_hugeint``: the
+    driver hashes *serialized* values, and Python ``decimal.Decimal``
+    canonical forms differ between the Spark and DuckDB clients
+    (trailing-zero/exponent stringifications compare ``==`` equal but
+    hash differently) — exactly the r8 ``ds_dsir_resample`` red. Any
+    query whose Spark output schema contains a DecimalType is a
+    latent driver failure even when every value matches: fail it
+    here. Decimals stay legal *inside* a plan (exact folds, ordering
+    keys); only the driver-facing projection must be decimal-free —
+    cast to DOUBLE/BIGINT after the final round."""
+    bad = list(_decimal_leaves(df.schema, name))
+    assert not bad, (
+        f"{name}: Spark output schema contains DecimalType at {bad}; "
+        "cast to DOUBLE (or drop) in the final select — serialized "
+        "Decimal forms are not engine-canonical and break the "
+        "driver's value hash"
+    )
+
+
+def test_no_query_emits_decimal(spark):
+    """Sweep EVERY registered query (not just the 50-query driver
+    window — rotation means any query can enter the window later) for
+    driver-hash-hostile Spark output types. Schema inspection only
+    triggers analysis, not execution, so the whole-registry sweep is
+    cheap for batch queries; streaming queries run their micro-batch
+    eagerly at construction but at sf0.001 that is seconds."""
+    qs = entrymod.queries()
+    bad = {}
+    for name, fn in qs.items():
+        leaves = list(_decimal_leaves(fn(spark, SF_DIR).schema, name))
+        if leaves:
+            bad[name] = leaves
+    assert not bad, f"queries with Decimal output columns: {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
 def test_query_matches_oracle(spark, oracle_con, name):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     df = qs[name](spark, SF_DIR)
+    assert_driver_safe_schema(df, name)
     if name not in oracles:
         assert df.count() >= 0  # rows-only check, like the driver
         return
