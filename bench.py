@@ -177,6 +177,20 @@ def main() -> None:
     calib = calib_median()
     total = round(sum(timings.values()), 4)
     sf = _sf_from_dir(SF_DIR)
+    # per-query structural floor, measured THIS run/epoch (judge r8
+    # ask #8): the cheapest realistic registry shape is scan→noop —
+    # fixed job overhead + one parquet scan, no real operator work
+    # (BASELINE.md "Per-query floor decomposition" measured the same
+    # at 0.25-0.4 s). At 118 queries the floor is ~1/3 of the warm
+    # total, so round-over-round deltas on the raw total mostly track
+    # registry growth + epoch speed; floor_adjusted_value is the
+    # plans-only signal.
+    floor_samples = []
+    for _ in range(3):
+        f0 = time.perf_counter()
+        run_query(load_table(spark, SF_DIR, "documents"))
+        floor_samples.append(round(time.perf_counter() - f0, 4))
+    floor = min(floor_samples)
     # complete artifact (full precision, every query) → repo-root file:
     # the driver's stdout record keeps only the LAST 2000 CHARS, so the
     # final printed line must stay under that — the full per-query map
@@ -201,6 +215,14 @@ def main() -> None:
         # runtime (plan-module import failure) and the externally
         # verified window silently shrank — surfaced per advisor r6
         "skipped_swaps": _skipped_swaps(),
+        # measured-this-run scan→noop floor and the floor-adjusted
+        # total: value − floor × n_queries (plan cost net of the
+        # per-query structural overhead that scales with registry
+        # size, not with plan quality)
+        "floor_sec_per_query": floor,
+        "floor_samples": floor_samples,
+        "floor_total": round(floor * len(timings), 2),
+        "floor_adjusted_value": round(total - floor * len(timings), 2),
     }
     # the committed artifact is the sf0.1 run; other scales (e.g. the
     # sf0.01 preflight smoke) write a suffixed file so they can never
@@ -242,6 +264,7 @@ def main() -> None:
                 "sf": sf,
                 "tpch_sec": tpch,
                 "calib_sec": calib,
+                "floor_adj": round(total - floor * len(timings), 2),
                 "full": "BENCH_FULL.json",
                 # only surfaced when something actually failed to
                 # resolve (keeps the tail-window line small)

@@ -222,6 +222,49 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # r6+r7, within-family — the two-phase prefix rank stays pinned by
     # pytest and the sampling family keeps eight other in-window slots.
     ("ds_shard_manifest", "ds_dsir_resample"),
+    # -- round-9 freshness batch (judge r8 ask #5): with zero
+    # never-driver-green queries left, rotation switches from
+    # "get everything verified once" to "keep demoted-green claims
+    # fresh" — every query whose NEWEST driver row is r4 or older
+    # (the r1 ev_* quartet, the r2 tpch tail, the r4 ts/lang batch —
+    # 29 queries) re-enters the window this round. Each demoted slot
+    # is driver-green in r8 (most in 3-8 consecutive rounds) and its
+    # family keeps in-window representatives: lang keeps retention +
+    # the three promoted lang_*; ts gains six ts_* slots; dedup keeps
+    # repeated_spans/containment/semantic + the mm dedup triple; sim
+    # keeps topk_ivf/cluster_assign; text keeps lm_score; streaming
+    # keeps sliding_rate/session_window/enrich_join; ev keeps
+    # anomaly_mad/session_attribution + the four promoted ev_*; ds
+    # keeps dataset_card/epoch_upsample/importance_dsir/dsir_resample.
+    ("lang_sample_by", "ev_distinct_users"),
+    ("lang_multi_agg", "ev_running_value"),
+    ("lang_sample_fill", "ev_topk_per_user"),
+    ("ts_sample_fill", "ev_type_pivot"),
+    ("tpch_waiting_supplier", "tpch_brand_part_stats"),
+    ("dedup_ngram_jaccard", "tpch_customer_order_distribution"),
+    ("dedup_minhash_lsh", "tpch_disjunctive_revenue"),
+    ("dedup_simhash", "tpch_forecast_revenue"),
+    ("dedup_embedding_lsh", "tpch_inactive_high_balance"),
+    ("dedup_components", "tpch_large_volume_orders"),
+    ("dedup_best_survivor", "tpch_local_supplier_volume"),
+    ("dedup_minhash_incr", "tpch_nation_volume_shipping"),
+    ("dedup_ngram_word", "tpch_national_market_share"),
+    ("text_analyze", "tpch_priority_late_orders"),
+    ("text_clean_corpus", "tpch_priority_linestatus"),
+    ("sim_topk_exact", "tpch_promo_revenue_share"),
+    ("sim_topk_lsh", "tpch_returned_item_customers"),
+    ("sim_quantize_int8", "tpch_small_quantity_revenue"),
+    ("sim_topk_ivf_full", "tpch_top_supplier"),
+    ("sim_knn_join_lsh", "lang_at_lookup"),
+    ("stream_tumbling_avg", "lang_earliest_k"),
+    ("stream_click_attribution", "lang_sample_multi"),
+    ("ds_pipeline_e2e", "ts_avg"),
+    ("ds_bloom_decontaminate", "ts_earliest"),
+    ("ev_cohort_retention", "ts_latest"),
+    ("ev_rolling_zscore", "ts_latest_k"),
+    ("ev_approx_profile", "ts_max"),
+    ("ds_temperature_mixture", "ts_min"),
+    ("ds_split_leakage_safe", "ts_sample_1h"),
 ]
 
 

@@ -16,6 +16,39 @@ from pathlib import Path
 #: number of registry-ordered queries the external driver hash-checks
 WINDOW = 50
 
+#: freshness bound (judge r8 ask #5): an out-of-window query whose
+#: NEWEST driver row is more than this many rounds behind the newest
+#: artifact must rotate back into the window — demoted-green claims
+#: decay as the code under them keeps changing. In-window queries are
+#: exempt (the upcoming driver run refreshes them by definition).
+STALE_AFTER = 4
+
+
+def newest_driver_round(repo_root: str | Path) -> int:
+    """Round number of the newest CORRECTNESS artifact (0 if none)."""
+    arts = correctness_artifacts(repo_root)
+    return max(
+        (int(re.search(r"r0*(\d+)", p.stem).group(1)) for p in arts),
+        default=0,
+    )
+
+
+def stale_out_of_window(
+    repo_root: str | Path, ordering: list[str]
+) -> list[tuple[int, str]]:
+    """(newest_row_round, query) for every query OUTSIDE the current
+    window whose newest driver row is more than ``STALE_AFTER`` rounds
+    behind the newest artifact — the rotation debt the next round's
+    swap batch must clear."""
+    rows = driver_rows(repo_root)
+    cutoff = newest_driver_round(repo_root) - STALE_AFTER
+    out = []
+    for q in ordering[WINDOW:]:
+        newest = max(rows.get(q, {}), default=0)
+        if newest < cutoff:
+            out.append((newest, q))
+    return sorted(out)
+
 
 def correctness_artifacts(repo_root: str | Path) -> list[Path]:
     return sorted(

