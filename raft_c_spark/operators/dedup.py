@@ -1860,3 +1860,112 @@ def repeated_substring_spans(
             F.col("n_grams").cast("long").alias("n_grams"),
         )
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 12,
+) -> DataFrame:
+    """Segment-level exact dedup: cut every document into
+    non-overlapping ``seg_tokens``-word segments, keep only the FIRST
+    corpus-wide occurrence of each distinct segment (ordered by
+    (doc, position)), and reassemble the surviving segments into a
+    cleaned text. This is the line/paragraph dedup stage of C4 and
+    CCNet (Raffel et al. JMLR'20 §2.2 "three-sentence span" dedup,
+    Wenzek et al. LREC'20 per-paragraph hash dedup — public papers)
+    generalized to token windows, since not every corpus carries
+    newline structure; a real deployment passes its own segmenter
+    upstream and this operator dedups whatever segments arrive.
+
+    Scale shape (the repeated-spans pattern): segments are a map-side
+    posexplode; the first-occurrence table is ONE map-side-combined
+    ``min(struct(doc, pos))`` aggregate on a 128-bit xxhash64 segment
+    key — partial aggregation reduces a hot boilerplate segment (the
+    Zipfian hazard at 100 TB) to one candidate row per map task
+    before the shuffle, never a ``Window.partitionBy(segment)``. The
+    winner table (one narrow row per DISTINCT segment) is persisted
+    and broadcast under the measured row cap so the probe stream
+    never shuffles for the keep-test; above the cap it falls back to
+    a shuffle equi-join that AQE skew-splits. Reassembly is one
+    aggregate keyed by doc (collect_list skips the dropped segments'
+    nulls; segment order restored by array_sort on pos).
+    """
+    if seg_tokens < 1:
+        raise ValueError("seg_tokens must be >= 1")
+    k = seg_tokens
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+    base = _widen(
+        df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
+    )
+    n_segs = F.ceil(F.size("toks") / F.lit(k)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda j: F.concat_ws(" ", F.slice("toks", j * k + 1, k)),
+    )
+    segments = base.filter(F.size("toks") > 0).select(
+        "doc",
+        F.posexplode(segs).alias("pos", "seg"),
+    )
+    hashed = segments.select(
+        "doc",
+        F.col("pos").cast("long").alias("pos"),
+        "seg",
+        F.xxhash64("seg").alias("h1"),
+        F.xxhash64("seg", F.lit(1)).alias("h2"),
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    firsts = (
+        hashed.groupBy("h1", "h2")
+        .agg(F.min(F.struct("doc", "pos")).alias("first"))
+        .select(
+            "h1",
+            "h2",
+            F.col("first.doc").alias("f_doc"),
+            F.col("first.pos").alias("f_pos"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    side = firsts
+    if firsts.count() <= _BROADCAST_MAX_BANDED_ROWS:
+        side = F.broadcast(firsts)
+    flagged = hashed.join(side, ["h1", "h2"]).select(
+        "doc",
+        "pos",
+        "seg",
+        (
+            (F.col("doc") == F.col("f_doc")) & (F.col("pos") == F.col("f_pos"))
+        ).alias("keep"),
+    )
+    assembled = flagged.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "seg"))
+                    )
+                ),
+                lambda x: x["seg"],
+            ),
+        ).alias("clean_text"),
+    )
+    # zero-token documents produce no segments; they pass through
+    # untouched (empty clean text) so the output covers every input
+    # row — map-only union, no join back onto the corpus
+    empty = base.filter(F.size("toks") == 0).select(
+        "doc",
+        F.lit(0).cast("long").alias("n_segments"),
+        F.lit(0).cast("long").alias("n_kept"),
+        F.lit("").alias("clean_text"),
+    )
+    return assembled.unionByName(empty).select(
+        F.col("doc").alias(id_col),
+        "clean_text",
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )

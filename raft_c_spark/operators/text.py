@@ -816,3 +816,203 @@ def ngram_lm_score(
         )
         .select(F.col("doc").alias(id_col), "n_bigrams", "xent")
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style heuristic document filters (Rae et al., "Scaling
+    Language Models: ... Gopher", arXiv 2112.11446 §A1.1 — public):
+    per-document rule booleans plus the conjunction, the standard
+    pre-training quality gate applied before model-based scoring.
+    Rules (thresholds parameterized, defaults per the paper):
+
+    - word count within [min_words, max_words]
+    - mean word length within [min_mean_word_len, max_mean_word_len]
+    - symbol-to-word ratio (``#`` and ``...``) <= max_symbol_ratio
+    - fraction of words containing >= 1 alphabetic char
+      >= min_alpha_word_ratio
+    - >= min_stopword_hits occurrences from a fixed English stopword
+      probe (the paper uses {the, be, to, of, and, that, have, with})
+
+    Scale shape: every rule is a codegen column expression over one
+    scan — map-only, zero shuffles, zero Python. At 100 TB this runs
+    at scan parallelism and fuses into whatever projection follows.
+    """
+    words = whitespace_token_count(F.col(text_col))
+    n_chars_in_words = F.length(
+        F.regexp_replace(F.col(text_col), r"\s+", "")
+    )
+    mean_wl = n_chars_in_words.cast("double") / F.greatest(words, F.lit(1))
+    symbols = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.")).cast(
+        "double"
+    )
+    alpha_words = F.regexp_count(
+        F.col(text_col), F.lit(r"(^|\s)\S*[A-Za-z]\S*")
+    )
+    gopher_sw = r"\b(the|be|to|of|and|that|have|with)\b"
+    sw_hits = F.regexp_count(F.lower(F.col(text_col)), F.lit(gopher_sw))
+    r_words = (words >= min_words) & (words <= max_words)
+    r_wordlen = (mean_wl >= min_mean_word_len) & (
+        mean_wl <= max_mean_word_len
+    )
+    r_symbol = (symbols / F.greatest(words, F.lit(1))) <= max_symbol_ratio
+    r_alpha = (
+        alpha_words.cast("double") / F.greatest(words, F.lit(1))
+    ) >= min_alpha_word_ratio
+    r_stop = sw_hits >= min_stopword_hits
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        r_words.alias("rule_word_count"),
+        r_wordlen.alias("rule_mean_word_len"),
+        r_symbol.alias("rule_symbol_ratio"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_wordlen & r_symbol & r_alpha & r_stop).alias(
+            "passes_gopher"
+        ),
+    )
+
+
+def ngram_overlap_contamination(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination by n-gram OVERLAP RATIO (the GPT-3
+    appendix-C / Brown et al. 2020 method — public): for every
+    training document, the fraction of its DISTINCT word n-grams that
+    also occur anywhere in the eval corpus; documents above
+    ``threshold`` are flagged. Complements the exact-membership
+    ``decontaminate`` / ``bloom_decontaminate`` (those ask "does any
+    eval gram appear"; this measures HOW contaminated a doc is, the
+    signal used to drop vs trim).
+
+    Scale shape: both sides reduce to distinct 128-bit gram keys
+    (train side per (doc, gram) via one map-side-combined aggregate,
+    eval side per gram); the eval key set is persisted + broadcast
+    under the measured row cap (shuffle equi-join fallback above), so
+    the train stream joins without shuffling; one final per-doc count
+    aggregate. The heavy gram strings never leave the map side —
+    only 16 B hash pairs travel.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from raft_c_spark.operators.dedup import (
+        _BROADCAST_MAX_BANDED_ROWS,
+        _widen,
+    )
+
+    def grams(frame: DataFrame, idc, txt) -> DataFrame:
+        toks = F.regexp_extract_all(
+            F.lower(F.col(txt)), F.lit("[a-z0-9]+"), F.lit(0)
+        )
+        base = _widen(
+            frame.select(F.col(idc).alias("doc"), toks.alias("toks"))
+        ).filter(F.size("toks") >= n)
+        g = F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+        )
+        return base.select("doc", F.explode(g).alias("gram")).select(
+            "doc",
+            F.xxhash64("gram").alias("h1"),
+            F.xxhash64("gram", F.lit(1)).alias("h2"),
+        )
+
+    from pyspark.storagelevel import StorageLevel
+
+    eval_keys = (
+        grams(eval_df, id_col, text_col)
+        .select("h1", "h2")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    side = eval_keys
+    if eval_keys.count() <= _BROADCAST_MAX_BANDED_ROWS:
+        side = F.broadcast(eval_keys)
+    train = grams(df, id_col, text_col).distinct()
+    hit = side.withColumn("hit", F.lit(1))
+    scored = (
+        train.join(hit, ["h1", "h2"], "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    ratio = F.col("n_hit").cast("double") / F.col("n_grams")
+    return scored.select(
+        F.col("doc").alias(id_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.round(ratio, 8).alias("overlap_ratio"),
+        (ratio > threshold).alias("contaminated"),
+    )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    lo: float = 0.25,
+    hi: float = 0.75,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. LREC'20 —
+    public): score every document with the corpus-trained bigram LM
+    (``ngram_lm_score``), cut each language's score distribution at
+    the ``lo``/``hi`` exact percentiles, and report per
+    (lang, bucket) counts and score spread — head (fluent) / middle /
+    tail (gibberish), the partition CCNet uses to keep head+middle
+    for pre-training. 0.25/0.75 instead of the paper's tertiles: both
+    fractions are exactly representable doubles, so the interpolated
+    cut is bit-identical across engines.
+
+    Scale shape: LM scoring is the lm_score plan (two map-side-
+    combined count aggregates + natural-key joins); the cut table is
+    one exact-percentile aggregate keyed by language — languages are
+    a bounded, small set, and the L-row cut table broadcasts back.
+    The bucket median uses the same exact-percentile path —
+    deterministic where a bucket avg over doubles would be partition-
+    order-dependent. Exact percentiles hold whole groups: this is the
+    audit-scale companion, swap percentile→percentile_approx at
+    100 TB (the ev_approx_profile pattern).
+    """
+    scored = ngram_lm_score(df, id_col, text_col).join(
+        df.select(F.col(id_col), F.col(lang_col).alias("lang")), [id_col]
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.expr(f"percentile(xent, {lo})").alias("cut_lo"),
+        F.expr(f"percentile(xent, {hi})").alias("cut_hi"),
+    )
+    bucketed = scored.join(F.broadcast(cuts), ["lang"]).withColumn(
+        "bucket",
+        F.when(F.col("xent") <= F.col("cut_lo"), F.lit("head"))
+        .when(F.col("xent") <= F.col("cut_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("percentile(xent, 0.5)").alias("median_xent"),
+            F.min("xent").alias("min_xent"),
+            F.max("xent").alias("max_xent"),
+        )
+        .orderBy("lang", "bucket")
+    )

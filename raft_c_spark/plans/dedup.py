@@ -402,3 +402,62 @@ ORACLES["dedup_embedding_lsh"] = _embedding_lsh_oracle()
 # wraps the same replayed pair SQL the dedup_minhash_lsh oracle
 # validates
 ORACLES["dedup_components"] = _components_oracle(_minhash_oracle())
+
+
+SEG_TOKENS = 3  # the synthetic corpus has no newline/paragraph
+# structure and a small vocabulary, so 3-word segments give a real
+# duplication rate (~19% at sf0.01) — a production corpus would pass
+# paragraph-sized segments
+
+
+def q_dedup_segments(spark, sf_dir):
+    """Segment-level exact dedup (C4 three-sentence-span / CCNet
+    paragraph-hash dedup, generalized to token windows): keep the
+    first corpus-wide occurrence of every distinct 3-word segment and
+    reassemble each document's surviving text. See
+    operators.dedup.segment_dedup for the skew-immune aggregate +
+    measured-cap broadcast shape."""
+    from raft_c_spark.operators.dedup import segment_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_dedup(docs, "doc_id", "text", seg_tokens=SEG_TOKENS)
+
+
+QUERIES["dedup_segments"] = q_dedup_segments
+
+ORACLES["dedup_segments"] = rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, j AS pos,
+               array_to_string(
+                   list_slice(toks, j * {SEG_TOKENS} + 1,
+                              j * {SEG_TOKENS} + {SEG_TOKENS}), ' ') AS seg
+        FROM t, unnest(generate_series(
+                 0, CAST(ceil(len(toks) / {SEG_TOKENS}.0) AS INT) - 1)
+             ) AS u(j)
+        WHERE len(toks) > 0
+    ),
+    keep AS (
+        SELECT doc_id, pos, seg,
+               row_number() OVER (
+                   PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        FROM seg
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                                   ORDER BY pos), '') AS clean_text
+        FROM keep GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.n_segments, 0) AS n_segments,
+           coalesce(a.n_kept, 0) AS n_kept
+    FROM t LEFT JOIN agg a USING (doc_id)
+"""

@@ -30,37 +30,66 @@ T1_NS = 1_706_140_800_000_000_000  # 2024-01-25 UTC
 _BUILT_WAREHOUSES: set[str] = set()
 
 
+def _warehouse_path(sf_dir: str, prefix: str) -> str:
+    """Cache-root path for a query-language warehouse, keyed by
+    data-file identity (mtime+size) so a regenerated testdata file
+    means a fresh build. The ``2`` in the prefix versions the atomic-
+    build contract below: pre-r9 builds wrote in place, so a crashed
+    old process could leave a PARTIAL directory — those legacy names
+    are never trusted."""
+    from raft_c_spark.functions import diskcache
+
+    os.makedirs(diskcache.cache_root(), exist_ok=True)
+    return os.path.join(
+        diskcache.cache_root(),
+        f"{prefix}2_{diskcache.data_cache_key(sf_dir, 'events')}",
+    )
+
+
+def _build_warehouse_atomic(wh: str, build) -> None:
+    """Build an IMMUTABLE warehouse once per key with the diskcache
+    atomic-publish contract: ``build(staging_dir)`` writes a complete
+    warehouse into a private staging path, which is then os.replace'd
+    into place — a concurrent process (r9: two pytest halves sharing
+    the repo cache root raced rmtree-rebuild against a reader and
+    lang_retention flaked) either wins the publish or discards its
+    staging copy; a directory at ``wh`` is therefore always complete.
+    The lang warehouses qualify as immutable: every ingest happens
+    inside ``build``, queries only read."""
+    from raft_c_spark.functions import diskcache
+
+    if wh in _BUILT_WAREHOUSES or os.path.isdir(wh):
+        _BUILT_WAREHOUSES.add(wh)
+        return
+    staging = f"{wh}.tmp.{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    build(staging)
+    diskcache.publish_atomic(staging, wh)
+    _BUILT_WAREHOUSES.add(wh)
+
+
 def _engine_with_click_series(spark, sf_dir: str) -> Engine:
     """Warehouse with the 'click' series bulk-ingested from the events
     table (store path: series+day partitioned parquet, sort-on-write).
-    Built fresh once per process, then shared by the lang_* queries —
-    they read the same immutable series, and re-ingesting per query
-    would triple the ingest cost without testing anything new."""
-    from raft_c_spark.functions import diskcache
+    Built atomically once per data key, then shared by the lang_*
+    queries — they read the same immutable series, and re-ingesting
+    per query would triple the ingest cost without testing anything
+    new."""
+    wh = _warehouse_path(sf_dir, "lang_wh")
 
-    # repo-local (not world-writable /tmp); rebuilt per process — this
-    # is a mutable warehouse, not an immutable derived-state cache.
-    # Keyed by data-file identity (mtime+size), not just the sf name
-    # (reviewer r8): testdata regenerated mid-process would otherwise
-    # keep serving the stale warehouse while the oracle reads fresh
-    # parquet.
-    os.makedirs(diskcache.cache_root(), exist_ok=True)
-    wh = os.path.join(
-        diskcache.cache_root(),
-        f"lang_wh_{diskcache.data_cache_key(sf_dir, 'events')}",
-    )
-    if wh in _BUILT_WAREHOUSES:
-        eng = Engine(spark, warehouse=wh)
+    def build(staging: str) -> None:
+        eng = Engine(spark, warehouse=staging)
+        eng.execute("CREATEDB metrics")
         eng.execute("USE metrics")
-        return eng
-    shutil.rmtree(wh, ignore_errors=True)
+        eng.execute("CREATE click")
+        pts = events_as_points(spark, sf_dir).filter(
+            F.col("series") == "click"
+        )
+        eng.store.insert_df("metrics", pts)
+
+    _build_warehouse_atomic(wh, build)
     eng = Engine(spark, warehouse=wh)
-    eng.execute("CREATEDB metrics")
     eng.execute("USE metrics")
-    eng.execute("CREATE click")
-    pts = events_as_points(spark, sf_dir).filter(F.col("series") == "click")
-    eng.store.insert_df("metrics", pts)
-    _BUILT_WAREHOUSES.add(wh)
     return eng
 
 
@@ -175,16 +204,10 @@ def q_language_retention(spark, sf_dir):
     events: a broken dup policy doubles rows or poisons values, a
     broken retention filter changes the row set — either flips the
     driver hash."""
-    from raft_c_spark.functions import diskcache
+    wh = _warehouse_path(sf_dir, "lang_ret_wh")
 
-    os.makedirs(diskcache.cache_root(), exist_ok=True)
-    wh = os.path.join(
-        diskcache.cache_root(),
-        f"lang_ret_wh_{diskcache.data_cache_key(sf_dir, 'events')}",
-    )
-    if wh not in _BUILT_WAREHOUSES:
-        shutil.rmtree(wh, ignore_errors=True)
-        eng = Engine(spark, warehouse=wh)
+    def build(staging: str) -> None:
+        eng = Engine(spark, warehouse=staging)
         eng.execute("CREATEDB rmetrics")
         eng.execute("USE rmetrics")
         eng.execute(f"CREATE clickr {RET_DAYS}d 'ignore'", now=RET_NOW_NS)
@@ -212,10 +235,10 @@ def q_language_retention(spark, sf_dir):
             pts.withColumn("value", F.col("value") + F.lit(RET_POISON)),
             duplication="ignore",
         )
-        _BUILT_WAREHOUSES.add(wh)
-    else:
-        eng = Engine(spark, warehouse=wh)
-        eng.execute("USE rmetrics")
+
+    _build_warehouse_atomic(wh, build)
+    eng = Engine(spark, warehouse=wh)
+    eng.execute("USE rmetrics")
     return eng.execute("SELECT value FROM clickr", now=RET_NOW_NS)
 
 

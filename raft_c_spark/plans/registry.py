@@ -265,6 +265,19 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("ev_approx_profile", "ts_max"),
     ("ds_temperature_mixture", "ts_min"),
     ("ds_split_leakage_safe", "ts_sample_1h"),
+    # -- round-9 new operators (never driver-verified → in-window
+    # immediately; four this round — dedup_segments,
+    # text_gopher_rules, ds_contamination_overlap, ds_ccnet_buckets —
+    # the latter two land in-window by module position). Net effect
+    # at HEAD (verified by the roster dump in ROUND9.md): the four
+    # demoted slots are dedup_containment and the mm
+    # image/audio/video dedup triple, every one driver-green r7+r8;
+    # mm keeps features + frame_index in-window, dedup keeps
+    # repeated_spans/semantic + the new segment dedup, and the
+    # pigeonhole pair-join shape the mm triple shares stays pinned by
+    # tests/test_multimodal.py + test_plan_quality.py.
+    ("mm_frame_index", "dedup_segments"),
+    ("dedup_semantic", "text_gopher_rules"),
 ]
 
 

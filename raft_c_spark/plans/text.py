@@ -454,3 +454,164 @@ ORACLES["text_lm_score"] = """
     CROSS JOIN v
     GROUP BY o.doc_id
 """
+
+
+def q_text_gopher_rules(spark, sf_dir):
+    """Gopher heuristic quality gate (Rae et al. 2021 §A1.1): the five
+    standard rule booleans + the conjunction, one map-only codegen
+    projection over the scan — see operators.text.gopher_rules.
+    min_words lowered to 10 for the short synthetic docs (the default
+    50 is the paper's web-page threshold)."""
+    from raft_c_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs, min_words=10)
+
+
+QUERIES["text_gopher_rules"] = q_text_gopher_rules
+
+ORACLES["text_gopher_rules"] = r"""
+    WITH m AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\S+')) AS n_words,
+               length(regexp_replace(text, '\s+', '', 'g')) AS wchars,
+               len(regexp_extract_all(text, '#|\.\.\.')) AS symbols,
+               len(regexp_extract_all(text, '(^|\s)\S*[A-Za-z]\S*'))
+                   AS alpha_words,
+               len(regexp_extract_all(lower(text),
+                   '\b(the|be|to|of|and|that|have|with)\b')) AS sw_hits
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               round(CAST(wchars AS DOUBLE) / greatest(n_words, 1), 6)
+                   AS mean_word_len,
+               n_words >= 10 AND n_words <= 100000 AS rule_word_count,
+               CAST(wchars AS DOUBLE) / greatest(n_words, 1) >= 3.0
+                   AND CAST(wchars AS DOUBLE) / greatest(n_words, 1) <= 10.0
+                   AS rule_mean_word_len,
+               CAST(symbols AS DOUBLE) / greatest(n_words, 1) <= 0.1
+                   AS rule_symbol_ratio,
+               CAST(alpha_words AS DOUBLE) / greatest(n_words, 1) >= 0.8
+                   AS rule_alpha_words,
+               sw_hits >= 2 AS rule_stopwords
+        FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, rule_word_count,
+           rule_mean_word_len, rule_symbol_ratio, rule_alpha_words,
+           rule_stopwords,
+           rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+               AND rule_alpha_words AND rule_stopwords AS passes_gopher
+    FROM r
+"""
+
+
+#: eval/benchmark slice for the overlap-ratio decontamination query —
+#: disjoint from DSIR_TARGET_SOURCES (src0/src1) so the two "special
+#: slice" queries don't shadow each other
+OVERLAP_EVAL_SOURCES = ("src18", "src19")
+OVERLAP_N = 3  # 13 in production; the synthetic docs are short
+OVERLAP_THRESHOLD = 0.5
+
+
+def q_ds_contamination_overlap(spark, sf_dir):
+    """GPT-3-style benchmark decontamination by n-gram overlap ratio:
+    fraction of each training doc's distinct 3-grams occurring in the
+    held-out eval slice, flagged above 50% — see
+    operators.text.ngram_overlap_contamination for the broadcast
+    key-set shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("source").isin(*OVERLAP_EVAL_SOURCES)
+    return text.ngram_overlap_contamination(
+        docs.filter(~is_eval),
+        docs.filter(is_eval),
+        "doc_id",
+        "text",
+        n=OVERLAP_N,
+        threshold=OVERLAP_THRESHOLD,
+    )
+
+
+QUERIES["ds_contamination_overlap"] = q_ds_contamination_overlap
+
+ORACLES["ds_contamination_overlap"] = rf"""
+    WITH tr AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+        WHERE source NOT IN {OVERLAP_EVAL_SOURCES!r}
+    ),
+    ev AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+        WHERE source IN {OVERLAP_EVAL_SOURCES!r}
+    ),
+    tg AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(
+                   list_slice(toks, i, i + {OVERLAP_N - 1}), ' ') AS gram
+        FROM tr, unnest(generate_series(1, len(toks) - {OVERLAP_N - 1}))
+                 AS u(i)
+        WHERE len(toks) >= {OVERLAP_N}
+    ),
+    eg AS (
+        SELECT DISTINCT
+               array_to_string(
+                   list_slice(toks, i, i + {OVERLAP_N - 1}), ' ') AS gram
+        FROM ev, unnest(generate_series(1, len(toks) - {OVERLAP_N - 1}))
+                 AS u(i)
+        WHERE len(toks) >= {OVERLAP_N}
+    ),
+    s AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+        FROM tg t LEFT JOIN eg e USING (gram)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_grams, n_hit,
+           round(CAST(n_hit AS DOUBLE) / n_grams, 8) AS overlap_ratio,
+           CAST(n_hit AS DOUBLE) / n_grams > {OVERLAP_THRESHOLD}
+               AS contaminated
+    FROM s
+"""
+
+
+def q_ds_ccnet_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing: bigram-LM score per doc, per-lang
+    exact-percentile cuts at 0.25/0.75, per (lang, bucket) counts +
+    median/min/max — see operators.text.ccnet_perplexity_buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ccnet_perplexity_buckets(docs)
+
+
+QUERIES["ds_ccnet_buckets"] = q_ds_ccnet_buckets
+
+ORACLES["ds_ccnet_buckets"] = f"""
+    WITH w AS ({ORACLES["text_lm_score"]}),
+    s AS (
+        SELECT w.doc_id, w.xent, d.lang
+        FROM w JOIN documents d USING (doc_id)
+    ),
+    c AS (
+        SELECT lang,
+               quantile_cont(xent, 0.25) AS cut_lo,
+               quantile_cont(xent, 0.75) AS cut_hi
+        FROM s GROUP BY lang
+    ),
+    b AS (
+        SELECT s.lang,
+               CASE WHEN s.xent <= c.cut_lo THEN 'head'
+                    WHEN s.xent <= c.cut_hi THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               s.xent
+        FROM s JOIN c USING (lang)
+    )
+    SELECT lang, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           quantile_cont(xent, 0.5) AS median_xent,
+           min(xent) AS min_xent,
+           max(xent) AS max_xent
+    FROM b GROUP BY lang, bucket
+"""

@@ -165,6 +165,30 @@ FLAGSHIPS = [
         "re-shuffles for the rates, partial_count on both passes",
     ),
     (
+        "dedup_segments",
+        "Segment-level exact dedup (C4/CCNet line dedup): first "
+        "occurrences via ONE map-side-combined min(struct) aggregate "
+        "on a 128-bit segment hash + measured-cap broadcast keep-test "
+        "— no hot-key window, probe stream never shuffles",
+    ),
+    (
+        "text_gopher_rules",
+        "Gopher quality gate: five rule booleans as codegen column "
+        "arithmetic over one scan — zero Exchange, zero Python",
+    ),
+    (
+        "ds_contamination_overlap",
+        "GPT-3 overlap-ratio decontamination: distinct 128-bit gram "
+        "keys both sides, eval set broadcast under the measured cap — "
+        "train grams never shuffle for the membership probe",
+    ),
+    (
+        "ds_ccnet_buckets",
+        "CCNet perplexity bucketing: lm_score plan + per-lang exact-"
+        "percentile cuts (bounded-cardinality groups) broadcast back "
+        "— the corpus never re-shuffles for bucket assignment",
+    ),
+    (
         "ds_dsir_resample",
         "Gumbel-top-k resampling (Kool ICML'19): md5-keyed noise is a "
         "map-only expression, top-k plans TakeOrderedAndProject "

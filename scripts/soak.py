@@ -434,6 +434,19 @@ SOAK_QUERIES = [
     ("ds_dsir_resample", None,
      "linear scan + TakeOrderedAndProject (per-partition k-heaps, "
      "k fixed at 100 — the merge never grows with the corpus)"),
+    # -- round-9 operators --
+    ("dedup_segments", None,
+     "near-linear (map-side-combined min(struct) per distinct "
+     "segment + measured-cap broadcast keep-test; segments ~ corpus "
+     "tokens)"),
+    ("text_gopher_rules", None,
+     "linear (map-only codegen rules, zero shuffles)"),
+    ("ds_contamination_overlap", None,
+     "near-linear (train-side distinct-gram aggregate ~ corpus "
+     "tokens; eval key set fixed → broadcast probe ~ scan)"),
+    ("ds_ccnet_buckets", None,
+     "near-linear (the lm_score plan + one bounded-cardinality "
+     "percentile aggregate + an L-row broadcast)"),
 ]
 
 

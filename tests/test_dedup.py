@@ -462,3 +462,66 @@ def test_ascii_ws_normalization_matches_sql(spark):
     ).first()["n"]
     assert norm_ascii_ws(raw) == spark_norm
     assert " " in spark_norm and "　" in spark_norm
+
+
+class TestSegmentDedup:
+    def _input(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a b c d e f"),
+                (2, "a b c x y z"),
+                (3, ""),
+                (4, "x y z a b c"),
+                (5, "q r"),  # short doc: one partial segment
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_first_occurrence_semantics(self, spark):
+        from raft_c_spark.operators.dedup import segment_dedup
+
+        out = {
+            r["doc_id"]: r
+            for r in segment_dedup(
+                self._input(spark), "doc_id", "text", seg_tokens=3
+            ).collect()
+        }
+        # doc1 owns both its segments; doc2's "a b c" is doc1's
+        assert out[1]["clean_text"] == "a b c d e f"
+        assert out[2]["clean_text"] == "x y z"
+        assert (out[2]["n_segments"], out[2]["n_kept"]) == (2, 1)
+        # empty doc passes through with zero segments
+        assert out[3]["clean_text"] == "" and out[3]["n_segments"] == 0
+        # doc4 is fully covered by earlier segments → empty
+        assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
+        # trailing partial segment is a real segment
+        assert out[5]["clean_text"] == "q r" and out[5]["n_segments"] == 1
+        assert set(out) == {1, 2, 3, 4, 5}
+
+    def test_partitioning_invariant(self, spark):
+        """First-occurrence is a total order on (doc, pos) — the
+        result must not depend on physical partitioning."""
+        from raft_c_spark.operators.dedup import segment_dedup
+
+        base = self._input(spark)
+        a = sorted(
+            map(
+                tuple,
+                segment_dedup(base, "doc_id", "text", 3).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                segment_dedup(
+                    base.repartition(7), "doc_id", "text", 3
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_rejects_bad_seg_tokens(self, spark):
+        from raft_c_spark.operators.dedup import segment_dedup
+
+        with pytest.raises(ValueError):
+            segment_dedup(self._input(spark), "doc_id", "text", 0)

@@ -568,3 +568,58 @@ def test_gumbel_resample_takeordered_no_global_sort(spark, sf_dir):
     plan = plan_of(q_ds_dsir_resample(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_segment_dedup_aggregate_broadcast_no_hot_key_window(spark, sf_dir):
+    """Segment dedup must find first occurrences with a map-side-
+    combined min(struct) aggregate + measured-cap broadcast join-back
+    — the repeated-spans pattern. A Window.partitionBy(segment/hash)
+    would put every occurrence of a hot boilerplate segment into one
+    partition (the Zipfian 100 TB hazard), and a SortMergeJoin on the
+    probe side would shuffle the full segment stream."""
+    from raft_c_spark.operators.dedup import segment_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(segment_dedup(docs, "doc_id", "text", seg_tokens=3))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_min" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_gopher_rules_map_only(spark, sf_dir):
+    """The Gopher gate is pure codegen column arithmetic: one scan,
+    zero Exchange, zero Python nodes."""
+    from raft_c_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(gopher_rules(docs, min_words=10))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "codegen id" in plan, plan  # projection fused by codegen
+
+
+def test_contamination_overlap_broadcast_keyset(spark, sf_dir):
+    """Overlap decontamination must probe a broadcast eval key set
+    (train grams never shuffle for the membership test) and keep both
+    distinct passes map-side combined."""
+    from raft_c_spark.plans.text import q_ds_contamination_overlap
+
+    plan = plan_of(q_ds_contamination_overlap(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_ccnet_buckets_broadcast_cuts(spark, sf_dir):
+    """The per-lang percentile cut table (L rows) must broadcast back
+    onto the scored stream — the corpus never re-shuffles for the
+    bucket assignment."""
+    from raft_c_spark.plans.text import q_ds_ccnet_buckets
+
+    plan = plan_of(q_ds_ccnet_buckets(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "percentile" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -333,3 +333,127 @@ def test_decontaminate_honors_id_col_name(spark):
         id_col="page_id", text_col="text", n=3,
     )
     assert "page_id" in out.columns
+
+
+class TestGopherRules:
+    def test_rule_thresholds(self, spark):
+        from raft_c_spark.operators.text import gopher_rules
+
+        df = spark.createDataFrame(
+            [
+                # clean English-ish doc: all rules pass
+                (1, "the cat sat of the mat and that dog have fun " * 5),
+                # symbol soup: word-count/symbol/alpha/stopword fail
+                (2, "## ### #### ...."),
+                # single-letter words: mean-word-len fails
+                (3, "a b c d e f g h i j k l"),
+                # numbers only: alpha-word rule fails
+                (4, " ".join(str(i) for i in range(20)) + " the of and"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in gopher_rules(df, min_words=10).collect()
+        }
+        assert out[1]["passes_gopher"]
+        assert not out[2]["rule_word_count"]
+        assert not out[2]["rule_symbol_ratio"]
+        assert not out[3]["rule_mean_word_len"]
+        assert not out[3]["passes_gopher"]
+        assert not out[4]["rule_alpha_words"]
+        assert out[4]["rule_stopwords"]
+
+    def test_symbol_counting_non_overlapping(self, spark):
+        """'....' is ONE ellipsis match (+ leftover dot), '####' is
+        four hash matches — pin the regexp_count semantics the oracle
+        mirrors."""
+        from raft_c_spark.operators.text import gopher_rules
+
+        df = spark.createDataFrame(
+            [(1, "w " * 30 + "#### ....")], "doc_id long, text string"
+        )
+        row = gopher_rules(df, min_words=10).first()
+        # 5 symbols / 32 words > 0.1 → rule fails
+        assert not row["rule_symbol_ratio"]
+
+    def test_empty_text(self, spark):
+        from raft_c_spark.operators.text import gopher_rules
+
+        row = gopher_rules(
+            spark.createDataFrame([(1, "")], "doc_id long, text string"),
+            min_words=10,
+        ).first()
+        assert row["n_words"] == 0 and not row["passes_gopher"]
+
+
+class TestNgramOverlapContamination:
+    def test_overlap_ratio_and_flag(self, spark):
+        from raft_c_spark.operators.text import ngram_overlap_contamination
+
+        train = spark.createDataFrame(
+            [
+                (1, "a b c d e"),     # grams: abc bcd cde → 2 hits
+                (2, "x y z w q"),     # no hits
+                (3, "a b"),           # too short for n=3 → excluded
+            ],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "a b c d zz")], "doc_id long, text string"
+        )  # eval grams: "a b c", "b c d", "c d zz"
+        out = {
+            r["doc_id"]: r
+            for r in ngram_overlap_contamination(
+                train, ev, n=3, threshold=0.5
+            ).collect()
+        }
+        assert out[1]["n_grams"] == 3 and out[1]["n_hit"] == 2
+        assert abs(out[1]["overlap_ratio"] - 2 / 3) < 1e-8
+        assert out[1]["contaminated"]
+        assert out[2]["n_hit"] == 0 and not out[2]["contaminated"]
+        assert 3 not in out  # sub-n docs produce no gram rows
+
+    def test_distinct_grams_counted_once(self, spark):
+        """A repeated gram inside one doc counts once on both sides of
+        the ratio (the GPT-3 method is over the doc's gram SET)."""
+        from raft_c_spark.operators.text import ngram_overlap_contamination
+
+        train = spark.createDataFrame(
+            [(1, "a b c a b c a b c")], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame(
+            [(9, "a b c x")], "doc_id long, text string"
+        )
+        row = ngram_overlap_contamination(train, ev, n=3).first()
+        # distinct grams of doc1: {a b c, b c a, c a b} → 3, one hit
+        assert row["n_grams"] == 3 and row["n_hit"] == 1
+
+
+class TestCcnetBuckets:
+    def test_bucket_partition(self, spark, sf_dir):
+        from raft_c_spark.operators.text import ccnet_perplexity_buckets
+        from raft_c_spark.sources.testdata import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = ccnet_perplexity_buckets(docs).collect()
+        assert rows, "no buckets produced"
+        by_lang = {}
+        for r in rows:
+            assert r["bucket"] in ("head", "middle", "tail")
+            assert r["min_xent"] <= r["median_xent"] <= r["max_xent"]
+            by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+        for lang, buckets in by_lang.items():
+            # quartile cuts: head holds ~25% (>=1 doc), and bucket
+            # ranges must be ordered head < middle < tail
+            assert "head" in buckets, (lang, buckets)
+            if "middle" in buckets:
+                assert (
+                    buckets["head"]["max_xent"]
+                    <= buckets["middle"]["min_xent"]
+                )
+            if "middle" in buckets and "tail" in buckets:
+                assert (
+                    buckets["middle"]["max_xent"]
+                    <= buckets["tail"]["min_xent"]
+                )
