@@ -732,7 +732,10 @@ def quality_classifier(
 
 
 def ngram_lm_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Bigram language-model cross-entropy per document — the
     CCNet-style fluency filter (Wenzek et al. 2020): train an add-one
@@ -766,6 +769,14 @@ def ngram_lm_score(
     data in the 5k→50k soak; this shape re-measured near-linear.
     No driver materialization, no Python in the hot path.
     """
+    if cache_key is not None:
+        import os as _os
+
+        from raft_c_spark.functions.diskcache import cache_path
+
+        key = f"lmscore_{cache_key}_{id_col}_{text_col}_v1"
+        if _os.path.isdir(cache_path(key)):
+            return df.sparkSession.read.parquet(cache_path(key))
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
     )
@@ -807,7 +818,7 @@ def ngram_lm_score(
             F.round(bits, 8).cast("decimal(18,8)").alias("bits"),
         )
     )
-    return (
+    out = (
         occ.join(bgbits, ["w1", "w2"])
         .groupBy("doc")
         .agg(
@@ -816,6 +827,11 @@ def ngram_lm_score(
         )
         .select(F.col("doc").alias(id_col), "n_bigrams", "xent")
     )
+    if cache_key is not None:
+        from raft_c_spark.functions.diskcache import cached_parquet
+
+        out = cached_parquet(out, key)
+    return out
 
 
 def gopher_rules(
@@ -972,6 +988,7 @@ def ccnet_perplexity_buckets(
     lang_col: str = "lang",
     lo: float = 0.25,
     hi: float = 0.75,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. LREC'20 —
     public): score every document with the corpus-trained bigram LM
@@ -993,7 +1010,7 @@ def ccnet_perplexity_buckets(
     audit-scale companion, swap percentile→percentile_approx at
     100 TB (the ev_approx_profile pattern).
     """
-    scored = ngram_lm_score(df, id_col, text_col).join(
+    scored = ngram_lm_score(df, id_col, text_col, cache_key=cache_key).join(
         df.select(F.col(id_col), F.col(lang_col).alias("lang")), [id_col]
     )
     cuts = scored.groupBy("lang").agg(

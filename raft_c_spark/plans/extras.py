@@ -975,3 +975,65 @@ ORACLES["dedup_containment"] = f"""
     JOIN sizes sa ON sa.doc = a
     WHERE CAST(c AS DOUBLE) / sa.sz >= {CONTAIN_T}
 """
+
+
+def q_sim_knn_recall(spark, sf_dir):
+    """ANN quality certification: recall@k of the LSH k-NN join
+    against the exact k-NN join, per query — the evaluation loop any
+    production ANN deployment runs before trusting the approximate
+    path (tune bits/tables until recall clears the bar). Both sides
+    are the already-oracled operators; the overlap count is one
+    (q, doc) equi-join, so recall = |approx ∩ exact| / k is an exact
+    rational — deterministic cross-engine.
+
+    Scale shape: exact side = one broadcast-queries Arrow kernel over
+    the corpus scan (the audit cost you pay on a SAMPLE of queries at
+    100 TB, not the full batch); approx side = bucket equi-joins on
+    the persisted index; the final overlap join is k·|Q| rows a side.
+
+    Expected reading on the SYNTHETIC corpus: mean recall@5 ≈ 0.25 at
+    the default bits/tables — the testdata embeddings are near-random,
+    so true neighbors sit near 90° where hyperplane collision odds
+    are small (the 1-(1-(1-θ/π)^bits)^tables curve). That LOW number
+    is the point of the operator: it is the measurement that tells a
+    deployment to raise tables / lower bits / switch to IVF for a
+    corpus whose neighbors aren't near-duplicates. On planted
+    near-dup pairs (θ≈0) the same index measures ≈1.0 —
+    tests/test_scale_ops.py pins that regime.
+    """
+    from pyspark.sql import functions as F
+
+    exact = q_sim_knn_join(spark, sf_dir).select("q", "doc")
+    approx = q_sim_knn_join_lsh(spark, sf_dir).select(
+        "q", "doc", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["q", "doc"], "left")
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "q",
+            F.col("k").cast("long").alias("k"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits").cast("double") / F.col("k")).alias("recall"),
+        )
+    )
+
+
+QUERIES["sim_knn_recall"] = q_sim_knn_recall
+
+ORACLES["sim_knn_recall"] = f"""
+    WITH ex AS ({ORACLES["sim_knn_join"]}),
+    ap AS ({ORACLES["sim_knn_join_lsh"]})
+    SELECT ex.q,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN ap.doc IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN ap.doc IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS recall
+    FROM ex LEFT JOIN ap ON ex.q = ap.q AND ex.doc = ap.doc
+    GROUP BY ex.q
+"""

@@ -278,6 +278,12 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # tests/test_multimodal.py + test_plan_quality.py.
     ("mm_frame_index", "dedup_segments"),
     ("dedup_semantic", "text_gopher_rules"),
+    # sim_knn_recall (ANN recall@k certification, never
+    # driver-verified) enters the window; stream_enrich_join demoted
+    # (driver-green r7+r8; streaming keeps sliding_rate +
+    # session_window in-window, and the stream-static broadcast shape
+    # stays pinned by tests/test_streaming.py).
+    ("stream_enrich_join", "sim_knn_recall"),
 ]
 
 

@@ -415,8 +415,13 @@ def q_text_lm_score(spark, sf_dir):
     corpus self-scoring) — see text.ngram_lm_score for the two-count
     + two-natural-key-join scale shape and the decimal-quantized-log
     determinism contract."""
+    from raft_c_spark.plans.dedup import _data_cache_key
+
     docs = load_table(spark, sf_dir, "documents")
-    return text.ngram_lm_score(docs, "doc_id", "text")
+    return text.ngram_lm_score(
+        docs, "doc_id", "text",
+        cache_key=_data_cache_key(sf_dir, "documents"),
+    )
 
 
 QUERIES["text_lm_score"] = q_text_lm_score
@@ -582,8 +587,12 @@ def q_ds_ccnet_buckets(spark, sf_dir):
     """CCNet perplexity bucketing: bigram-LM score per doc, per-lang
     exact-percentile cuts at 0.25/0.75, per (lang, bucket) counts +
     median/min/max — see operators.text.ccnet_perplexity_buckets."""
+    from raft_c_spark.plans.dedup import _data_cache_key
+
     docs = load_table(spark, sf_dir, "documents")
-    return text.ccnet_perplexity_buckets(docs)
+    return text.ccnet_perplexity_buckets(
+        docs, cache_key=_data_cache_key(sf_dir, "documents")
+    )
 
 
 QUERIES["ds_ccnet_buckets"] = q_ds_ccnet_buckets

@@ -482,3 +482,42 @@ def test_with_norm_validates_dim(spark):
     )
     with pytest.raises(Exception, match="vector length"):
         sim.with_norm(df, "vec_id", "embedding", dim=2).collect()
+
+
+def test_knn_recall_bounds_and_planted_neardup(spark, sf_dir):
+    """sim_knn_recall must emit one row per query with recall =
+    n_hits/k ∈ [0,1]; and on a PLANTED near-duplicate (θ≈0) the LSH
+    side must surface the true neighbor — the regime the index is
+    built for (random-vector recall is legitimately low, see the
+    query docstring)."""
+    from pyspark.sql import functions as F
+
+    from raft_c_spark.operators.similarity import knn_join, knn_join_lsh
+    from raft_c_spark.plans.extras import KNN_QUERIES, q_sim_knn_recall
+
+    rows = q_sim_knn_recall(spark, sf_dir).collect()
+    assert len(rows) == KNN_QUERIES
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["k"]
+        assert abs(r["recall"] - r["n_hits"] / r["k"]) < 1e-12
+
+    # planted pair: vec 1000 is vec 0 scaled (cosine exactly 1)
+    from raft_c_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    clone = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.unionByName(clone)
+    q = corpus.filter(F.col("vec_id") == 1000)
+    exact = {r["doc"] for r in knn_join(q, corpus, k=1).collect()}
+    approx = {
+        r["doc"]
+        for r in knn_join_lsh(q, corpus, k=1, bits=8, tables=16).collect()
+    }
+    assert exact == {0} and approx == {0}
