@@ -307,3 +307,53 @@ def test_sample_by_fill_rejects_bad_mode():
 
     with pytest.raises(ParseError):
         parse("SELECT avg(value) FROM cpu SAMPLE BY 1h FILL(bogus)")
+
+
+def test_parser_total_over_arbitrary_input():
+    """Fuzz totality (the wire-decoder property, applied to the
+    language frontend): any input string either parses or raises
+    ParseError — no IndexError/KeyError/ValueError escapes the
+    tokenizer/parser on truncated statements, stray quotes, huge
+    numerals, control bytes, or non-ASCII. Two layers: grammar-biased
+    token soup (reaches deep parse states) and raw byte noise."""
+    import random
+    import string
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from raft_c_spark.frontend.ast import ParseError
+    from raft_c_spark.frontend.parser import parse
+
+    vocab = [
+        "SELECT", "INSERT", "INTO", "CREATE", "CREATEDB", "USE",
+        "DELETE", "FROM", "BETWEEN", "AND", "WHERE", "VALUES",
+        "SAMPLE", "BY", "FILL", "AT", "LIMIT", "avg", "min", "max",
+        "value", "timestamp", "now()", "(", ")", ",", ";", "'", "7d",
+        "1h", "-", "+", "*", "9" * 25, "''", "\x00", "🦀", "\n",
+        ".databases", "latest", "earliest",
+    ]
+
+    rng = random.Random(7)
+    for _ in range(4000):
+        q = " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(1, 8))
+        )
+        try:
+            parse(q)
+        except ParseError:
+            pass
+
+    @given(
+        st.text(
+            alphabet=string.printable + "🦀€\x00", max_size=30
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def _bytes_noise(q):
+        try:
+            parse(q)
+        except ParseError:
+            pass
+
+    _bytes_noise()
