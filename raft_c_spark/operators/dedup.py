@@ -111,13 +111,38 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Return the deduplicated frame: one survivor (min id) per exact
-    normalized content."""
+    normalized content.
+
+    Scale shape (r9 — this was the package's last
+    ``Window.partitionBy`` over an unbounded-cardinality key, and the
+    worst kind: the partition key was the FULL normalized text, so a
+    boilerplate document duplicated millions of times at 100 TB both
+    shuffled its whole text per copy and landed every copy in ONE
+    window partition). Now: survivor ids via one map-side-combined
+    ``min(id)`` aggregate on a 128-bit content hash — a hot content
+    collapses to one row per map task before the shuffle and only
+    16 B keys travel — broadcast back under the measured row cap
+    (shuffle equi-join above, where AQE skew-splits), keep rows whose
+    id equals their key's survivor. Same 2^-128 collision convention
+    as every hashed dedup path."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    w = Window.partitionBy(norm).orderBy(F.col(id_col))
+    hashed = df.withColumn("_h1", F.xxhash64(norm)).withColumn(
+        "_h2", F.xxhash64(norm, F.lit(1))
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    survivors = (
+        hashed.groupBy("_h1", "_h2")
+        .agg(F.min(F.col(id_col)).alias("_keep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    side = survivors
+    if survivors.count() <= _BROADCAST_MAX_BANDED_ROWS:
+        side = F.broadcast(survivors)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        hashed.join(side, ["_h1", "_h2"])
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_h1", "_h2", "_keep")
     )
 
 

@@ -428,17 +428,29 @@ def q_dedup_best_survivor(spark, sf_dir):
     ranked = comps.join(qual, comps["doc"] == qual["doc_id"]).select(
         "component", "doc", "quality"
     )
-    w = Window.partitionBy("component")
-    wr = w.orderBy(F.desc("quality"), F.asc("doc"))
+    # survivor per component via ONE map-side-combined aggregate (r9:
+    # this was a Window.partitionBy(component) — a boilerplate doc
+    # duplicated millions of times at 100 TB forms ONE component and
+    # the window put every member in one partition; the aggregate
+    # reduces a hot component to one candidate row per map task
+    # before the shuffle). Total order (quality desc, doc asc) is the
+    # min of the (-quality, doc) struct — quality is a [0,1] double,
+    # so negation is exact and NaN-free.
+    best = F.min(
+        F.struct(
+            (-F.col("quality")).alias("nq"),
+            F.col("doc").alias("doc"),
+            F.col("quality").alias("q"),
+        )
+    ).alias("best")
     return (
-        ranked.withColumn("rk", F.row_number().over(wr))
-        .withColumn("n_members", F.count(F.lit(1)).over(w))
-        .filter(F.col("rk") == 1)
+        ranked.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"), best)
         .select(
             "component",
-            F.col("doc").alias("survivor"),
+            F.col("best.doc").alias("survivor"),
             "n_members",
-            "quality",
+            F.col("best.q").alias("quality"),
         )
     )
 

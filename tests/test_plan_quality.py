@@ -623,3 +623,31 @@ def test_ccnet_buckets_broadcast_cuts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "percentile" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_exact_no_text_window(spark, sf_dir):
+    """dedup_exact must pick survivors with a map-side-combined min
+    aggregate on the content hash + broadcast join-back — never a
+    Window partitioned by the (unbounded-cardinality, full-text)
+    content key, and the probe side must not shuffle under the cap."""
+    from raft_c_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(dedup_exact(docs, "doc_id", "text"))
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_min" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_best_survivor_no_component_window(spark, sf_dir):
+    """dedup_best_survivor must pick per-component survivors with a
+    map-side-combined min(struct) aggregate — never a Window
+    partitioned by component (one giant dup cluster = one hot window
+    partition at 100 TB). Only the pair-graph machinery upstream may
+    shuffle; the survivor stage itself is aggregate-only."""
+    from raft_c_spark.plans.extras import q_dedup_best_survivor
+
+    plan = plan_of(q_dedup_best_survivor(spark, sf_dir))
+    assert "partial_min" in plan, plan
+    assert "row_number" not in plan, plan
