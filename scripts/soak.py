@@ -390,7 +390,8 @@ SOAK_QUERIES = [
     ("ds_pipeline_e2e", None,
      "linear (five chained linear stages under one plan)"),
     ("dedup_best_survivor", None,
-     "near-linear (banded pairs + components + one window)"),
+     "near-linear (banded pairs + components + one map-side-combined "
+     "survivor aggregate — r9: the per-component window is gone)"),
     # -- round-7 operators --
     ("text_lm_score", None,
      "near-linear (bigram stream + two map-side-combined count "
@@ -447,6 +448,9 @@ SOAK_QUERIES = [
     ("ds_ccnet_buckets", None,
      "near-linear (the lm_score plan + one bounded-cardinality "
      "percentile aggregate + an L-row broadcast)"),
+    ("sim_knn_recall", None,
+     "exact side linear in corpus (broadcast-queries Arrow kernel), "
+     "approx side ~ bucket density; overlap join k·|Q| rows"),
 ]
 
 
