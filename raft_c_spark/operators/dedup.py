@@ -1994,3 +1994,71 @@ def segment_dedup(
         F.col("n_segments").cast("long").alias("n_segments"),
         F.col("n_kept").cast("long").alias("n_kept"),
     )
+
+
+def cut_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 40,
+    min_count: int = 2,
+) -> DataFrame:
+    """The REMOVAL half of ExactSubstr dedup (Lee et al. ACL'22 cut
+    the repeated spans out of the training text rather than dropping
+    documents): stitch each document back together from the gaps
+    between its :func:`repeated_substring_spans` intervals. Output is
+    the cleaned NORMALIZED text (the spans are char offsets into the
+    whitespace-collapsed lowercased form — same contract as the spans
+    operator) plus per-doc removal stats; documents with no repeated
+    spans pass through with their normalized text intact.
+
+    Scale shape: the spans pipeline is the skew-immune aggregate plan;
+    the stitch itself is one aggregate keyed by doc (spans per doc are
+    BOUNDED by len/min_len — maximal islands can't overlap) followed
+    by a map-side ``F.aggregate`` fold over the sorted span list. No
+    window over any unbounded key, no Python."""
+    L = min_len
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    base = df.select(F.col(id_col).alias("doc"), norm.alias("t"))
+    spans = repeated_substring_spans(df, id_col, text_col, L, min_count)
+    sp = spans.groupBy(F.col(id_col).alias("doc")).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("sp"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("cut_chars"),
+    )
+    joined = base.join(sp, ["doc"], "left")
+    # fold: acc = (next position to copy from, text built so far);
+    # each span appends the gap before it and jumps past the span
+    stitched = F.aggregate(
+        F.coalesce(
+            "sp",
+            F.expr(
+                "array()"
+            ).cast("array<struct<span_start:bigint,span_end:bigint>>"),
+        ),
+        F.struct(
+            F.lit(1).cast("long").alias("pos"), F.lit("").alias("txt")
+        ),
+        lambda acc, s: F.struct(
+            s["span_end"].alias("pos"),
+            F.concat(
+                acc["txt"],
+                F.expr("t").substr(
+                    acc["pos"], (s["span_start"] - acc["pos"]).cast("int")
+                ),
+            ).alias("txt"),
+        ),
+        lambda acc: F.concat(
+            acc["txt"], F.substring(F.col("t"), acc["pos"], 2**30)
+        ),
+    )
+    return joined.select(
+        F.col("doc").alias(id_col),
+        stitched.alias("clean_text"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("cut_chars", F.lit(0)).cast("long").alias(
+            "n_chars_removed"
+        ),
+    )

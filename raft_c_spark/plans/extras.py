@@ -1049,3 +1049,53 @@ ORACLES["sim_knn_recall"] = f"""
     FROM ex LEFT JOIN ap ON ex.q = ap.q AND ex.doc = ap.doc
     GROUP BY ex.q
 """
+
+
+def q_dedup_cut_spans(spark, sf_dir):
+    """The removal half of ExactSubstr: stitch each document back
+    together from the gaps between its repeated-substring spans —
+    cleaned normalized text + removal stats. See
+    dedup.cut_repeated_spans for the bounded-per-doc fold shape."""
+    from raft_c_spark.operators import dedup
+    from raft_c_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cut_repeated_spans(docs, "doc_id", "text", min_len=SPAN_LEN)
+
+
+QUERIES["dedup_cut_spans"] = q_dedup_cut_spans
+
+
+ORACLES["dedup_cut_spans"] = f"""
+    WITH sp AS ({ORACLES["dedup_repeated_spans"]}),
+    t2 AS (
+        SELECT doc_id,
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+        FROM documents
+    ),
+    seq AS (
+        SELECT doc_id, span_start, span_end,
+               lag(span_end, 1, CAST(1 AS BIGINT)) OVER (
+                   PARTITION BY doc_id ORDER BY span_start) AS prev_end
+        FROM sp
+    ),
+    pieces AS (
+        SELECT s.doc_id,
+               string_agg(
+                   substring(t2.t, CAST(s.prev_end AS INT),
+                             CAST(s.span_start - s.prev_end AS INT)),
+                   '' ORDER BY s.span_start) AS head,
+               max(s.span_end) AS last_end,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(s.span_end - s.span_start) AS BIGINT) AS cut
+        FROM seq s JOIN t2 ON t2.doc_id = s.doc_id
+        GROUP BY s.doc_id
+    )
+    SELECT t2.doc_id,
+           CASE WHEN p.doc_id IS NULL THEN t2.t
+                ELSE p.head || substring(t2.t, CAST(p.last_end AS INT))
+           END AS clean_text,
+           coalesce(p.n_spans, 0) AS n_spans,
+           coalesce(p.cut, 0) AS n_chars_removed
+    FROM t2 LEFT JOIN pieces p USING (doc_id)
+"""

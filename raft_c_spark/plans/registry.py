@@ -284,6 +284,12 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # session_window in-window, and the stream-static broadcast shape
     # stays pinned by tests/test_streaming.py).
     ("stream_enrich_join", "sim_knn_recall"),
+    # dedup_cut_spans (the ExactSubstr removal half, never
+    # driver-verified) enters the window; sim_topk_ivf demoted
+    # (driver-green r7+r8; sim keeps cluster_assign + the new
+    # knn_recall in-window, and the IVF machinery stays hash-checked
+    # by sim_topk_ivf_full's pytest oracle + recall pins).
+    ("sim_topk_ivf", "dedup_cut_spans"),
 ]
 
 

@@ -177,6 +177,12 @@ FLAGSHIPS = [
         "arithmetic over one scan — zero Exchange, zero Python",
     ),
     (
+        "dedup_cut_spans",
+        "ExactSubstr removal: the skew-immune spans pipeline + one "
+        "aggregate keyed by doc + a map-side fold over the bounded "
+        "span list — no unbounded-key window anywhere",
+    ),
+    (
         "ds_contamination_overlap",
         "GPT-3 overlap-ratio decontamination: distinct 128-bit gram "
         "keys both sides, eval set broadcast under the measured cap — "

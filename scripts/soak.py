@@ -451,6 +451,9 @@ SOAK_QUERIES = [
     ("sim_knn_recall", None,
      "exact side linear in corpus (broadcast-queries Arrow kernel), "
      "approx side ~ bucket density; overlap join k·|Q| rows"),
+    ("dedup_cut_spans", None,
+     "the spans pipeline + one bounded-per-doc fold — same profile "
+     "as dedup_repeated_spans"),
 ]
 
 

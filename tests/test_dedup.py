@@ -525,3 +525,58 @@ class TestSegmentDedup:
 
         with pytest.raises(ValueError):
             segment_dedup(self._input(spark), "doc_id", "text", 0)
+
+
+class TestCutRepeatedSpans:
+    def test_cut_and_passthrough(self, spark):
+        from raft_c_spark.operators.dedup import cut_repeated_spans
+
+        boiler = "b" * 50
+        df = spark.createDataFrame(
+            [
+                (1, f"aaa {boiler} zzz"),
+                (2, f"ccc {boiler} ddd"),
+                (3, "short unique"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in cut_repeated_spans(
+                df, "doc_id", "text", min_len=40
+            ).collect()
+        }
+        # the shared boilerplate (plus flanking spaces inside the
+        # repeated 40-grams) is cut from BOTH docs; unique flanks stay
+        assert out[1]["clean_text"] == "aaazzz"
+        assert out[2]["clean_text"] == "cccddd"
+        assert out[1]["n_spans"] == 1 and out[1]["n_chars_removed"] == 52
+        # no repeated spans → normalized text passes through intact
+        assert out[3]["clean_text"] == "short unique"
+        assert out[3]["n_spans"] == 0 and out[3]["n_chars_removed"] == 0
+
+    def test_stitch_consistent_with_spans(self, spark, sf_dir):
+        """clean length == normalized length − Σ(span_end−span_start)
+        for every document of the real corpus."""
+        from pyspark.sql import functions as F
+
+        from raft_c_spark.operators.dedup import cut_repeated_spans
+        from raft_c_spark.sources.testdata import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        norm_len = docs.select(
+            "doc_id",
+            F.length(
+                F.lower(
+                    F.trim(F.regexp_replace("text", r"\s+", " "))
+                )
+            ).alias("nlen"),
+        )
+        out = cut_repeated_spans(docs, "doc_id", "text").join(
+            norm_len, ["doc_id"]
+        )
+        bad = out.filter(
+            F.length("clean_text")
+            != F.col("nlen") - F.col("n_chars_removed")
+        ).count()
+        assert bad == 0
