@@ -647,3 +647,27 @@ def gumbel_topk(
         .limit(k)
         .withColumn("gumbel_key", F.col("gumbel_key").cast("double"))
     )
+
+
+def training_order(
+    df: DataFrame, id_col: str, rows_per_shard: int
+) -> DataFrame:
+    """Deterministic global shuffle for training order: rank every row
+    by md5(id) — a reproducible uniform permutation, the standard
+    "shuffle the corpus once before sharding" step — and cut the
+    permutation into size-balanced shards. Readers then stream shards
+    in order and sort each shard in memory by ``shuffle_key`` (shards
+    are bounded), giving the exact md5 permutation with NO global
+    sort: the rank comes from the pack_sequences two-phase prefix sum
+    over the key-ordered partitions, so no single-partition window
+    exists at any scale and the layout replays bit-identically
+    (oracle: plain ROW_NUMBER over the same md5 key)."""
+    key = F.md5(F.col(id_col).cast("string").cast("binary"))
+    out = shard_assignments(
+        df.withColumn("shuffle_key", key), "shuffle_key", rows_per_shard
+    )
+    return out.select(
+        F.col(id_col),
+        "shuffle_key",
+        F.col("shard").cast("long").alias("shard"),
+    )

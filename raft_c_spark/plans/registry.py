@@ -290,6 +290,11 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # knn_recall in-window, and the IVF machinery stays hash-checked
     # by sim_topk_ivf_full's pytest oracle + recall pins).
     ("sim_topk_ivf", "dedup_cut_spans"),
+    # ds_training_order (md5-permutation corpus shuffle, never
+    # driver-verified) enters the window; ev_anomaly_mad demoted
+    # (driver-green r7+r8; ev keeps session_attribution plus the four
+    # re-promoted r1 ev_* slots in-window).
+    ("ev_anomaly_mad", "ds_training_order"),
 ]
 
 

@@ -466,3 +466,29 @@ ORACLES["ds_dsir_resample"] = f"""
     FROM g
     ORDER BY gk DESC, doc_id
 """
+
+
+TRAIN_SHARD_ROWS = 64
+
+
+def q_ds_training_order(spark, sf_dir):
+    """Reproducible pre-training corpus shuffle: md5-keyed permutation
+    cut into size-balanced shards without a global sort — see
+    sampling.training_order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.training_order(docs, "doc_id", TRAIN_SHARD_ROWS)
+
+
+QUERIES["ds_training_order"] = q_ds_training_order
+
+ORACLES["ds_training_order"] = f"""
+    SELECT doc_id, shuffle_key,
+           CAST((rn - 1) // {TRAIN_SHARD_ROWS} AS BIGINT) AS shard
+    FROM (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        FROM documents
+    )
+"""

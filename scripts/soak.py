@@ -454,6 +454,9 @@ SOAK_QUERIES = [
     ("dedup_cut_spans", None,
      "the spans pipeline + one bounded-per-doc fold — same profile "
      "as dedup_repeated_spans"),
+    ("ds_training_order", None,
+     "linear (two-phase prefix rank over the md5 key; the P-row "
+     "driver prefix is constant)"),
 ]
 
 
