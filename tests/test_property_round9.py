@@ -134,3 +134,34 @@ def test_gopher_rules_match_python_replay(spark, texts):
                 r["rule_stopwords"],
             )
         )
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    rows=st.integers(1, 7),
+)
+@settings(**SETTINGS)
+def test_training_order_matches_brute_force(spark, ids, rows):
+    """The md5 permutation + shard cut must equal the pure-python
+    replay: sort ids by md5(str(id)), shard = rank // rows_per_shard —
+    and be independent of input partitioning."""
+    import hashlib
+
+    from raft_c_spark.operators.sampling import training_order
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: (r["shuffle_key"], r["shard"])
+        for r in training_order(df.repartition(5), "doc_id", rows).collect()
+    }
+    order = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    want = {
+        i: (hashlib.md5(str(i).encode()).hexdigest(), rank // rows)
+        for rank, i in enumerate(order)
+    }
+    assert got == want
