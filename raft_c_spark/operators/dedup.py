@@ -1904,18 +1904,21 @@ def segment_dedup(
     newline structure; a real deployment passes its own segmenter
     upstream and this operator dedups whatever segments arrive.
 
-    Scale shape (the repeated-spans pattern): segments are a map-side
-    posexplode; the first-occurrence table is ONE map-side-combined
-    ``min(struct(doc, pos))`` aggregate on a 128-bit xxhash64 segment
-    key — partial aggregation reduces a hot boilerplate segment (the
-    Zipfian hazard at 100 TB) to one candidate row per map task
-    before the shuffle, never a ``Window.partitionBy(segment)``. The
-    winner table (one narrow row per DISTINCT segment) is persisted
-    and broadcast under the measured row cap so the probe stream
-    never shuffles for the keep-test; above the cap it falls back to
-    a shuffle equi-join that AQE skew-splits. Reassembly is one
-    aggregate keyed by doc (collect_list skips the dropped segments'
-    nulls; segment order restored by array_sort on pos).
+    Scale shape: segments are a map-side posexplode hashed to a
+    128-bit xxhash64 key — the payload string never leaves its map
+    task. The first-occurrence winners come from ONE map-side-combined
+    ``min(struct(doc, pos))`` aggregate (partial aggregation reduces a
+    hot boilerplate segment — the Zipfian hazard at 100 TB — to one
+    candidate row per map task before the shuffle; never a
+    ``Window.partitionBy(segment)``). The key insight that removes the
+    whole keep-test join the first version had: the winner rows ARE
+    the kept occurrences, so the kept position lists come from a
+    second narrow aggregate keyed by doc (ints only), and the cleaned
+    text is rebuilt from the ORIGINAL token arrays in one unique-key
+    equi-join back onto the corpus — the text payload crosses exactly
+    one shuffle and no measured-cap/broadcast machinery is needed at
+    all. (The r9 500k soak caught the join version super-linear:
+    8.4 M seg strings through an SMJ; this shape re-measured linear.)
     """
     if seg_tokens < 1:
         raise ValueError("seg_tokens must be >= 1")
@@ -1929,70 +1932,48 @@ def segment_dedup(
         F.sequence(F.lit(0), n_segs - 1),
         lambda j: F.concat_ws(" ", F.slice("toks", j * k + 1, k)),
     )
-    segments = base.filter(F.size("toks") > 0).select(
-        "doc",
-        F.posexplode(segs).alias("pos", "seg"),
+    hashed = (
+        base.filter(F.size("toks") > 0)
+        .select("doc", F.posexplode(segs).alias("pos", "seg"))
+        .select(
+            "doc",
+            F.col("pos").cast("long").alias("pos"),
+            F.xxhash64("seg").alias("h1"),
+            F.xxhash64("seg", F.lit(1)).alias("h2"),
+        )
     )
-    hashed = segments.select(
-        "doc",
-        F.col("pos").cast("long").alias("pos"),
-        "seg",
-        F.xxhash64("seg").alias("h1"),
-        F.xxhash64("seg", F.lit(1)).alias("h2"),
-    )
-    from pyspark.storagelevel import StorageLevel
-
-    firsts = (
+    kept = (
         hashed.groupBy("h1", "h2")
         .agg(F.min(F.struct("doc", "pos")).alias("first"))
-        .select(
-            "h1",
-            "h2",
-            F.col("first.doc").alias("f_doc"),
-            F.col("first.pos").alias("f_pos"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    side = firsts
-    if firsts.count() <= _BROADCAST_MAX_BANDED_ROWS:
-        side = F.broadcast(firsts)
-    flagged = hashed.join(side, ["h1", "h2"]).select(
-        "doc",
-        "pos",
-        "seg",
-        (
-            (F.col("doc") == F.col("f_doc")) & (F.col("pos") == F.col("f_pos"))
-        ).alias("keep"),
-    )
-    assembled = flagged.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_segments"),
-        F.sum(F.col("keep").cast("long")).alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("keep"), F.struct("pos", "seg"))
-                    )
-                ),
-                lambda x: x["seg"],
+        .groupBy(F.col("first.doc").alias("doc"))
+        .agg(
+            F.sort_array(F.collect_list(F.col("first.pos"))).alias(
+                "kept_pos"
             ),
-        ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
     )
-    # zero-token documents produce no segments; they pass through
-    # untouched (empty clean text) so the output covers every input
-    # row — map-only union, no join back onto the corpus
-    empty = base.filter(F.size("toks") == 0).select(
-        "doc",
-        F.lit(0).cast("long").alias("n_segments"),
-        F.lit(0).cast("long").alias("n_kept"),
-        F.lit("").alias("clean_text"),
+    # left join: a doc whose every segment first occurred elsewhere
+    # keeps nothing (null kept list → empty text); zero-token docs
+    # have no segments and pass through the same branch
+    joined = base.join(kept, ["doc"], "left")
+    clean = F.concat_ws(
+        " ",
+        F.transform(
+            F.coalesce("kept_pos", F.expr("array()").cast("array<long>")),
+            lambda j: F.concat_ws(
+                " ", F.slice("toks", (j * k + 1).cast("int"), k)
+            ),
+        ),
     )
-    return assembled.unionByName(empty).select(
+    return joined.select(
         F.col("doc").alias(id_col),
-        "clean_text",
-        F.col("n_segments").cast("long").alias("n_segments"),
-        F.col("n_kept").cast("long").alias("n_kept"),
+        clean.alias("clean_text"),
+        F.when(F.size("toks") > 0, F.ceil(F.size("toks") / F.lit(k)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_segments"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
 
 

@@ -438,8 +438,8 @@ SOAK_QUERIES = [
     # -- round-9 operators --
     ("dedup_segments", None,
      "near-linear (map-side-combined min(struct) per distinct "
-     "segment + measured-cap broadcast keep-test; segments ~ corpus "
-     "tokens)"),
+     "segment; kept-position lists rebuild text via ONE unique-key "
+     "corpus join — no keep-test join, r9 500k soak fix)"),
     ("text_gopher_rules", None,
      "linear (map-only codegen rules, zero shuffles)"),
     ("ds_contamination_overlap", None,
