@@ -755,19 +755,24 @@ def ngram_lm_score(
     final mean is one double division.
 
     Scale shape: tokenize → map-side bigram transform (no
-    posexplode+window — zero shuffle to form bigrams; the occurrence
-    frame is cached — four downstream consumers, one text parse) →
-    ONE map-side-combined count aggregate keyed by (w1,w2); the
-    context counts c(w1·) and the vocabulary V then REDUCE the c12
-    frame (vocabulary-sized) instead of re-shuffling the occurrence
-    stream, and the per-bigram bits attach to c12 — so the
-    occurrence stream shuffles exactly twice total (the c12 partial
-    aggregate and one (w1,w2) equi-join against the vocabulary-sized
-    bits frame; AQE may broadcast that side when measured small) plus
-    the final per-doc aggregate. The first version joined the stream
-    twice and re-parsed the text four times — measured 12x at 10x
-    data in the 5k→50k soak; this shape re-measured near-linear.
-    No driver materialization, no Python in the hot path.
+    posexplode+window — zero shuffle to form bigrams) → ONE
+    map-side-combined count aggregate keyed by (w1,w2); the context
+    counts c(w1·) and the vocabulary V then REDUCE the c12 frame
+    (vocabulary-sized) instead of re-shuffling the occurrence stream,
+    and the per-bigram bits attach to c12 and are PERSISTED +
+    broadcast under the measured row cap (natural-key equi-join
+    fallback above) — so the corpus-sized occurrence stream shuffles
+    exactly once (the c12 partial aggregate) plus the final per-doc
+    aggregate. Version history, both caught by soak: v1 re-parsed the
+    text four times (12× at 10× data, 5k→50k window); v2 fixed that
+    by CACHING the occurrence frame, which the r9 500k window then
+    measured as the new bottleneck (33 M (doc,w1,w2) string rows in
+    storage memory — cache write + eviction thrash beat the cost of
+    the codegen re-parse it saved). v3 recomputes the explode for the
+    scoring pass (two text parses total — scan-bound) and persists
+    only the vocabulary-sized bits frame: 150k 27.3 → 13.5 s, 500k
+    >90 → 20.6 s, sub-linear at 3.3× data. No driver
+    materialization, no Python in the hot path.
     """
     if cache_key is not None:
         import os as _os
@@ -797,9 +802,9 @@ def ngram_lm_score(
             )
         ).alias("bg"),
     ).select("doc", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    # session-pinned cache (registry clearCache() releases it;
-    # library sessions clear between corpora themselves)
-    occ = occ.cache()
+    # occ is deliberately NOT cached: the scoring pass recomputes the
+    # codegen tokenize+explode (scan-bound) — see version history in
+    # the docstring; only the vocabulary-sized bits frame persists
     c12 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     # context counts and vocabulary REDUCE the (vocabulary-sized) c12
     # frame — c(w1·) = Σ_w2 c12(w1,w2), V = |distinct w2 in c12| —
@@ -810,6 +815,10 @@ def ngram_lm_score(
         (F.col("c12") + F.lit(1)).cast("double")
         / (F.col("c1") + F.col("v")).cast("double")
     )
+    from pyspark.storagelevel import StorageLevel
+
+    from raft_c_spark.operators.dedup import _BROADCAST_MAX_BANDED_ROWS
+
     bgbits = (
         c12.join(c1, ["w1"])
         .crossJoin(F.broadcast(vocab))
@@ -817,9 +826,13 @@ def ngram_lm_score(
             "w1", "w2",
             F.round(bits, 8).cast("decimal(18,8)").alias("bits"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    side = bgbits
+    if bgbits.count() <= _BROADCAST_MAX_BANDED_ROWS:
+        side = F.broadcast(bgbits)
     out = (
-        occ.join(bgbits, ["w1", "w2"])
+        occ.join(side, ["w1", "w2"])
         .groupBy("doc")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -918,13 +931,21 @@ def ngram_overlap_contamination(
     eval gram appear"; this measures HOW contaminated a doc is, the
     signal used to drop vs trim).
 
-    Scale shape: both sides reduce to distinct 128-bit gram keys
-    (train side per (doc, gram) via one map-side-combined aggregate,
-    eval side per gram); the eval key set is persisted + broadcast
-    under the measured row cap (shuffle equi-join fallback above), so
-    the train stream joins without shuffling; one final per-doc count
-    aggregate. The heavy gram strings never leave the map side —
-    only 16 B hash pairs travel.
+    Scale shape: a document's grams all live in its own token array,
+    so the per-doc DISTINCT happens MAP-SIDE (``array_distinct`` over
+    the gram-hash structs inside the projection) — the r9 500k soak
+    measured the first version's global ``distinct()`` on
+    (doc, gram) pushing the full 30 M-row train gram stream through a
+    shuffle that partial aggregation couldn't shrink (rows already
+    ~unique); this shape shuffles NOTHING on the train side except
+    the final per-doc counts, which partial-aggregate to ~one row per
+    doc before the exchange because exploded gram rows stay in their
+    parent's partition. The eval key set is deduped the same way then
+    globally distinct'd (small), persisted, and broadcast under the
+    measured row cap (shuffle equi-join fallback above). Heavy gram
+    strings never leave the map side — only 16 B hash pairs travel.
+    Caveat: ``array_distinct`` is quadratic within one row; for
+    mega-documents chunk upstream (the 100 TB pipelines do anyway).
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -933,7 +954,7 @@ def ngram_overlap_contamination(
         _widen,
     )
 
-    def grams(frame: DataFrame, idc, txt) -> DataFrame:
+    def gram_sets(frame: DataFrame, idc, txt) -> DataFrame:
         toks = F.regexp_extract_all(
             F.lower(F.col(txt)), F.lit("[a-z0-9]+"), F.lit(0)
         )
@@ -944,16 +965,25 @@ def ngram_overlap_contamination(
             F.sequence(F.lit(1), F.size("toks") - (n - 1)),
             lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
         )
-        return base.select("doc", F.explode(g).alias("gram")).select(
+        hs = F.array_distinct(
+            F.transform(
+                g,
+                lambda s: F.struct(
+                    F.xxhash64(s).alias("h1"),
+                    F.xxhash64(s, F.lit(1)).alias("h2"),
+                ),
+            )
+        )
+        return base.select("doc", F.explode(hs).alias("h")).select(
             "doc",
-            F.xxhash64("gram").alias("h1"),
-            F.xxhash64("gram", F.lit(1)).alias("h2"),
+            F.col("h.h1").alias("h1"),
+            F.col("h.h2").alias("h2"),
         )
 
     from pyspark.storagelevel import StorageLevel
 
     eval_keys = (
-        grams(eval_df, id_col, text_col)
+        gram_sets(eval_df, id_col, text_col)
         .select("h1", "h2")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -961,7 +991,7 @@ def ngram_overlap_contamination(
     side = eval_keys
     if eval_keys.count() <= _BROADCAST_MAX_BANDED_ROWS:
         side = F.broadcast(eval_keys)
-    train = grams(df, id_col, text_col).distinct()
+    train = gram_sets(df, id_col, text_col)
     hit = side.withColumn("hit", F.lit(1))
     scored = (
         train.join(hit, ["h1", "h2"], "left")

@@ -443,11 +443,11 @@ SOAK_QUERIES = [
     ("text_gopher_rules", None,
      "linear (map-only codegen rules, zero shuffles)"),
     ("ds_contamination_overlap", None,
-     "near-linear (train-side distinct-gram aggregate ~ corpus "
-     "tokens; eval key set fixed → broadcast probe ~ scan)"),
+     "near-flat (per-doc gram dedup is map-side array_distinct; the "
+     "only train shuffle is per-doc counts — r9 500k soak fix)"),
     ("ds_ccnet_buckets", None,
-     "near-linear (the lm_score plan + one bounded-cardinality "
-     "percentile aggregate + an L-row broadcast)"),
+     "near-linear (lm_score v3: two scan-bound parses, only the "
+     "vocab-sized bits frame persists — r9 500k soak fix)"),
     ("sim_knn_recall", None,
      "exact side linear in corpus (broadcast-queries Arrow kernel), "
      "approx side ~ bucket density; overlap join k·|Q| rows"),
