@@ -168,8 +168,10 @@ FLAGSHIPS = [
         "dedup_segments",
         "Segment-level exact dedup (C4/CCNet line dedup): first "
         "occurrences via ONE map-side-combined min(struct) aggregate "
-        "on a 128-bit segment hash + measured-cap broadcast keep-test "
-        "— no hot-key window, probe stream never shuffles",
+        "on a 128-bit segment hash; the winner rows ARE the kept "
+        "occurrences, so reassembly is a narrow int aggregate + ONE "
+        "unique-key corpus join — no hot-key window, no keep-test "
+        "join (the r9 500k soak killed that shape)",
     ),
     (
         "text_gopher_rules",
