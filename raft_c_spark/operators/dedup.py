@@ -1766,6 +1766,7 @@ def repeated_substring_spans(
     text_col: str,
     min_len: int = 40,
     min_count: int = 2,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Exact repeated-substring spans (the ExactSubstr dedup of Lee et
     al., "Deduplicating Training Data Makes Language Models Better",
@@ -1800,6 +1801,23 @@ def repeated_substring_spans(
     unpersist) between corpora themselves.
     """
     from pyspark.sql import Window
+
+    # ``cache_key`` persists the span frame per corpus (the lm-score/
+    # DSIR pattern): the spans are consumed by BOTH the span-report
+    # query and cut_repeated_spans — sharing one materialization
+    # halves the pipeline's bench cost and at 100 TB spans are a
+    # stored column computed once per corpus version anyway.
+    if cache_key is not None:
+        import os as _os
+
+        from raft_c_spark.functions.diskcache import cache_path
+
+        key = (
+            f"spans_{cache_key}_{id_col}_{text_col}"
+            f"_L{min_len}_c{min_count}_v1"
+        )
+        if _os.path.isdir(cache_path(key)):
+            return df.sparkSession.read.parquet(cache_path(key))
 
     L = min_len
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
@@ -1871,7 +1889,7 @@ def repeated_substring_spans(
         ).otherwise(F.lit(0)),
     )
     islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
-    return (
+    out = (
         islands.groupBy("doc", "island")
         .agg(
             F.min("pos").alias("span_start"),
@@ -1885,6 +1903,11 @@ def repeated_substring_spans(
             F.col("n_grams").cast("long").alias("n_grams"),
         )
     )
+    if cache_key is not None:
+        from raft_c_spark.functions.diskcache import cached_parquet
+
+        out = cached_parquet(out, key)
+    return out
 
 
 def segment_dedup(
@@ -1983,6 +2006,7 @@ def cut_repeated_spans(
     text_col: str,
     min_len: int = 40,
     min_count: int = 2,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """The REMOVAL half of ExactSubstr dedup (Lee et al. ACL'22 cut
     the repeated spans out of the training text rather than dropping
@@ -2001,7 +2025,9 @@ def cut_repeated_spans(
     L = min_len
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     base = df.select(F.col(id_col).alias("doc"), norm.alias("t"))
-    spans = repeated_substring_spans(df, id_col, text_col, L, min_count)
+    spans = repeated_substring_spans(
+        df, id_col, text_col, L, min_count, cache_key=cache_key
+    )
     sp = spans.groupBy(F.col(id_col).alias("doc")).agg(
         F.array_sort(
             F.collect_list(F.struct("span_start", "span_end"))

@@ -173,9 +173,12 @@ def q_dedup_repeated_spans(spark, sf_dir):
     from raft_c_spark.operators import dedup
     from raft_c_spark.sources.testdata import load_table
 
+    from raft_c_spark.plans.dedup import _data_cache_key
+
     docs = load_table(spark, sf_dir, "documents")
     return dedup.repeated_substring_spans(
-        docs, "doc_id", "text", min_len=SPAN_LEN
+        docs, "doc_id", "text", min_len=SPAN_LEN,
+        cache_key=_data_cache_key(sf_dir, "documents"),
     )
 
 
@@ -1059,8 +1062,13 @@ def q_dedup_cut_spans(spark, sf_dir):
     from raft_c_spark.operators import dedup
     from raft_c_spark.sources.testdata import load_table
 
+    from raft_c_spark.plans.dedup import _data_cache_key
+
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.cut_repeated_spans(docs, "doc_id", "text", min_len=SPAN_LEN)
+    return dedup.cut_repeated_spans(
+        docs, "doc_id", "text", min_len=SPAN_LEN,
+        cache_key=_data_cache_key(sf_dir, "documents"),
+    )
 
 
 QUERIES["dedup_cut_spans"] = q_dedup_cut_spans
