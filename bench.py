@@ -51,6 +51,30 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: FROZEN headline subset (judge r9 ask #8): one representative per
+#: operator family, membership never changes as the registry grows, so
+#: the bench-vs-baseline 2x gate has a stable denominator across
+#: rounds (the r1-common-set convention covered only 50/125 queries by
+#: r9 and shrinks further every round). Eleven of twelve are in the r1
+#: bench; ds_mixture_sample joined at r3 (the ds family postdates r1).
+#: Do NOT edit membership — add a new frozen set under a new name if a
+#: family ever needs different representation.
+HEADLINE_12 = (
+    "ts_sample_1h",         # parity: SAMPLE BY flagship
+    "lang_sample_by",       # language frontend end-to-end
+    "tpch_pricing_summary", # general OLAP (TPC-H Q1 shape)
+    "dedup_minhash_lsh",    # approximate dedup
+    "dedup_exact_groups",   # exact dedup
+    "text_analyze",         # text quality
+    "sim_topk_exact",       # similarity search
+    "stream_tumbling_avg",  # structured streaming
+    "mm_features",          # multimodal
+    "ev_sessionize",        # events analytics
+    "ev_salted_agg",        # skew handling
+    "ds_mixture_sample",    # dataset mixing/sampling
+)
+
+
 def _skipped_swaps() -> int:
     from raft_c_spark.plans import registry
 
@@ -138,11 +162,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    # per-query disk-cache key observation (advisor r9): a query whose
+    # plan consults a cache key that another query also consults has a
+    # warm min that measures a shared-materialization read, not its own
+    # compute — BENCH_FULL flags those so artifact readers can separate
+    # plan cost from materialization sharing.
+    from raft_c_spark.functions import diskcache as _dc
+
+    cache_keys: dict[str, set] = {}
     for _ in range(passes):
         for name, fn in sorted(all_queries().items()):
+            seen = cache_keys.setdefault(name, set())
+            _dc.set_key_observer(seen.add)
             t0 = time.perf_counter()
             run_query(fn(spark, SF_DIR))
             dt = round(time.perf_counter() - t0, 4)
+            _dc.set_key_observer(None)
             if name not in cold:
                 cold[name] = dt
             if name in timings:
@@ -223,6 +258,31 @@ def main() -> None:
         "floor_samples": floor_samples,
         "floor_total": round(floor * len(timings), 2),
         "floor_adjusted_value": round(total - floor * len(timings), 2),
+        # queries whose plan consulted a disk-cache key that at least
+        # one OTHER query also consulted: their warm min includes a
+        # shared-materialization read (a parquet scan of state another
+        # query may have paid to build), so plan-cost comparisons
+        # should read queries_cold for these rows (advisor r9)
+        "shared_cache_queries": sorted(
+            n
+            for n, ks in cache_keys.items()
+            if any(
+                ks & ks2
+                for m, ks2 in cache_keys.items()
+                if m != n
+            )
+        ),
+        # frozen cross-round comparison subset (judge r9 ask #8):
+        # per-query warm mins + total for the 12-member HEADLINE_12
+        # set, so the 2x-vs-baseline gate has a stable denominator as
+        # the registry grows
+        "headline12": {
+            n: timings[n] for n in HEADLINE_12 if n in timings
+        },
+        "headline12_total": round(
+            sum(timings[n] for n in HEADLINE_12 if n in timings), 4
+        ),
+        "headline12_missing": [n for n in HEADLINE_12 if n not in timings],
     }
     # the committed artifact is the sf0.1 run; other scales (e.g. the
     # sf0.01 preflight smoke) write a suffixed file so they can never

@@ -38,12 +38,28 @@ def cache_root() -> str:
     )
 
 
+#: optional observer called with every cache key consulted (hit-check,
+#: build, or read-back all funnel through ``cache_path``). bench.py
+#: installs one per query so BENCH_FULL can flag queries whose warm
+#: timing shares a materialization with another query (advisor r9:
+#: a shared-cache consumer's warm min measures a parquet read, not
+#: the operator's compute — readers need to see which rows those are).
+_key_observer = None
+
+
+def set_key_observer(fn) -> None:
+    global _key_observer
+    _key_observer = fn
+
+
 def cache_path(key: str) -> str:
     """Absolute path for a cache entry. ``key`` must encode every
     parameter that affects the cached content (data fingerprint,
     algorithm params, format version)."""
     if not key or "/" in key or key.startswith("."):
         raise ValueError(f"bad cache key: {key!r}")
+    if _key_observer is not None:
+        _key_observer(key)
     return os.path.join(cache_root(), key)
 
 
@@ -67,7 +83,14 @@ def cached_parquet(df: DataFrame, key: str) -> DataFrame:
     """Materialize ``df`` as parquet under ``cache_path(key)`` once
     and return the read-back frame. Subsequent calls (any process)
     skip the compute entirely — the caller should build ``df``
-    lazily so a cache hit never triggers its job."""
+    lazily so a cache hit never triggers its job.
+
+    ``key`` must uniquely fingerprint the EXACT input frame (its
+    rows AND columns — ``data_cache_key`` covers the backing file;
+    any upstream filter/transform must be folded in too) plus every
+    output-affecting parameter: the cache cannot detect that a
+    filtered ``df`` was passed under an old key, and serves the
+    stale full-corpus entry silently (advisor r9)."""
     final = cache_path(key)
     if not os.path.isdir(final):
         os.makedirs(cache_root(), exist_ok=True)

@@ -124,7 +124,17 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     16 B keys travel — broadcast back under the measured row cap
     (shuffle equi-join above, where AQE skew-splits), keep rows whose
     id equals their key's survivor. Same 2^-128 collision convention
-    as every hashed dedup path."""
+    as every hashed dedup path.
+
+    Lifecycle note (advisor r9): construction is EAGER — the
+    measured-cap ``count()`` runs a Spark job when the result frame
+    is *built* (the A/B'd lazy alternatives, AQE-only broadcast and
+    recompute-on-join, measured 1.8x/5-6x slower) — and the survivor
+    frame stays persisted for the session because the returned plan
+    reads it. The registry's per-query ``clearCache()`` hygiene
+    releases it between driver queries; a long-lived library session
+    calling this across many corpora should call
+    ``spark.catalog.clearCache()`` (or unpersist) between corpora."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     hashed = df.withColumn("_h1", F.xxhash64(norm)).withColumn(
         "_h2", F.xxhash64(norm, F.lit(1))
@@ -1799,6 +1809,13 @@ def repeated_substring_spans(
     between driver queries; long-lived library sessions calling this
     over many corpora should ``spark.catalog.clearCache()`` (or
     unpersist) between corpora themselves.
+
+    ``cache_key`` contract (advisor r9): the key must uniquely
+    fingerprint the EXACT input frame — rows and columns, e.g.
+    ``data_cache_key`` over the backing file — not merely name the
+    corpus. The disk cache keys only on (cache_key, params); a caller
+    reusing a corpus-level key with a filtered/transformed ``df``
+    silently reads back the full-corpus spans.
     """
     from pyspark.sql import Window
 

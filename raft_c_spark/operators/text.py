@@ -773,6 +773,18 @@ def ngram_lm_score(
     only the vocabulary-sized bits frame: 150k 27.3 → 13.5 s, 500k
     >90 → 20.6 s, sub-linear at 3.3× data. No driver
     materialization, no Python in the hot path.
+
+    Lifecycle note (advisor r9): construction is EAGER (the
+    measured-cap ``count()`` on the bits frame, and on a cache-miss
+    the ``cached_parquet`` write, run jobs at build time) and the
+    bits frame stays persisted for the session; the registry's
+    per-query ``clearCache()`` releases it between driver queries —
+    long-lived library sessions should clear/unpersist between
+    corpora. ``cache_key`` MUST uniquely fingerprint the exact input
+    frame (rows and columns, e.g. via ``data_cache_key`` on the
+    backing file), not merely name the corpus: a filtered/transformed
+    ``df`` reusing a corpus-level key silently returns the cached
+    full-corpus scores.
     """
     if cache_key is not None:
         import os as _os
@@ -946,6 +958,13 @@ def ngram_overlap_contamination(
     strings never leave the map side — only 16 B hash pairs travel.
     Caveat: ``array_distinct`` is quadratic within one row; for
     mega-documents chunk upstream (the 100 TB pipelines do anyway).
+
+    Lifecycle note (advisor r9): construction is EAGER (the
+    measured-cap ``count()`` on the eval key set runs a job at build
+    time) and the eval key set stays persisted for the session; the
+    registry's per-query ``clearCache()`` releases it between driver
+    queries — long-lived library sessions should clear/unpersist
+    between corpora.
     """
     if n < 1:
         raise ValueError("n must be >= 1")

@@ -143,7 +143,15 @@ def _read_int_line(data: bytes, pos: int) -> tuple[int, int]:
     while pos < len(data) and data[pos : pos + 2] != CRLF:
         c = data[pos]
         if not (ord("0") <= c <= ord("9")):
-            raise WireError("bad digit in length")
+            # a lone '\r' at end-of-buffer may be half of a CRLF a
+            # later recv completes — still repairable. Any other
+            # non-digit makes the frame permanently unparseable, so
+            # BadFrame: without it a b'$1a\r\n' frame fell through to
+            # the handler's need-more-bytes path and stalled the
+            # connection accumulating up to 4x QUERYSIZE (advisor r9)
+            if c == ord("\r") and pos == len(data) - 1:
+                raise WireError("truncated length line")
+            raise BadFrame("bad digit in length")
         n = n * 10 + (c - ord("0"))
         ndigits += 1
         pos += 1

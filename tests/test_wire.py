@@ -324,6 +324,29 @@ def test_adversarial_literals_raise_wireerror(data):
             decode_request(data)
 
 
+def test_length_line_nondigit_is_badframe():
+    """A non-digit byte in the length line makes the frame permanently
+    unparseable → BadFrame (fast-reject path), EXCEPT a lone trailing
+    '\\r' at end-of-buffer, which a subsequent '\\n' could still repair
+    → plain WireError (need-more-bytes path). Advisor r9: b'$1a\\r\\n'
+    previously raised plain WireError and the handler stalled
+    accumulating up to 4x QUERYSIZE before rejecting."""
+    with pytest.raises(wire.BadFrame):
+        decode_request(b"$1a\r\n")
+    with pytest.raises(wire.BadFrame):
+        decode_response(b"#-1\r\n")
+    # repairable: trailing half-CRLF must NOT be BadFrame
+    try:
+        decode_request(b"$12\r")
+    except wire.BadFrame:
+        pytest.fail("lone trailing \\r must stay repairable")
+    except WireError:
+        pass
+    # ...and the repair really works
+    req, used = decode_request(b"$2\r" + b"\nhi\r\n")
+    assert req.query == "hi" and used == 8
+
+
 def test_server_rejects_unrecoverable_frames_immediately(spark, tmp_path):
     """A complete frame that can never parse (invalid UTF-8 body,
     lying length) must get an immediate error reply + close — not sit
@@ -338,7 +361,7 @@ def test_server_rejects_unrecoverable_frames_immediately(spark, tmp_path):
     server = wire.serve(engine)
     host, port = server.server_address
     try:
-        for poison in (b"$2\r\n\xff\xfe\r\n", b"$2\r\nabXY"):
+        for poison in (b"$2\r\n\xff\xfe\r\n", b"$2\r\nabXY", b"$1a\r\n"):
             s = socket.create_connection((host, port), timeout=10)
             s.settimeout(10)
             s.sendall(poison)
