@@ -295,6 +295,34 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # (driver-green r7+r8; ev keeps session_attribution plus the four
     # re-promoted r1 ev_* slots in-window).
     ("ev_anomaly_mad", "ds_training_order"),
+    # -- round-10 freshness batch (judge r9 ask #1): the 16 queries
+    # whose newest driver row is r5 trip ``stale_out_of_window()`` the
+    # moment CORRECTNESS_r10 lands (cutoff becomes newest < 6), so
+    # they rotate back in BEFORE the artifact exists. Every demoted
+    # slot below is driver-green in r9 (most with 3-5 green rounds)
+    # and stays fresh until r14 by construction; within-family swaps
+    # where the family has in-window slots to spare (ts, ev), tpch
+    # slots otherwise (tpch holds 15 of the 50 — the most
+    # over-represented family; it keeps local_supplier_volume,
+    # priority_linestatus, nation_volume_shipping, promo_revenue_share,
+    # returned_item_customers, small_quantity_revenue in-window plus
+    # the two re-promoted below).
+    ("ts_latest", "ts_point_lookup"),
+    ("ts_min", "ts_where_chain"),
+    ("ts_avg", "ts_sample_sliding"),
+    ("tpch_national_market_share", "tpch_pricing_summary"),
+    ("tpch_brand_part_stats", "tpch_shipping_priority"),
+    ("tpch_top_supplier", "text_redact_pii"),
+    ("tpch_customer_order_distribution", "text_repetition"),
+    ("tpch_disjunctive_revenue", "text_chunks"),
+    ("tpch_forecast_revenue", "text_winnow"),
+    ("tpch_inactive_high_balance", "text_heavy_hitters"),
+    ("ev_distinct_users", "ev_sessionize"),
+    ("ev_type_pivot", "ev_funnel"),
+    ("ev_running_value", "ev_json_props"),
+    ("ev_topk_per_user", "ev_set_ops"),
+    ("tpch_large_volume_orders", "dedup_embedding"),
+    ("tpch_priority_late_orders", "sim_knn_join"),
 ]
 
 
