@@ -46,6 +46,7 @@ def _modules():
         "sampling",
         "events_analytics",
         "extras",
+        "text_bpe",
         "tpch",
         "tpch2",
         "tpch3",
@@ -323,6 +324,15 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("ev_topk_per_user", "ev_set_ops"),
     ("tpch_large_volume_orders", "dedup_embedding"),
     ("tpch_priority_late_orders", "sim_knn_join"),
+    # -- round-10 new operators (never driver-verified → in-window
+    # immediately): BPE token counts + BPE-budget packing (judge r9
+    # ask #7). ts_max and ts_earliest demoted — driver-green in five
+    # rounds each (r1-r4 + r9); ts keeps point_lookup/where_chain/
+    # sample_sliding/latest_k/sample_1h in-window and the min/max/
+    # earliest record-aggregate trio stays pinned by the pytest
+    # oracle suite + hypothesis properties every run.
+    ("ts_max", "text_bpe_tokens"),
+    ("ts_earliest", "ds_pack_bpe"),
 ]
 
 

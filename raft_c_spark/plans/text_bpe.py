@@ -1,0 +1,260 @@
+"""Driver queries for the BPE tokenizer (judge r9 ask #7):
+``text_bpe_tokens`` (per-doc token counts under a corpus-derived
+deterministic BPE vocab) and ``ds_pack_bpe`` (sequence packing by BPE
+token budget instead of whitespace/char counts — what real
+pre-training pipelines pack by).
+
+Oracle strategy — the ``sim_topk_ivf`` ground-truth-parquet pattern:
+the merge table is learned by an iterative algorithm no reasonable SQL
+replays, so a pure-Python/pyarrow replay (same ``learn_merges`` /
+``encode_word`` functions, pure-Python tokenizer twin) computes
+per-doc counts for every testdata documents corpus, keyed by an exact
+integer corpus fingerprint both engines compute from the same parquet;
+DuckDB reads the ground truth and — for ``ds_pack_bpe`` — applies the
+same windowed-cumsum packing SQL as ``ds_pack_sequences``, which
+independently checks the distributed two-phase prefix sum against a
+plain SQL window over the replayed counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from raft_c_spark.operators import bpe, sampling
+from raft_c_spark.sources.testdata import load_table
+
+#: training/encode parameters (also baked into cache + ground-truth
+#: keys via bpe.BPE_VERSION)
+NUM_MERGES = 200
+MAX_WORDS = 20_000
+BPE_PACK_BUDGET = 1024
+
+#: exact integer corpus fingerprint — pure integer arithmetic off the
+#: same parquet columns on both sides (row counts alone collide
+#: between sf dirs)
+_FP_SQL = (
+    "SELECT CAST(SUM((doc_id % 1000 + 1) * n_chars) AS BIGINT) "
+    "FROM documents"
+)
+
+
+def _documents_corpus_paths() -> list[str]:
+    """Every documents.parquet the harness could register (the
+    plans/similarity._embedding_corpus_paths convention)."""
+    import glob
+    import os
+
+    paths = set(glob.glob("/root/testdata/sf*/documents.parquet"))
+    for var in ("SPARK_GRAFT_SF_DIR", "ORACLE_SF_DIR"):
+        d = os.environ.get(var)
+        if d:
+            p = os.path.join(d, "documents.parquet")
+            if os.path.isfile(p):
+                paths.add(p)
+    return sorted(paths)
+
+
+def replay_counts(path: str) -> list[dict]:
+    """Pure-Python replay for ONE corpus: tokenize (twin regex), word
+    counts, deterministic top-``MAX_WORDS`` slice (count desc, word
+    asc — ties inside the slice boundary are resolved identically to
+    the Spark orderBy/limit), ``learn_merges``, encode each distinct
+    word once, then per-doc totals. Shares the exact training/encode
+    code with the Spark path — the independence is in the data path
+    (pyarrow re-read + pure-Python counts vs the distributed plan),
+    which is what the hash compare certifies."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["doc_id", "text"])
+    doc_ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    docs = [(i, bpe.tokenize_py(s)) for i, s in zip(doc_ids, texts)]
+
+    wc: Counter = Counter()
+    for _, toks in docs:
+        wc.update(toks)
+    table = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:MAX_WORDS]
+    merges = bpe.learn_merges(table, NUM_MERGES)
+    ranks = bpe.merge_ranks(merges)
+    n_tok = {w: len(bpe.encode_word(w, ranks)) for w in wc}
+
+    fp = corpus_fp_py(path)
+    return [
+        {
+            "corpus_fp": fp,
+            "doc_id": int(i),
+            "n_words": len(toks),
+            "n_bpe_tokens": sum(n_tok[w] for w in toks),
+        }
+        for i, toks in docs
+    ]
+
+
+def corpus_fp_py(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["doc_id", "n_chars"])
+    return int(
+        sum(
+            (i % 1000 + 1) * c
+            for i, c in zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist())
+        )
+    )
+
+
+def expected_parquet_path() -> str:
+    """Ground-truth per-doc BPE counts for every testdata documents
+    corpus, keyed by the data files (mtime+size) + all params."""
+    import os
+
+    import pyarrow as pa
+
+    from raft_c_spark.functions.diskcache import data_cache_key
+    from raft_c_spark.plans.multimodal import _ground_truth_parquet
+
+    tags = "_".join(
+        data_cache_key(os.path.dirname(p), "documents")
+        for p in _documents_corpus_paths()
+    )
+
+    def _rows() -> list[dict]:
+        out: list[dict] = []
+        for p in _documents_corpus_paths():
+            out += replay_counts(p)
+        return out
+
+    return _ground_truth_parquet(
+        f"bpe_expected_v{bpe.BPE_VERSION}_m{NUM_MERGES}"
+        f"_w{MAX_WORDS}_{tags}.parquet",
+        _rows,
+        [
+            ("corpus_fp", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("n_words", pa.int64()),
+            ("n_bpe_tokens", pa.int64()),
+        ],
+    )
+
+
+def bpe_counts_frame(spark, sf_dir: str):
+    """Shared per-corpus (doc_id, n_words, n_bpe_tokens) frame: train
+    (disk-cached merges) + encode + per-doc aggregate, materialized
+    once per corpus via the lm-score/DSIR ``cached_parquet`` pattern —
+    ``text_bpe_tokens`` and ``ds_pack_bpe`` read the same parquet (the
+    bench's shared_cache_queries marker flags both)."""
+    from raft_c_spark.functions.diskcache import cached_parquet, data_cache_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    ck = data_cache_key(sf_dir, "documents")
+    merges = bpe.train_bpe(
+        docs,
+        "text",
+        num_merges=NUM_MERGES,
+        max_words=MAX_WORDS,
+        cache_key=ck,
+    )
+    out = bpe.bpe_token_counts(docs, "doc_id", "text", merges)
+    return cached_parquet(
+        out,
+        f"bpecounts_{ck}_m{NUM_MERGES}_w{MAX_WORDS}_v{bpe.BPE_VERSION}",
+    )
+
+
+def q_text_bpe_tokens(spark, sf_dir: str):
+    """Per-document BPE token counts under the corpus-trained merge
+    table — the length statistic real pipelines budget by."""
+    return bpe_counts_frame(spark, sf_dir).orderBy("doc_id")
+
+
+def q_ds_pack_bpe(spark, sf_dir: str):
+    """Sequence packing by BPE token budget: the ``ds_pack_sequences``
+    concat-and-chunk (two-phase distributed prefix sum, no global
+    window) with ``n_bpe_tokens`` as the length column."""
+    counts = bpe_counts_frame(spark, sf_dir)
+    return sampling.pack_sequences(
+        counts, "doc_id", "n_bpe_tokens", BPE_PACK_BUDGET
+    ).select("doc_id", "n_bpe_tokens", "seq_start", "bin", "bin_offset")
+
+
+QUERIES = {
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "ds_pack_bpe": q_ds_pack_bpe,
+}
+
+
+def _gt() -> str:
+    return f"read_parquet('{expected_parquet_path()}')"
+
+
+def _oracles() -> dict[str, str]:
+    gt = _gt()
+    guard = f"""
+        UNION ALL
+        SELECT CAST(error('no BPE ground truth for this documents corpus; '
+                          'add its sf dir to the search roots '
+                          '(plans/text_bpe._documents_corpus_paths)') AS BIGINT),
+               NULL, NULL
+        WHERE NOT EXISTS (
+            SELECT 1 FROM {gt} WHERE corpus_fp = ({_FP_SQL})
+        )
+    """
+    cum = (
+        "SUM(n_bpe_tokens) OVER ("
+        "ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        ") - n_bpe_tokens"
+    )
+    return {
+        "text_bpe_tokens": f"""
+            SELECT doc_id, n_words, n_bpe_tokens
+            FROM {gt} WHERE corpus_fp = ({_FP_SQL})
+            {guard}
+        """,
+        "ds_pack_bpe": f"""
+            SELECT doc_id, n_bpe_tokens,
+                   CAST({cum} AS BIGINT) AS seq_start,
+                   CAST(({cum}) // {BPE_PACK_BUDGET} AS BIGINT) AS bin,
+                   CAST(({cum}) % {BPE_PACK_BUDGET} AS BIGINT) AS bin_offset
+            FROM {gt} WHERE corpus_fp = ({_FP_SQL})
+            UNION ALL
+            SELECT CAST(error('no BPE ground truth for this documents corpus; '
+                              'add its sf dir to the search roots '
+                              '(plans/text_bpe._documents_corpus_paths)') AS BIGINT),
+                   NULL, NULL, NULL, NULL
+            WHERE NOT EXISTS (
+                SELECT 1 FROM {gt} WHERE corpus_fp = ({_FP_SQL})
+            )
+        """,
+    }
+
+
+class _LazyOracles(Mapping):
+    """Defer ground-truth materialization to first oracle access —
+    importing the plans module must stay cheap and the bench (which
+    never reads oracles) must never pay the replay. Deliberately NOT a
+    dict subclass: ``dict.update`` takes a fast path over a dict
+    subclass's internal storage that bypasses overridden accessors,
+    which would copy the not-yet-filled empty table; over a Mapping it
+    calls ``keys``/``__getitem__`` and triggers the fill."""
+
+    def __init__(self) -> None:
+        self._d: dict[str, str] | None = None
+
+    def _fill(self) -> dict[str, str]:
+        if self._d is None:
+            self._d = _oracles()
+        return self._d
+
+    def __getitem__(self, k: str) -> str:
+        return self._fill()[k]
+
+    def __iter__(self):
+        return iter(self._fill())
+
+    def __len__(self) -> int:
+        return len(self._fill())
+
+
+ORACLES = _LazyOracles()

@@ -204,6 +204,21 @@ FLAGSHIPS = [
         "no global Sort; gumbel_key emitted as DOUBLE (decimal only "
         "inside the ordering) so the driver hash is engine-canonical",
     ),
+    (
+        "text_bpe_tokens",
+        "BPE token counts: corpus touched twice map-side (tokenize+"
+        "explode), Arrow encode kernel over the DISTINCT-word frame "
+        "only, word→n_tokens joined back broadcast under the measured "
+        "cap, per-doc aggregate partial-combines — per-word Python is "
+        "vocabulary-sized, never corpus-sized",
+    ),
+    (
+        "ds_pack_bpe",
+        "BPE-budget sequence packing: the two-phase distributed "
+        "prefix sum over the cached per-doc counts — per-partition "
+        "window cumsum + P-row driver prefix joined back; no global "
+        "sort, no single-partition window",
+    ),
 ]
 
 
