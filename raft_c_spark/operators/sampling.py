@@ -671,3 +671,80 @@ def training_order(
         "shuffle_key",
         F.col("shard").cast("long").alias("shard"),
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    tokens_col: str,
+    weight_col: str,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Token-budget mixture planning + deterministic selection — the
+    step a pre-training data recipe runs once per corpus version:
+    given per-document token counts, per-source raw mixture weights,
+    and a global token budget (``budget_frac`` of the corpus), derive
+    each source's sampling rate
+
+        rate_s = min(1, (budget · weight_s / Σweights) / tokens_s)
+
+    (a source owed more tokens than it has is taken whole — the
+    standard up-to-capacity allocation) and select documents by the
+    md5-fraction rule, so the same rows are chosen on any engine, any
+    partitioning, any rerun. Output: one row per document with its
+    source's rate and the selection flag.
+
+    Scale shape: ONE map-side-combined per-source aggregate (S rows),
+    a 1-row total, rate arithmetic on the S-row frame, broadcast back
+    onto the scan — the corpus is touched once and never pre-shuffles;
+    selection is a map-only md5 expression. Every arithmetic step is
+    aliased into a fixed evaluation order so the DuckDB oracle
+    replays rates bit-identically.
+    """
+    per_src = df.groupBy(source_col).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("_src_tokens"),
+        F.min(F.col(weight_col).cast("long")).alias("_w"),
+    )
+    totals = per_src.agg(
+        F.sum("_src_tokens").alias("_total_tokens"),
+        F.sum("_w").alias("_sum_w"),
+    )
+    rates = (
+        per_src.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_budget",
+            F.lit(float(budget_frac)) * F.col("_total_tokens").cast("double"),
+        )
+        .withColumn(
+            "_share", F.col("_w").cast("double") / F.col("_sum_w").cast("double")
+        )
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                (F.col("_budget") * F.col("_share"))
+                / F.col("_src_tokens").cast("double"),
+            ),
+        )
+        .select(source_col, "rate")
+    )
+    frac = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, HEX_DIGITS),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(16**HEX_DIGITS))
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .withColumn("selected", frac < F.col("rate"))
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col(tokens_col).cast("long").alias(tokens_col),
+            "rate",
+            "selected",
+        )
+    )

@@ -338,6 +338,11 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # driver-green r1/r2/r9; tpch keeps seven in-window
     # representatives incl. the two re-promoted r10 slots.
     ("tpch_promo_revenue_share", "sim_knn_recall_tuned"),
+    # Token-budget mixture planning over BPE counts (never
+    # driver-verified → in-window). tpch_returned_item_customers
+    # demoted — driver-green r1/r2/r9; tpch keeps six in-window
+    # representatives.
+    ("tpch_returned_item_customers", "ds_token_budget_mix"),
 ]
 
 

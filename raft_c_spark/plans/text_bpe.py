@@ -244,7 +244,9 @@ class _LazyOracles(Mapping):
 
     def _fill(self) -> dict[str, str]:
         if self._d is None:
-            self._d = _oracles()
+            # _oracles_mix is defined below the class (module tail) —
+            # resolved lazily at first access, never at import
+            self._d = _oracles_mix()
         return self._d
 
     def __getitem__(self, k: str) -> str:
@@ -258,3 +260,79 @@ class _LazyOracles(Mapping):
 
 
 ORACLES = _LazyOracles()
+
+
+MIX_BUDGET_FRAC = 0.5
+
+
+def q_ds_token_budget_mix(spark, sf_dir: str):
+    """Token-budget mixture planning over BPE counts: per-source
+    sampling rates for a 50%-of-corpus token budget under raw weights
+    (source index + 1), and the deterministic md5 selection — the
+    recipe-planning step real pipelines run before materializing a
+    training mix. See operators/sampling.token_budget_mix."""
+    from pyspark.sql import functions as F
+
+    counts = bpe_counts_frame(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = counts.join(docs, "doc_id").withColumn(
+        "w",
+        F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("long") + 1,
+    )
+    return sampling.token_budget_mix(
+        j, "doc_id", "source", "n_bpe_tokens", "w",
+        budget_frac=MIX_BUDGET_FRAC,
+    ).orderBy("doc_id")
+
+
+QUERIES["ds_token_budget_mix"] = q_ds_token_budget_mix
+
+
+def _mix_oracle() -> str:
+    gt = _gt()
+    return f"""
+        WITH g AS (
+            SELECT doc_id, n_bpe_tokens FROM {gt}
+            WHERE corpus_fp = ({_FP_SQL})
+        ),
+        j AS (
+            SELECT g.doc_id, d.source, g.n_bpe_tokens,
+                   CAST(regexp_extract(d.source, '([0-9]+)', 1) AS BIGINT)
+                       + 1 AS w
+            FROM g JOIN documents d USING (doc_id)
+        ),
+        per_src AS (
+            SELECT source, SUM(n_bpe_tokens) AS src_tokens, MIN(w) AS w
+            FROM j GROUP BY source
+        ),
+        tot AS (
+            SELECT SUM(src_tokens) AS total_tokens, SUM(w) AS sum_w
+            FROM per_src
+        ),
+        rates AS (
+            SELECT source,
+                   least(1.0,
+                         (({MIX_BUDGET_FRAC!r} * CAST(total_tokens AS DOUBLE))
+                          * (CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE)))
+                         / CAST(src_tokens AS DOUBLE)) AS rate
+            FROM per_src CROSS JOIN tot
+        )
+        SELECT j.doc_id, j.source,
+               CAST(j.n_bpe_tokens AS BIGINT) AS n_bpe_tokens, r.rate,
+               (CAST(CAST('0x' || substr(md5(CAST(j.doc_id AS VARCHAR)), 1, 6)
+                          AS BIGINT) AS DOUBLE) / 16777216.0) < r.rate
+                   AS selected
+        FROM j JOIN rates r USING (source)
+        UNION ALL
+        SELECT CAST(error('no BPE ground truth for this documents corpus; '
+                          'add its sf dir to the search roots '
+                          '(plans/text_bpe._documents_corpus_paths)') AS BIGINT),
+               NULL, NULL, NULL, NULL
+        WHERE NOT EXISTS (SELECT 1 FROM {gt} WHERE corpus_fp = ({_FP_SQL}))
+    """
+
+
+def _oracles_mix() -> dict[str, str]:
+    base = _oracles()
+    base["ds_token_budget_mix"] = _mix_oracle()
+    return base

@@ -219,6 +219,13 @@ FLAGSHIPS = [
         "window cumsum + P-row driver prefix joined back; no global "
         "sort, no single-partition window",
     ),
+    (
+        "ds_token_budget_mix",
+        "Token-budget mixture planning: one map-side-combined S-row "
+        "per-source aggregate + 1-row total, rate arithmetic on the "
+        "S-row frame broadcast back onto the scan, map-only md5 "
+        "selection — the corpus never pre-shuffles",
+    ),
 ]
 
 

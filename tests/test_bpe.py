@@ -159,3 +159,37 @@ def test_pack_bpe_bins_respect_budget(spark):
         assert r["bin"] == r["seq_start"] // BPE_PACK_BUDGET
         assert 0 <= r["bin_offset"] < BPE_PACK_BUDGET
         total += r["n_bpe_tokens"]
+
+
+def test_token_budget_mix_semantics(spark):
+    """Rates cap at 1.0, over-weighted small sources are taken whole,
+    and the selected token mass lands near the budget (md5 fractions
+    are uniform; the corpus is big enough for +/-20%)."""
+    from raft_c_spark.plans.text_bpe import (
+        MIX_BUDGET_FRAC,
+        q_ds_token_budget_mix,
+    )
+
+    out = q_ds_token_budget_mix(spark, "/root/testdata/sf0.01").collect()
+    assert out
+    total = sum(r["n_bpe_tokens"] for r in out)
+    picked = sum(r["n_bpe_tokens"] for r in out if r["selected"])
+    assert all(0.0 < r["rate"] <= 1.0 for r in out)
+    # src19 (weight 20) is owed ~2x its tokens under equal source
+    # sizes -> rate 1.0, taken whole; src0 (weight 1) is scaled down
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], r["rate"])
+    assert by_src["src19"] == 1.0
+    assert by_src["src0"] < 0.2
+    # expected selected mass = sum(min(1, rate) * src_tokens) -> the
+    # realized mass should track it (not the raw budget, since capped
+    # sources can't donate their surplus)
+    exp = {}
+    for r in out:
+        exp.setdefault(r["source"], [0, r["rate"]])
+        exp[r["source"]][0] += r["n_bpe_tokens"]
+    expected = sum(t * rate for t, rate in exp.values())
+    assert abs(picked - expected) / expected < 0.2
+    assert picked < total  # a real mixture, not take-everything
+    assert MIX_BUDGET_FRAC == 0.5
