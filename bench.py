@@ -325,6 +325,11 @@ def main() -> None:
                 "tpch_sec": tpch,
                 "calib_sec": calib,
                 "floor_adj": round(total - floor * len(timings), 2),
+                # frozen headline-12 total (stable cross-round
+                # denominator for the 2x gate — judge r9 ask #8)
+                "h12": round(
+                    sum(timings[n] for n in HEADLINE_12 if n in timings), 2
+                ),
                 "full": "BENCH_FULL.json",
                 # only surfaced when something actually failed to
                 # resolve (keeps the tail-window line small)

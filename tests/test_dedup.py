@@ -580,3 +580,50 @@ class TestCutRepeatedSpans:
             != F.col("nlen") - F.col("n_chars_removed")
         ).count()
         assert bad == 0
+
+
+def test_spans_bloom_fallback_exact(spark, monkeypatch):
+    """Force the over-cap join-back path (cap -> 0) and assert the
+    bloom-prefiltered fallback returns EXACTLY the broadcast path's
+    spans — false positives must die in the exact equi-join (r10
+    fourth-decade soak catch #7)."""
+    from raft_c_spark.operators import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    want = sorted(
+        map(tuple, dedup.repeated_substring_spans(
+            docs, "doc_id", "text", min_len=20
+        ).collect())
+    )
+    assert want, "fixture must produce spans for the test to mean anything"
+    monkeypatch.setattr(dedup, "_BROADCAST_MAX_BANDED_ROWS", 0)
+    got = sorted(
+        map(tuple, dedup.repeated_substring_spans(
+            docs, "doc_id", "text", min_len=20
+        ).collect())
+    )
+    assert got == want
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every probe row whose key IS in the key set must survive the
+    prefilter (bloom guarantees no false negatives)."""
+    from pyspark.sql import functions as F
+
+    from raft_c_spark.operators.dedup import _bloom_prefilter
+
+    probe = spark.range(0, 5000).select(
+        F.col("id").alias("doc"),
+        F.col("id").alias("pos"),
+        F.xxhash64("id").alias("h1"),
+        F.xxhash64("id", F.lit(1)).alias("h2"),
+    )
+    keys = probe.filter(F.col("doc") % 7 == 0).select("h1", "h2")
+    out = _bloom_prefilter(probe, keys, keys.count())
+    kept = {r["doc"] for r in out.collect()}
+    members = set(range(0, 5000, 7))
+    assert members <= kept  # no false negatives
+    # and it actually filters (FPR ~1%, not pass-everything)
+    assert len(kept) < 5000 * 0.25
