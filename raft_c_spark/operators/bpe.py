@@ -256,11 +256,18 @@ def train_bpe(
             _os.makedirs(diskcache.cache_root(), exist_ok=True)
             staging = f"{final}.tmp.{_os.getpid()}"
             _os.makedirs(staging, exist_ok=True)
+            # explicit schema: an EMPTY merge list (degenerate corpus
+            # where no pair repeats) must round-trip as string columns,
+            # not pyarrow's inferred null type
             pq.write_table(
                 pa.table(
                     {
-                        "a": [a for a, _ in merges],
-                        "b": [b for _, b in merges],
+                        "a": pa.array(
+                            [a for a, _ in merges], pa.string()
+                        ),
+                        "b": pa.array(
+                            [b for _, b in merges], pa.string()
+                        ),
                     }
                 ),
                 _os.path.join(staging, "merges.parquet"),

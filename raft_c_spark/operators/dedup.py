@@ -1809,7 +1809,12 @@ def _bloom_prefilter(
                 np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
         yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    partials = keys.select("h1", "h2").mapInPandas(
+    # coalesce the key frame before the fold: each partition yields one
+    # m/8-byte partial, so P partials reach the driver — under the
+    # driver's 200-shuffle-partition session an uncoalesced fold would
+    # ship 200 × 16 MB ≈ 3 GB for the 1.5M-doc corpus; 16 partitions
+    # cap the transfer at ~256 MB while keeping the fold parallel
+    partials = keys.select("h1", "h2").coalesce(16).mapInPandas(
         build, "bits binary"
     ).collect()
     bits = np.zeros(n_bytes, dtype=np.uint8)
