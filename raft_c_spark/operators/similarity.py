@@ -1269,23 +1269,30 @@ def certify_lsh_recall(
             .select("q", "doc")
             .distinct()
         )
-        from pyspark.storagelevel import StorageLevel
-
-        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-        n_cand = cand.count()  # metric AND the measured-budget probe
-        w = Window.partitionBy("q").orderBy(F.desc("cosine"), F.asc("doc"))
-        top1 = (
+        # BOTH per-rung metrics from ONE job: per query, the candidate
+        # count and the top-1 winner via max(struct(cosine, -doc)) —
+        # the same (cosine desc, doc asc) total order the window
+        # formulation used, without a persist or a second action;
+        # n_candidates = Σ per-q counts (every candidate pair has a q),
+        # hit = winner.doc == q. The ≤n_queries-row collect is a
+        # scalar probe.
+        per_q = (
             cand.join(cv, "doc")
             .join(F.broadcast(qv), "q")
             .withColumn(
                 "cosine",
                 dot_fold("cvec", "qvec") / (F.col("cnorm") * F.col("qnorm")),
             )
-            .withColumn("_rk", F.row_number().over(w))
-            .filter((F.col("_rk") == 1) & (F.col("q") == F.col("doc")))
+            .groupBy("q")
+            .agg(
+                F.count(F.lit(1)).alias("n_cand"),
+                F.max(F.struct(F.col("cosine"), (-F.col("doc")).alias("negdoc"))).alias("best"),
+            )
+            .select("q", "n_cand", (-F.col("best.negdoc")).alias("bestdoc"))
+            .collect()
         )
-        n_hits = top1.count()
-        cand.unpersist()
+        n_cand = sum(r["n_cand"] for r in per_q)
+        n_hits = sum(1 for r in per_q if r["bestdoc"] == r["q"])
         recall = n_hits / float(n_queries)
         within = n_cand <= budget
         meets = recall >= target
