@@ -721,10 +721,16 @@ def token_budget_mix(
         )
         .withColumn(
             "rate",
-            F.least(
-                F.lit(1.0),
-                (F.col("_budget") * F.col("_share"))
-                / F.col("_src_tokens").cast("double"),
+            # a zero-token source is trivially within any budget →
+            # taken whole (rate 1.0); without the guard Spark's Divide
+            # returns NULL on the 0 divisor and every row of the
+            # source gets NULL rate/selected (reviewer r10)
+            F.when(F.col("_src_tokens") == 0, F.lit(1.0)).otherwise(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("_budget") * F.col("_share"))
+                    / F.col("_src_tokens").cast("double"),
+                )
             ),
         )
         .select(source_col, "rate")

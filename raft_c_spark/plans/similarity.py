@@ -223,23 +223,13 @@ def _corpus_fingerprint(mat) -> int:
 
 
 def _embedding_corpus_paths() -> list[str]:
-    """Every embeddings.parquet the harness could register: the
-    default testdata layout plus any sf dir named via the env vars the
-    driver/tests use — so a corpus registered outside /root/testdata
-    still gets ground truth instead of an empty-fingerprint mismatch
-    (the oracle additionally fails loudly via ``error()`` if the
-    lookup still comes up empty)."""
-    import glob
-    import os
+    """Every embeddings.parquet the harness could register — thin
+    wrapper over the single shared helper (sources.testdata); the
+    oracle additionally fails loudly via ``error()`` if the lookup
+    still comes up empty."""
+    from raft_c_spark.sources.testdata import corpus_paths
 
-    paths = set(glob.glob("/root/testdata/sf*/embeddings.parquet"))
-    for var in ("SPARK_GRAFT_SF_DIR", "ORACLE_SF_DIR"):
-        d = os.environ.get(var)
-        if d:
-            p = os.path.join(d, "embeddings.parquet")
-            if os.path.isfile(p):
-                paths.add(p)
-    return sorted(paths)
+    return corpus_paths("embeddings")
 
 
 def _ivf_expected_rows() -> list[dict]:

@@ -39,19 +39,11 @@ _FP_SQL = (
 
 
 def _documents_corpus_paths() -> list[str]:
-    """Every documents.parquet the harness could register (the
-    plans/similarity._embedding_corpus_paths convention)."""
-    import glob
-    import os
+    """Every documents.parquet the harness could register — thin
+    wrapper over the single shared helper (sources.testdata)."""
+    from raft_c_spark.sources.testdata import corpus_paths
 
-    paths = set(glob.glob("/root/testdata/sf*/documents.parquet"))
-    for var in ("SPARK_GRAFT_SF_DIR", "ORACLE_SF_DIR"):
-        d = os.environ.get(var)
-        if d:
-            p = os.path.join(d, "documents.parquet")
-            if os.path.isfile(p):
-                paths.add(p)
-    return sorted(paths)
+    return corpus_paths("documents")
 
 
 def replay_counts(path: str) -> list[dict]:
@@ -144,10 +136,23 @@ def bpe_counts_frame(spark, sf_dir: str):
     once per corpus via the lm-score/DSIR ``cached_parquet`` pattern —
     ``text_bpe_tokens`` and ``ds_pack_bpe`` read the same parquet (the
     bench's shared_cache_queries marker flags both)."""
-    from raft_c_spark.functions.diskcache import cached_parquet, data_cache_key
+    import os as _os
 
-    docs = load_table(spark, sf_dir, "documents")
+    from raft_c_spark.functions.diskcache import (
+        cache_path,
+        cached_parquet,
+        data_cache_key,
+    )
+
     ck = data_cache_key(sf_dir, "documents")
+    key = f"bpecounts_{ck}_m{NUM_MERGES}_w{MAX_WORDS}_v{bpe.BPE_VERSION}"
+    # hit-check BEFORE building: bpe_token_counts is construction-EAGER
+    # (the measured-cap count runs a corpus job), so building it just
+    # to have cached_parquet discard the frame would re-run that job on
+    # every warm call — the lm-score pattern (reviewer r10)
+    if _os.path.isdir(cache_path(key)):
+        return spark.read.parquet(cache_path(key))
+    docs = load_table(spark, sf_dir, "documents")
     merges = bpe.train_bpe(
         docs,
         "text",
@@ -156,10 +161,7 @@ def bpe_counts_frame(spark, sf_dir: str):
         cache_key=ck,
     )
     out = bpe.bpe_token_counts(docs, "doc_id", "text", merges)
-    return cached_parquet(
-        out,
-        f"bpecounts_{ck}_m{NUM_MERGES}_w{MAX_WORDS}_v{bpe.BPE_VERSION}",
-    )
+    return cached_parquet(out, key)
 
 
 def q_text_bpe_tokens(spark, sf_dir: str):
@@ -275,9 +277,15 @@ def q_ds_token_budget_mix(spark, sf_dir: str):
 
     counts = bpe_counts_frame(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # digitless source names get raw weight 1 (regexp_extract returns
+    # '' on no match, which CASTs to NULL in Spark but ERRORS in
+    # DuckDB — both sides use the explicit empty-match branch)
+    digits = F.regexp_extract(F.col("source"), r"(\d+)", 1)
     j = counts.join(docs, "doc_id").withColumn(
         "w",
-        F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("long") + 1,
+        F.when(digits == "", F.lit(1)).otherwise(
+            digits.cast("long") + 1
+        ),
     )
     return sampling.token_budget_mix(
         j, "doc_id", "source", "n_bpe_tokens", "w",
@@ -297,8 +305,11 @@ def _mix_oracle() -> str:
         ),
         j AS (
             SELECT g.doc_id, d.source, g.n_bpe_tokens,
-                   CAST(regexp_extract(d.source, '([0-9]+)', 1) AS BIGINT)
-                       + 1 AS w
+                   CASE WHEN regexp_extract(d.source, '([0-9]+)', 1) = ''
+                        THEN 1
+                        ELSE CAST(regexp_extract(d.source, '([0-9]+)', 1)
+                                  AS BIGINT) + 1
+                   END AS w
             FROM g JOIN documents d USING (doc_id)
         ),
         per_src AS (
@@ -311,10 +322,13 @@ def _mix_oracle() -> str:
         ),
         rates AS (
             SELECT source,
-                   least(1.0,
-                         (({MIX_BUDGET_FRAC!r} * CAST(total_tokens AS DOUBLE))
-                          * (CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE)))
-                         / CAST(src_tokens AS DOUBLE)) AS rate
+                   CASE WHEN src_tokens = 0 THEN 1.0
+                        ELSE least(1.0,
+                             (({MIX_BUDGET_FRAC!r}
+                               * CAST(total_tokens AS DOUBLE))
+                              * (CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE)))
+                             / CAST(src_tokens AS DOUBLE))
+                   END AS rate
             FROM per_src CROSS JOIN tot
         )
         SELECT j.doc_id, j.source,

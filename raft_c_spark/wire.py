@@ -155,8 +155,14 @@ def _read_int_line(data: bytes, pos: int) -> tuple[int, int]:
         n = n * 10 + (c - ord("0"))
         ndigits += 1
         pos += 1
-    if pos + 2 > len(data) or ndigits == 0:
+    if pos + 2 > len(data):
         raise WireError("truncated length line")
+    if ndigits == 0:
+        # the CRLF is fully present with NO digits before it (b"$\r\n")
+        # — a complete frame no future recv can repair (reviewer r10:
+        # the non-digit case above got BadFrame but this one stalled
+        # the handler's need-more-bytes path exactly the same way)
+        raise BadFrame("empty length line")
     return n, pos + 2
 
 

@@ -193,3 +193,31 @@ def test_token_budget_mix_semantics(spark):
     assert abs(picked - expected) / expected < 0.2
     assert picked < total  # a real mixture, not take-everything
     assert MIX_BUDGET_FRAC == 0.5
+
+
+def test_token_budget_mix_zero_token_source_and_digitless_names(spark):
+    """A source whose docs all have zero tokens gets rate 1.0 (taken
+    whole — trivially within any budget), never NULL; digitless
+    source names get raw weight 1 on both engines (reviewer r10)."""
+    from raft_c_spark.operators.sampling import token_budget_mix
+
+    rows = [
+        (1, "misc", 0, 1),   # digitless source, zero tokens
+        (2, "misc", 0, 1),
+        (3, "src3", 10, 4),
+        (4, "src3", 30, 4),
+        (5, "src1", 100, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_bpe_tokens long, w long"
+    )
+    out = token_budget_mix(
+        df, "doc_id", "source", "n_bpe_tokens", "w", budget_frac=0.5
+    ).collect()
+    assert len(out) == len(rows)
+    by_src = {r["source"]: r for r in out}
+    assert by_src["misc"]["rate"] == 1.0
+    assert by_src["misc"]["selected"] is not None
+    for r in out:
+        assert r["rate"] is not None and 0.0 < r["rate"] <= 1.0
+        assert r["selected"] is not None

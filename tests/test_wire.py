@@ -335,6 +335,18 @@ def test_length_line_nondigit_is_badframe():
         decode_request(b"$1a\r\n")
     with pytest.raises(wire.BadFrame):
         decode_response(b"#-1\r\n")
+    # an EMPTY length line with its CRLF fully present is complete and
+    # unrepairable too (reviewer r10)
+    with pytest.raises(wire.BadFrame):
+        decode_request(b"$\r\nhi\r\n")
+    # ...but a bare "$" or "$\r" may still become valid — repairable
+    for frag in (b"$", b"$\r"):
+        try:
+            decode_request(frag)
+        except wire.BadFrame:
+            pytest.fail(f"{frag!r} must stay repairable")
+        except WireError:
+            pass
     # repairable: trailing half-CRLF must NOT be BadFrame
     try:
         decode_request(b"$12\r")
@@ -361,7 +373,12 @@ def test_server_rejects_unrecoverable_frames_immediately(spark, tmp_path):
     server = wire.serve(engine)
     host, port = server.server_address
     try:
-        for poison in (b"$2\r\n\xff\xfe\r\n", b"$2\r\nabXY", b"$1a\r\n"):
+        for poison in (
+            b"$2\r\n\xff\xfe\r\n",
+            b"$2\r\nabXY",
+            b"$1a\r\n",
+            b"$\r\n",
+        ):
             s = socket.create_connection((host, port), timeout=10)
             s.settimeout(10)
             s.sendall(poison)
