@@ -343,6 +343,44 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # demoted — driver-green r1/r2/r9; tpch keeps six in-window
     # representatives.
     ("tpch_returned_item_customers", "ds_token_budget_mix"),
+    # -- round-10 debt-prepayment batch: the 18 queries whose newest
+    # driver row is r6 would trip ``stale_out_of_window()`` at r11
+    # (cutoff becomes newest < 7), so they rotate in THIS round —
+    # clearing next round's rotation debt by construction instead of
+    # leaving it as a round-11 first-thing chore (ROUND10.md computed
+    # the cohort; DRIVER_SIM_r10.json pre-validates all of them at
+    # sf0.01). Every demoted slot below is driver-green in r9 (fresh
+    # until r14 by construction, most with 3+ green rounds) and every
+    # family keeps in-window representatives: ts keeps point_lookup/
+    # where_chain/sample_sliding + the incoming range_scan; lang keeps
+    # retention/sample_multi + the incoming where_limit; tpch keeps
+    # pricing_summary/shipping_priority; dedup keeps embedding/
+    # cut_spans/segments + the incoming exact_groups; text keeps the
+    # five r5-cohort slots + gopher_rules/bpe_tokens + the three
+    # incoming; ev keeps the four r5-cohort slots + the four incoming;
+    # mm trades features/frame_index for the real-decode triple; ds
+    # keeps training_order/dsir_resample/contamination_overlap/
+    # ccnet_buckets/pack_bpe/token_budget_mix + the four incoming; sim
+    # keeps knn_join/knn_recall/knn_recall_tuned; streaming keeps
+    # sliding_rate/session_window + the incoming dedup.
+    ("ts_latest_k", "ts_range_scan"),
+    ("ts_sample_1h", "lang_where_limit"),
+    ("lang_at_lookup", "text_lang_profile"),
+    ("lang_earliest_k", "text_quality_model"),
+    ("tpch_local_supplier_volume", "text_tfidf_terms"),
+    ("tpch_priority_linestatus", "dedup_exact_groups"),
+    ("tpch_nation_volume_shipping", "ds_decontaminate"),
+    ("tpch_small_quantity_revenue", "ds_mixture_sample"),
+    ("dedup_repeated_spans", "ds_pack_sequences"),
+    ("dedup_semantic", "ds_source_topk"),
+    ("text_lm_score", "ev_asof_purchase_click"),
+    ("ev_session_attribution", "ev_exact_percentiles"),
+    ("mm_features", "ev_rollup_profile"),
+    ("mm_frame_index", "ev_salted_join"),
+    ("ds_dataset_card", "mm_real_decode"),
+    ("ds_epoch_upsample", "mm_real_frames"),
+    ("ds_importance_dsir", "mm_real_resize"),
+    ("sim_cluster_assign", "stream_dedup"),
 ]
 
 
