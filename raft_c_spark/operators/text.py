@@ -1082,3 +1082,154 @@ def ccnet_perplexity_buckets(
         )
         .orderBy("lang", "bucket")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for one bag-of-words
+    query (Robertson & Zaragoza 2009, the Lucene ``1 + (N-df+0.5)/
+    (df+0.5)`` idf variant) — the retrieval primitive data-curation
+    pipelines use for targeted corpus search and retrieval-based
+    decontamination review. Returns the top-``k`` documents by
+    summed per-term score with the matched-term count.
+
+    Determinism contract: ``ln()`` appears ONLY in the per-term idf —
+    at most ``len(query_terms)`` distinct values per corpus — each
+    rounded to 8 decimals and cast to DECIMAL(18,8) (the lm-score
+    quantized-log rule). The tf-saturation factor is pure IEEE
+    arithmetic on exact ints plus one corpus-average double (division
+    and multiplication are correctly rounded, hence engine-identical)
+    and is likewise quantized; the per-(doc,term) product then stays
+    DECIMAL (exact in both engines at scale 16) so the per-doc sum is
+    order-independent. The final decimal→double cast is NOT correctly
+    rounded in every engine at scale 16 (DuckDB converts via
+    int128·10⁻¹⁶ — two roundings), so the emitted score is rounded to
+    8 decimals after the cast and the ranking orders by that rounded
+    value (ties fall to doc id).
+
+    Scale shape: tokenize + filter-to-query-terms MAP-SIDE (the
+    exploded stream carries only matching tokens — a few terms out of
+    the corpus vocabulary, so shuffle volume is a tiny fraction of the
+    token stream); ONE map-side-combined (doc,term) count aggregate;
+    per-term document frequencies REDUCE that tf frame (≤ |terms|
+    rows, broadcast by construction); corpus N/avgdl is a 1-row
+    broadcast crossJoin; the final top-k is TakeOrderedAndProject —
+    never a corpus-wide sort. No Python in the hot path, no driver
+    materialization.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
+    matched = base.select(
+        "doc",
+        F.size("toks").alias("dl"),
+        F.explode(
+            F.filter("toks", lambda t: F.array_contains(terms_arr, t))
+        ).alias("term"),
+    )
+    tf = matched.groupBy("doc", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("dl_total"),
+    )
+    avgdl = F.col("dl_total").cast("double") / F.col("n_docs")
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+            / (F.col("df_t") + F.lit(0.5))
+        ),
+        8,
+    ).cast("decimal(18,8)")
+    tfpart = F.round(
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
+        ),
+        8,
+    ).cast("decimal(18,8)")
+    scored = (
+        tf.join(F.broadcast(dfreq), ["term"])
+        .crossJoin(F.broadcast(stats))
+        .select("doc", "term", (idf * tfpart).alias("s"))
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("s").cast("double"), 8).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .limit(k)
+        .select(F.col("doc").alias(id_col), "n_terms", "score")
+    )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    information-theoretic quality signal that flags low-entropy
+    repetition (template spam, padded boilerplate) and high-entropy
+    garbage (binary spill, encoding damage) that ratio rules miss.
+    Documents with empty text yield no row (no distribution to
+    measure).
+
+    Determinism contract: character counts are exact ints; p = cnt/n
+    is one correctly-rounded IEEE division; each character's
+    ``-p*log2(p)`` term is rounded to 8 decimals and cast to
+    DECIMAL(18,8) BEFORE the per-doc sum (the lm-score quantized-log
+    rule — exact, order-independent). The exact sum has scale 8, but
+    a decimal→double cast is not correctly rounded in every engine,
+    so the emitted value is re-rounded to 8 decimals after the cast —
+    snapping both engines to the sum's exact decimal digits.
+
+    Scale shape: map-side char explode (n_chars rows — the same cost
+    class as the char-gram dedup pipelines, scan-shaped) into ONE
+    map-side-combined (doc, char) count aggregate (partial combine
+    collapses each partition's stream to ≤ alphabet rows per doc),
+    then one per-doc aggregate. The doc length rides along from the
+    projection (functionally dependent on doc) — no join, no window,
+    no Python.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.length(F.col(text_col)).cast("long").alias("n"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = base.groupBy("doc", "n", "ch").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    p = F.col("cnt").cast("double") / F.col("n")
+    term = F.round(-p * F.log2(p), 8).cast("decimal(18,8)")
+    return (
+        counts.select("doc", "n", term.alias("term"))
+        .groupBy("doc", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.round(F.sum("term").cast("double"), 8).alias("entropy_bits"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n").alias("n_chars_counted"),
+            "n_distinct_chars",
+            "entropy_bits",
+        )
+    )

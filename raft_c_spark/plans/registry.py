@@ -381,6 +381,21 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("ds_epoch_upsample", "mm_real_frames"),
     ("ds_importance_dsir", "mm_real_resize"),
     ("sim_cluster_assign", "stream_dedup"),
+    # -- round-10 second new-operator batch (never driver-verified →
+    # in-window immediately): BM25 retrieval, char-level Shannon
+    # entropy, and the per-language BPE compression audit. The two
+    # text queries land in-window by module position (their insertion
+    # shifts the registry tail), so the NET demotions — verified
+    # against the computed roster — are ds_ccnet_buckets (swapped for
+    # the compression audit), stream_session_window, and
+    # sim_knn_recall, all r9-green (fresh until r13); streaming keeps
+    # sliding_rate + the re-promoted dedup in-window, sim keeps
+    # knn_join + knn_recall_tuned (which exercises the same recall
+    # machinery plus the tuning walk), ds keeps ten in-window slots
+    # and the CCNet bucket SQL stays oracle-checked by pytest.
+    ("lang_sample_multi", "text_bm25_topk"),
+    ("stream_sliding_rate", "text_char_entropy"),
+    ("ds_ccnet_buckets", "text_bpe_compression"),
 ]
 
 

@@ -624,3 +624,100 @@ ORACLES["ds_ccnet_buckets"] = f"""
            max(xent) AS max_xent
     FROM b GROUP BY lang, bucket
 """
+
+
+#: BM25 retrieval query — fixed bag-of-words query over the corpus
+#: (terms chosen from the synthetic vocabulary; the operator handles
+#: arbitrary term lists)
+BM25_TERMS = ["vector", "stream", "merge", "window"]
+BM25_K = 20
+
+
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval for a fixed query — see text.bm25_topk
+    for the quantized-idf determinism contract and the
+    matched-tokens-only shuffle / TakeOrderedAndProject scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, BM25_TERMS, k=BM25_K)
+
+
+QUERIES["text_bm25_topk"] = q_text_bm25_topk
+
+# constants are CAST(... AS DOUBLE) so DuckDB's decimal literals don't
+# produce exact-decimal intermediates where Spark computes in doubles
+# (tf*2.2 exact-decimal→double differs from double-tf*2.2 in the last
+# ulp); the final score is rounded to 8 decimals on both engines
+# because a scale-16 decimal→double cast is not correctly rounded in
+# every engine.
+ORACLES["text_bm25_topk"] = """
+    WITH base AS (
+        SELECT doc_id AS doc,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    matched AS (
+        SELECT doc, len(toks) AS dl,
+               unnest(list_filter(toks, t -> t IN
+                   ('merge','stream','vector','window'))) AS term
+        FROM base
+    ),
+    tf AS (
+        SELECT doc, dl, term, COUNT(*) AS tf
+        FROM matched GROUP BY doc, dl, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS dl_total FROM base
+    ),
+    scored AS (
+        SELECT doc,
+            CAST(round(ln(CAST(1.0 AS DOUBLE)
+                + (n_docs - df_t + CAST(0.5 AS DOUBLE))
+                  / (df_t + CAST(0.5 AS DOUBLE))), 8) AS DECIMAL(18,8))
+          * CAST(round((tf * CAST(2.2 AS DOUBLE))
+                / (tf + CAST(1.2 AS DOUBLE)
+                   * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE) * dl
+                        / (CAST(dl_total AS DOUBLE) / n_docs))),
+                 8) AS DECIMAL(18,8)) AS s
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    )
+    SELECT doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           round(CAST(SUM(s) AS DOUBLE), 8) AS score
+    FROM scored GROUP BY doc
+    ORDER BY score DESC, doc
+    LIMIT 20
+"""
+
+
+def q_text_char_entropy(spark, sf_dir):
+    """Per-document character-level Shannon entropy — see
+    text.char_entropy for the quantized-log determinism contract and
+    the two-aggregate, join-free scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.char_entropy(docs).orderBy("doc_id")
+
+
+QUERIES["text_char_entropy"] = q_text_char_entropy
+
+ORACLES["text_char_entropy"] = """
+    WITH base AS (
+        SELECT doc_id AS doc, length(text) AS n,
+               unnest(string_split(text, '')) AS ch
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc, n, ch, COUNT(*) AS cnt
+        FROM base WHERE ch <> '' GROUP BY doc, n, ch
+    )
+    SELECT doc AS doc_id,
+           n AS n_chars_counted,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           round(CAST(SUM(CAST(round(
+               -(CAST(cnt AS DOUBLE) / n)
+               * log2(CAST(cnt AS DOUBLE) / n), 8) AS DECIMAL(18,8)))
+             AS DOUBLE), 8) AS entropy_bits
+    FROM counts GROUP BY doc, n
+    ORDER BY doc
+"""

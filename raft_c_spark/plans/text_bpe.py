@@ -246,9 +246,9 @@ class _LazyOracles(Mapping):
 
     def _fill(self) -> dict[str, str]:
         if self._d is None:
-            # _oracles_mix is defined below the class (module tail) —
+            # _oracles_all is defined below the class (module tail) —
             # resolved lazily at first access, never at import
-            self._d = _oracles_mix()
+            self._d = _oracles_all()
         return self._d
 
     def __getitem__(self, k: str) -> str:
@@ -349,4 +349,87 @@ def _mix_oracle() -> str:
 def _oracles_mix() -> dict[str, str]:
     base = _oracles()
     base["ds_token_budget_mix"] = _mix_oracle()
+    return base
+
+
+def q_text_bpe_compression(spark, sf_dir: str):
+    """Per-language BPE compression audit: chars-per-token and
+    tokens-per-word under the corpus-trained vocab — the tokenizer
+    health metric multilingual curation tracks (a language whose
+    bytes-per-token is far above the corpus mean is under-served by
+    the vocab and over-pays its token budget).
+
+    Scale shape: the shared per-corpus counts parquet joined to the
+    documents projection on the unique doc key (one equi-join, AQE
+    broadcasts the smaller side), then an L-row aggregate. Integer
+    sums are exact; each ratio is one correctly-rounded double
+    division rounded to 6 decimals (both engines)."""
+    from pyspark.sql import functions as F
+
+    counts = bpe_counts_frame(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return (
+        counts.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_bpe_tokens").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_words",
+            "total_tokens",
+            F.round(
+                F.col("total_chars").cast("double")
+                / F.col("total_tokens"),
+                6,
+            ).alias("chars_per_token"),
+            F.round(
+                F.col("total_tokens").cast("double")
+                / F.col("total_words"),
+                6,
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["text_bpe_compression"] = q_text_bpe_compression
+
+
+def _compression_oracle() -> str:
+    gt = _gt()
+    return f"""
+        SELECT d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(g.n_words) AS BIGINT) AS total_words,
+               CAST(SUM(g.n_bpe_tokens) AS BIGINT) AS total_tokens,
+               round(CAST(SUM(d.n_chars) AS DOUBLE)
+                     / SUM(g.n_bpe_tokens), 6) AS chars_per_token,
+               round(CAST(SUM(g.n_bpe_tokens) AS DOUBLE)
+                     / SUM(g.n_words), 6) AS tokens_per_word
+        FROM {gt} g JOIN documents d USING (doc_id)
+        WHERE g.corpus_fp = ({_FP_SQL})
+        GROUP BY d.lang
+        UNION ALL
+        SELECT CAST(error('no BPE ground truth for this documents corpus; '
+                          'add its sf dir to the search roots '
+                          '(plans/text_bpe._documents_corpus_paths)')
+                    AS VARCHAR),
+               NULL, NULL, NULL, NULL, NULL, NULL
+        WHERE NOT EXISTS (SELECT 1 FROM {gt} WHERE corpus_fp = ({_FP_SQL}))
+        ORDER BY lang
+    """
+
+
+def _oracles_all() -> dict[str, str]:
+    base = _oracles_mix()
+    base["text_bpe_compression"] = _compression_oracle()
     return base

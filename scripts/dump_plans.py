@@ -226,6 +226,21 @@ FLAGSHIPS = [
         "S-row frame broadcast back onto the scan, map-only md5 "
         "selection — the corpus never pre-shuffles",
     ),
+    (
+        "text_bm25_topk",
+        "BM25 retrieval: tokenize + filter-to-query-terms map-side "
+        "(only matching tokens shuffle), one (doc,term) partial-"
+        "combined count, ≤|terms|-row df table + 1-row corpus stats "
+        "broadcast, decimal-exact per-doc sum, top-k via "
+        "TakeOrderedAndProject — never a corpus-wide sort",
+    ),
+    (
+        "text_char_entropy",
+        "Char-level Shannon entropy: map-side char explode into one "
+        "partial-combined (doc,char) count + one per-doc aggregate — "
+        "no join, no window, quantized-log decimal sum keeps the "
+        "value engine-exact",
+    ),
 ]
 
 

@@ -357,6 +357,34 @@ def _q_embedding_lsh_auto(spark, sf_dir):
     )
 
 
+def _q_bm25_soak(spark, sf_dir):
+    """BM25 with terms drawn FROM the soak corpus (the registry
+    query's fixed terms come from the driver's synthetic vocabulary
+    and would match nothing here): the first doc's first distinct
+    words are Zipf-head terms, so the matched-token stream is a
+    realistic common-term fraction of the corpus. The pyarrow peek is
+    one row group, milliseconds — charged to the query like every
+    other construction cost."""
+    import pyarrow.parquet as pq
+
+    from raft_c_spark.operators.text import bm25_topk
+    from raft_c_spark.sources.testdata import load_table
+
+    first = (
+        pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
+        .read_row_group(0, columns=["text"])["text"][0]
+        .as_py()
+    )
+    terms: list[str] = []
+    for w in first.split():
+        if w not in terms:
+            terms.append(w)
+        if len(terms) == 4:
+            break
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, terms, k=20)
+
+
 #: (label, registry-name-or-callable, scaling expectation note)
 SOAK_QUERIES = [
     ("dedup_exact_groups", None, "linear (one hash aggregate)"),
@@ -470,6 +498,18 @@ SOAK_QUERIES = [
      "per rung: index build linear in corpus, probe ~ bucket "
      "density x query batch (batch fixed at 20); tuning cost = the "
      "ladder prefix sum, bounded by the chosen rung"),
+    # -- round-10 second batch --
+    ("text_bm25_topk", _q_bm25_soak,
+     "linear scan; shuffle = matched tokens only (|terms| ≪ vocab); "
+     "df table ≤ |terms| rows broadcast; top-k via per-partition "
+     "heaps (TakeOrderedAndProject)"),
+    ("text_char_entropy", None,
+     "linear in chars (the char-gram cost class); map-side combine "
+     "collapses the explode to ≤ alphabet rows per doc per "
+     "partition; no joins"),
+    ("text_bpe_compression", None,
+     "the shared BPE counts frame + one unique-key equi-join + an "
+     "L-row aggregate"),
 ]
 
 

@@ -657,3 +657,47 @@ def test_best_survivor_no_component_window(spark, sf_dir):
     plan = plan_of(q_dedup_best_survivor(spark, sf_dir))
     assert "partial_min" in plan, plan
     assert "row_number" not in plan, plan
+
+
+def test_bm25_topk_take_ordered(spark, sf_dir):
+    """BM25 retrieval must end in TakeOrderedAndProject (never a
+    corpus-wide sort for a top-k), broadcast the ≤|terms| df table and
+    the 1-row corpus stats, and keep the matched-token stream as the
+    only shuffled data (no SortMergeJoin, no Window)."""
+    from raft_c_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(bm25_topk(docs, ["vector", "stream"], k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_char_entropy_aggregate_only(spark, sf_dir):
+    """Char entropy is two map-side-combined aggregates over the char
+    explode — no join, no window, no Python anywhere in the plan."""
+    from raft_c_spark.operators.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(char_entropy(docs))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "partial_count" in plan, plan  # map-side combine
+
+
+def test_bpe_compression_single_join(spark, sf_dir):
+    """The compression audit joins the cached counts parquet to the
+    documents projection exactly once (unique-key equi-join) and
+    aggregates to L rows — no cartesian, no window."""
+    import re
+
+    from raft_c_spark.plans.text_bpe import q_text_bpe_compression
+
+    plan = plan_of(q_text_bpe_compression(spark, sf_dir))
+    join_nodes = re.findall(r"\(\d+\) \w*Join", plan)
+    assert len(join_nodes) == 1, (join_nodes, plan)
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan

@@ -457,3 +457,84 @@ class TestCcnetBuckets:
                     buckets["middle"]["max_xent"]
                     <= buckets["tail"]["min_xent"]
                 )
+
+
+class TestBM25TopK:
+    def test_ranking_and_k(self, spark):
+        # doc 1 mentions the query term 3x (short), doc 2 once (long),
+        # doc 3 never -> excluded; higher tf + shorter doc ranks first
+        rows = [
+            (1, "spark spark spark query"),
+            (2, "spark alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "nothing relevant here at all"),
+        ]
+        out = text.bm25_topk(
+            _docs(spark, rows), ["spark"], k=10
+        ).collect()
+        assert [r["doc_id"] for r in out] == [1, 2]
+        assert out[0]["score"] > out[1]["score"] > 0
+        assert all(r["n_terms"] == 1 for r in out)
+
+    def test_multi_term_match_count_and_limit(self, spark):
+        rows = [
+            (1, "alpha beta"),
+            (2, "alpha"),
+            (3, "beta"),
+            (4, "alpha beta alpha beta"),
+        ]
+        out = text.bm25_topk(
+            _docs(spark, rows), ["alpha", "beta"], k=2
+        ).collect()
+        assert len(out) == 2  # k respected
+        by_id = {r["doc_id"]: r for r in out}
+        assert all(r["n_terms"] == 2 for r in by_id.values())
+
+    def test_rare_term_outweighs_common(self, spark):
+        # 'rare' appears in 1 of 5 docs, 'common' in all 5: equal tf,
+        # equal dl -> the rare-term doc must outrank a common-term doc
+        rows = [
+            (1, "rare filler filler"),
+            (2, "common filler filler"),
+            (3, "common filler filler"),
+            (4, "common filler filler"),
+            (5, "common filler filler"),
+        ]
+        out = text.bm25_topk(
+            _docs(spark, rows), ["rare", "common"], k=5
+        ).collect()
+        assert out[0]["doc_id"] == 1
+
+    def test_empty_terms_rejected(self, spark):
+        with pytest.raises(ValueError):
+            text.bm25_topk(_docs(spark, [(1, "x")]), [])
+
+
+class TestCharEntropy:
+    def test_known_values(self, spark):
+        rows = [(1, "aaaa"), (2, "abab"), (3, "abcd")]
+        out = {
+            r["doc_id"]: r
+            for r in text.char_entropy(_docs(spark, rows)).collect()
+        }
+        assert out[1]["entropy_bits"] == 0.0  # single symbol
+        assert out[2]["entropy_bits"] == pytest.approx(1.0)  # 2 uniform
+        assert out[3]["entropy_bits"] == pytest.approx(2.0)  # 4 uniform
+        assert out[3]["n_distinct_chars"] == 4
+        assert out[3]["n_chars_counted"] == 4
+
+    def test_spaces_counted_and_empty_doc_omitted(self, spark):
+        rows = [(1, "a a"), (2, "")]
+        out = text.char_entropy(_docs(spark, rows)).collect()
+        assert len(out) == 1  # empty doc has no distribution
+        r = out[0]
+        assert r["n_chars_counted"] == 3  # the space counts
+        # p(a)=2/3, p(' ')=1/3 -> H = log2(3) - 2/3 ~ 0.9183
+        assert r["entropy_bits"] == pytest.approx(0.91829583, abs=1e-6)
+
+    def test_low_entropy_flags_repetition(self, spark):
+        rows = [(1, "spam spam spam spam spam"), (2, "the quick brown fox")]
+        out = {
+            r["doc_id"]: r["entropy_bits"]
+            for r in text.char_entropy(_docs(spark, rows)).collect()
+        }
+        assert out[1] < out[2]
