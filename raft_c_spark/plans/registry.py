@@ -396,6 +396,21 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("lang_sample_multi", "text_bm25_topk"),
     ("stream_sliding_rate", "text_char_entropy"),
     ("ds_ccnet_buckets", "text_bpe_compression"),
+    # -- round-10 r12-debt prepayment: with the r11 debt cleared
+    # above, the NEXT wave is five queries whose newest driver row is
+    # r7 (they trip the staleness guard at r12); rotating them in now
+    # flattens two rounds of rotation chores into this window and
+    # leaves r11/r12 free to split the r13 wave (the ~40-query r8/r9
+    # re-green echo). Demoted slots are all r9-green singles whose
+    # machinery stays pinned by pytest oracles every run; families
+    # keep representatives (dedup: exact_groups/embedding/cut_spans;
+    # ds: nine other slots incl. the two incoming; text: ten slots;
+    # ev gains salted_agg + trailing_window; ts gains sample_1d).
+    ("lang_sample_multi", "ts_sample_1d"),
+    ("ds_contamination_overlap", "ev_salted_agg"),
+    ("dedup_segments", "ev_trailing_window"),
+    ("ds_training_order", "ds_shard_manifest"),
+    ("text_gopher_rules", "ds_snapshot_diff"),
 ]
 
 
