@@ -2175,3 +2175,69 @@ def cut_repeated_spans(
             "n_chars_removed"
         ),
     )
+
+
+def cluster_impact(
+    components: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Dedup impact report over a (doc, component) clustering: the
+    cluster-size histogram with the document and weight volume a
+    keep-one-survivor pass would remove — the planning artifact that
+    answers "what does near-dup dedup buy on this corpus" BEFORE
+    paying for the removal pass.
+
+    Survivor convention: the component label itself (the smallest doc
+    id in the cluster — first-occurrence-wins, the same convention as
+    segment dedup), so ``removable = total_weight − survivor's
+    weight`` is fully determined by the clustering. Documents in no
+    pair never enter the components frame and contribute zero removal
+    by definition.
+
+    Returns one row per cluster size: (cluster_size, n_clusters,
+    docs_removable, weight_removable), ordered by cluster_size.
+    Integer-only output — no float determinism surface at all.
+
+    Scale shape: one unique-key equi-join (components ⋈ docs
+    projection — both sides doc-keyed; AQE broadcasts the smaller),
+    then TWO map-side-combined aggregates whose cardinality only
+    shrinks: per-component (≤ docs rows in, one row per cluster out)
+    then per-size (≤ distinct sizes rows — dozens). Nothing here can
+    dominate the pair generation upstream.
+    """
+    sized = components.join(
+        docs.select(
+            F.col(id_col).alias("doc"), F.col(weight_col).alias("w")
+        ),
+        ["doc"],
+    )
+    per_comp = sized.groupBy("component").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum("w").alias("total_w"),
+        F.sum(
+            F.when(F.col("doc") == F.col("component"), F.col("w")).otherwise(
+                F.lit(0)
+            )
+        ).alias("kept_w"),
+    )
+    return (
+        per_comp.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(F.col("sz") - F.lit(1)).alias("docs_removable"),
+            F.sum(F.col("total_w") - F.col("kept_w")).alias(
+                "weight_removable"
+            ),
+        )
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            "n_clusters",
+            F.col("docs_removable").cast("long").alias("docs_removable"),
+            F.col("weight_removable")
+            .cast("long")
+            .alias("weight_removable"),
+        )
+        .orderBy("cluster_size")
+    )

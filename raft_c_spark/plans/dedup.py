@@ -461,3 +461,45 @@ ORACLES["dedup_segments"] = rf"""
            coalesce(a.n_kept, 0) AS n_kept
     FROM t LEFT JOIN agg a USING (doc_id)
 """
+
+
+def q_dedup_impact_report(spark, sf_dir):
+    """Dedup planning report: cluster-size histogram of the MinHash
+    near-dup components with the doc/char volume a keep-the-smallest-
+    id survivor pass would remove — integer-only output, shares the
+    banded pair-frame cache with dedup_minhash_lsh/components/
+    best_survivor (one pair generation per corpus). See
+    dedup.cluster_impact for the two-shrinking-aggregates scale
+    shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=64, bands=8,
+        threshold=JACCARD_THRESHOLD,
+        cache_key=_data_cache_key(sf_dir, "documents"),
+    )
+    comps = dedup.connected_components(pairs)
+    return dedup.cluster_impact(comps, docs)
+
+
+QUERIES["dedup_impact_report"] = q_dedup_impact_report
+
+ORACLES["dedup_impact_report"] = f"""
+    WITH comp AS ({_components_oracle(_minhash_oracle())}),
+    sized AS (
+        SELECT c.doc, c.component, d.n_chars AS w
+        FROM comp c JOIN documents d ON c.doc = d.doc_id
+    ),
+    per_comp AS (
+        SELECT component,
+               COUNT(*) AS sz,
+               SUM(w) AS total_w,
+               SUM(CASE WHEN doc = component THEN w ELSE 0 END) AS kept_w
+        FROM sized GROUP BY component
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz - 1) AS BIGINT) AS docs_removable,
+           CAST(SUM(total_w - kept_w) AS BIGINT) AS weight_removable
+    FROM per_comp GROUP BY sz
+    ORDER BY cluster_size
+"""

@@ -411,6 +411,12 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("dedup_segments", "ev_trailing_window"),
     ("ds_training_order", "ds_shard_manifest"),
     ("text_gopher_rules", "ds_snapshot_diff"),
+    # -- dedup_impact_report (never driver-verified → in-window by
+    # module position; its insertion pushed text_char_entropy out of
+    # the tail, so ds_dsir_resample — r9-green, sampling keeps eight
+    # other in-window slots and the Gumbel-top-k machinery stays
+    # pytest-oracled — demotes to re-seat it).
+    ("ds_dsir_resample", "text_char_entropy"),
 ]
 
 

@@ -241,6 +241,13 @@ FLAGSHIPS = [
         "no join, no window, quantized-log decimal sum keeps the "
         "value engine-exact",
     ),
+    (
+        "dedup_impact_report",
+        "Dedup planning report: shared banded pair graph + "
+        "components, then one unique-key equi-join and two "
+        "cardinality-shrinking aggregates (per-cluster, per-size) — "
+        "integer-only output, no float surface",
+    ),
 ]
 
 

@@ -510,6 +510,10 @@ SOAK_QUERIES = [
     ("text_bpe_compression", None,
      "the shared BPE counts frame + one unique-key equi-join + an "
      "L-row aggregate"),
+    ("dedup_impact_report", None,
+     "the shared banded pair graph + components, then one unique-key "
+     "equi-join and two shrinking aggregates (per-cluster, then "
+     "per-size) — the added stages cannot dominate pair generation"),
 ]
 
 

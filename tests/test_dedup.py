@@ -627,3 +627,67 @@ def test_bloom_prefilter_no_false_negatives(spark):
     assert members <= kept  # no false negatives
     # and it actually filters (FPR ~1%, not pass-everything)
     assert len(kept) < 5000 * 0.25
+
+
+class TestClusterImpact:
+    def test_hand_graph(self, spark):
+        # components: {1,2,3} (label 1), {7,9} (label 7); docs 5, 8
+        # are singletons (never in a pair -> absent from the report)
+        from raft_c_spark.operators.dedup import (
+            cluster_impact,
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9)], "a long, b long"
+        )
+        docs = spark.createDataFrame(
+            [(i, 10 * i) for i in (1, 2, 3, 5, 7, 8, 9)],
+            "doc_id long, n_chars long",
+        )
+        comps = connected_components(pairs)
+        out = {
+            r["cluster_size"]: r
+            for r in cluster_impact(comps, docs).collect()
+        }
+        assert set(out) == {2, 3}
+        # {7,9}: survivor 7 -> 1 doc and 90 chars removable
+        assert out[2]["n_clusters"] == 1
+        assert out[2]["docs_removable"] == 1
+        assert out[2]["weight_removable"] == 90
+        # {1,2,3}: survivor 1 -> 2 docs, 20+30=50 chars removable
+        assert out[3]["n_clusters"] == 1
+        assert out[3]["docs_removable"] == 2
+        assert out[3]["weight_removable"] == 50
+
+    def test_totals_match_survivor_pass(self, spark, sf_dir):
+        # the histogram's removable totals must equal what an actual
+        # keep-min-id pass over the same components would delete
+        from raft_c_spark.operators import dedup as D
+        from raft_c_spark.plans.dedup import (
+            JACCARD_THRESHOLD,
+            q_dedup_impact_report,
+        )
+        from raft_c_spark.sources.testdata import load_table
+
+        import pyspark.sql.functions as F
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = D.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_perm=64, bands=8,
+            threshold=JACCARD_THRESHOLD,
+        )
+        comps = D.connected_components(pairs)
+        report = q_dedup_impact_report(spark, sf_dir)
+        tot = report.agg(
+            F.sum("docs_removable").alias("d"),
+            F.sum("weight_removable").alias("w"),
+        ).collect()[0]
+        removed = (
+            comps.filter(F.col("doc") != F.col("component"))
+            .join(docs, F.col("doc") == F.col("doc_id"))
+        )
+        got = removed.agg(
+            F.count(F.lit(1)).alias("d"), F.sum("n_chars").alias("w")
+        ).collect()[0]
+        assert (tot["d"], tot["w"]) == (got["d"], got["w"])

@@ -701,3 +701,21 @@ def test_bpe_compression_single_join(spark, sf_dir):
     assert len(join_nodes) == 1, (join_nodes, plan)
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_cluster_impact_shrinking_aggregates(spark, sf_dir):
+    """The impact report on top of the components frame adds one
+    unique-key equi-join and two aggregates whose cardinality only
+    shrinks — no window, no cartesian, no Python."""
+    from raft_c_spark.operators.dedup import cluster_impact
+
+    comps = spark.sql(
+        "SELECT CAST(doc AS BIGINT) doc, CAST(component AS BIGINT) component "
+        "FROM VALUES (1, 1), (2, 1), (7, 7), (9, 7) AS t(doc, component)"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(cluster_impact(comps, docs))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "partial_count" in plan, plan
