@@ -649,7 +649,12 @@ QUERIES["text_bm25_topk"] = q_text_bm25_topk
 # ulp); the final score is rounded to 8 decimals on both engines
 # because a scale-16 decimal→double cast is not correctly rounded in
 # every engine.
-ORACLES["text_bm25_topk"] = """
+#: the IN-list and LIMIT interpolate from BM25_TERMS/BM25_K (sorted,
+#: matching the operator's own term normalization) so editing either
+#: constant cannot desync query from oracle
+_BM25_IN = ",".join(f"'{t}'" for t in sorted(set(BM25_TERMS)))
+
+ORACLES["text_bm25_topk"] = f"""
     WITH base AS (
         SELECT doc_id AS doc,
                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -658,7 +663,7 @@ ORACLES["text_bm25_topk"] = """
     matched AS (
         SELECT doc, len(toks) AS dl,
                unnest(list_filter(toks, t -> t IN
-                   ('merge','stream','vector','window'))) AS term
+                   ({_BM25_IN}))) AS term
         FROM base
     ),
     tf AS (
@@ -687,7 +692,7 @@ ORACLES["text_bm25_topk"] = """
            round(CAST(SUM(s) AS DOUBLE), 8) AS score
     FROM scored GROUP BY doc
     ORDER BY score DESC, doc
-    LIMIT 20
+    LIMIT {BM25_K}
 """
 
 

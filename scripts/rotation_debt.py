@@ -35,14 +35,18 @@ def main() -> int:
     from raft_c_spark.plans.verification import (
         STALE_AFTER,
         WINDOW,
-        driver_green_rounds,
+        driver_rows,
         newest_driver_round,
         stale_out_of_window,
     )
 
     names = list(all_queries())
-    window = set(names[:WINDOW])
-    rows = driver_green_rounds(REPO)
+    # the guard's freshness definition: newest driver row of ANY
+    # status (driver_rows), exactly as stale_out_of_window computes it
+    # — NOT newest green row (a red r9 row still counts as fresh
+    # coverage for the staleness bound; greenness is enforced by the
+    # never-green window rule instead)
+    rows = driver_rows(REPO)
     newest = newest_driver_round(REPO)
 
     print(f"registry: {len(names)} queries, window {WINDOW}, "
@@ -51,20 +55,18 @@ def main() -> int:
     stale_now = stale_out_of_window(REPO, names)
     print(f"\nstale NOW (CI-enforced): {stale_now or 'none'}")
 
-    # simulation: the upcoming round's artifact greens the current
-    # window; later rounds are projected against TODAY's window (each
-    # future round's own swaps will change it — this shows the debt
-    # that exists unless they do)
-    sim = {
-        q: (rows.get(q, []) + ([newest + 1] if q in window else []))
-        for q in names
-    }
+    # projection: later rounds are computed against TODAY's
+    # out-of-window set (each future round's own swaps will change
+    # the window — this shows the debt that exists unless they do);
+    # in-window queries are refreshed by the upcoming driver run by
+    # definition, and they never appear in the scanned tail, so no
+    # simulation augmentation is needed
     for r in range(newest + 1, newest + 1 + args.rounds):
         cutoff = r - STALE_AFTER
         debt = sorted(
-            (max(sim[q], default=0), q)
+            (max(rows.get(q, {}), default=0), q)
             for q in names[WINDOW:]
-            if max(sim[q], default=0) < cutoff
+            if max(rows.get(q, {}), default=0) < cutoff
         )
         print(f"\nr{r} (cutoff newest < {cutoff}): {len(debt)} stale")
         for newest_row, q in debt:
