@@ -1233,3 +1233,91 @@ def char_entropy(
             "entropy_bits",
         )
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` bigram collocations ranked by pointwise mutual
+    information (Church & Hanks 1990, the standard phrase-mining /
+    multi-word-expression statistic) — the corpus-analysis primitive
+    that surfaces 'new york'-style units for tokenizer vocab review
+    and template detection. ``pmi = ln(p(ab) / (p(a)·p(b)))`` with
+    ``p(ab) = c_ab/B`` over adjacent in-document pairs and
+    ``p(w) = c_w/T`` over the token stream; pairs rarer than
+    ``min_count`` are dropped first (PMI is notoriously unstable on
+    hapax pairs — the filter is part of the method, not an
+    optimization).
+
+    Determinism contract: counts are exact ints; the PMI operand is
+    built by a FIXED chain of correctly-rounded IEEE ops
+    ``(c_ab/B) / ((c_a/T) * (c_b/T))`` (each division/multiply is a
+    single rounding, engine-identical when the op order matches —
+    the bm25 tf-part rule); ``ln`` appears once per emitted pair and
+    is rounded to 8 decimals (the quantized-log rule). Ranking orders
+    by the rounded value with (w1, w2) ties.
+
+    Scale shape: tokenize map-side; ONE map-side-combined unigram
+    count aggregate and ONE bigram count aggregate (adjacent pairs
+    come from a per-doc array transform — no self-join); the
+    min_count filter shrinks the pair frame BEFORE any join; the two
+    unigram joins are vocab-shaped equi-joins (both sides are
+    aggregates, never token streams — AQE broadcasts the filtered
+    pair side at runtime; deliberately lazy, no eager measured-cap
+    probe); corpus totals are a 1-row broadcast crossJoin; the final
+    top-k is TakeOrderedAndProject — never a vocab-wide sort.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    base = df.select(toks.alias("toks"))
+    stats = base.agg(
+        F.sum(F.size("toks")).alias("t_tokens"),
+        F.sum(F.greatest(F.size("toks") - 1, F.lit(0))).alias("b_pairs"),
+    )
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("w1"),
+            F.element_at("toks", i + 1).alias("w2"),
+        ),
+    )
+    bi = (
+        base.filter(F.size("toks") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    j = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2")), "w2")
+        .crossJoin(F.broadcast(stats))
+    )
+    p_ab = F.col("c_ab").cast("double") / F.col("b_pairs")
+    p_a = F.col("c_w1").cast("double") / F.col("t_tokens")
+    p_b = F.col("c_w2").cast("double") / F.col("t_tokens")
+    pmi = F.round(F.log(p_ab / (p_a * p_b)), 8)
+    return (
+        j.select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("long").alias("n_pair"),
+            F.col("c_w1").cast("long").alias("n_w1"),
+            F.col("c_w2").cast("long").alias("n_w2"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

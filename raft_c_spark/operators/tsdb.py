@@ -415,6 +415,71 @@ def sample_by_fill(
     )
 
 
+def delta_rate(
+    df: DataFrame,
+    interval_ns: int,
+    group_by_series: bool = True,
+) -> DataFrame:
+    """Per-bucket delta / rate-of-change — the PromQL ``delta()`` /
+    ``rate()``-style derivative surface every modern TSDB grows
+    (extension; the reference samples averages only,
+    src/timeseries.c:1265-1308). For each series and tumbling bucket
+    ``[start, start+interval)`` (conventional half-open label-start
+    buckets like sample_by_sliding — not the reference's
+    exclusive-bound quirk, which is preserved separately in
+    sample_by): the first and last point in the bucket, their value
+    difference, and the per-second rate over the observed in-bucket
+    time span. Buckets with a single point (or all points on one
+    timestamp) have no measurable span → rate is NULL, delta 0.
+
+    Determinism contract: first/last are min/max over
+    ``struct(timestamp, value)`` — lexicographic, so duplicate-ns
+    points resolve by value, engine-independent (the DP_INSERT model
+    allows identical-ns points, SURVEY §7.3). delta is ONE IEEE
+    subtraction and rate ONE multiply + divide on exact-int ns spans
+    (correctly rounded, engine-identical); both emitted rounded to 8
+    decimals.
+
+    Spark shape: ONE map-side-combined hash aggregate keyed
+    (series, bucket) — the struct min/max combine partially before
+    the exchange, so shuffle volume is ~buckets, not points; the
+    all-integer bucket label keeps whole-stage codegen; no window
+    function, no join, no Python. At 100 TB this is scan + one
+    bucket-sized shuffle — the same shape as SAMPLE BY itself.
+    """
+    if interval_ns <= 0:
+        raise ValueError("interval must be positive")
+    bucket = (
+        F.col("timestamp") - F.col("timestamp") % F.lit(interval_ns)
+    ).alias("bucket_ts")
+    keys = ["series", "bucket_ts"] if group_by_series else ["bucket_ts"]
+    agg = (
+        df.select(
+            "series",
+            bucket,
+            F.struct(F.col("timestamp"), F.col("value")).alias("p"),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.min("p").alias("first_p"),
+            F.max("p").alias("last_p"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+    delta = F.col("last_p.value") - F.col("first_p.value")
+    span_ns = F.col("last_p.timestamp") - F.col("first_p.timestamp")
+    rate = F.when(
+        span_ns > 0,
+        F.round(delta * F.lit(1_000_000_000.0) / span_ns, 8),
+    )
+    return agg.select(
+        *keys,
+        F.col("n_points"),
+        F.round(delta, 8).alias("delta"),
+        rate.alias("rate_per_s"),
+    ).orderBy(*keys)
+
+
 def ts_limit(df: DataFrame, n: int) -> DataFrame:
     """LIMIT n — parsed but never applied by the reference executor
     (src/statement_parse.c:1116-1128, no QF_LIMT handling); implemented

@@ -316,3 +316,63 @@ def mad_anomalies(
             ),
         )
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for each ordered pair of states (a, b), how often an
+    event of type ``a`` is immediately followed by one of type ``b``
+    in the SAME key's timeline, and the row-conditional probability
+    ``P(next = b | current = a)``. The classic behavioral-analytics /
+    clickstream-modeling primitive (next-state prediction, anomaly
+    flows, bot-loop detection).
+
+    Determinism contract: sequence order is (ts, tiebreak) — pass a
+    unique tiebreak column when timestamps can collide, otherwise
+    lag() is nondeterministic under duplicate keys. Counts are exact
+    ints; the probability is ONE correctly-rounded IEEE division of
+    two longs, rounded to 8 decimals — engine-identical.
+
+    Scale shape: ONE shuffle on the key for the lag window (per-key
+    partitions — key cardinality grows with data, per-key rows stay
+    user-session-sized, the ev_sessionize bound); the pair count is a
+    map-side-combined hash aggregate collapsing to ≤ |states|² rows;
+    row totals REDUCE that tiny frame (≤ |states| rows, broadcast by
+    construction — never a second pass over events). No Python, no
+    join against the event stream.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    seq = df.select(
+        F.col(key_col).alias("k"),
+        F.col(state_col).alias("to_state"),
+        F.lag(F.col(state_col)).over(w).alias("from_state"),
+    ).filter(F.col("from_state").isNotNull())
+    counts = seq.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("from_state").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    prob = F.round(
+        F.col("n_transitions").cast("double") / F.col("n_from"), 8
+    )
+    return (
+        counts.join(F.broadcast(totals), "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            F.col("n_from").cast("long").alias("n_from"),
+            prob.alias("prob"),
+        )
+        .orderBy("from_state", "to_state")
+    )

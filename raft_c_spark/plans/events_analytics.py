@@ -521,3 +521,47 @@ ORACLES["ev_anomaly_mad"] = f"""
     FROM dev d JOIN mad m USING (event_type)
     WHERE m.mad > 0 AND d.absdev > {MAD_K} * m.mad
 """
+
+
+def q_ev_transition_matrix(spark, sf_dir):
+    """Event-type Markov transition matrix over per-user timelines —
+    see window.transition_matrix for the (ts, event_id) order
+    determinism contract and the one-window / tiny-aggregate scale
+    shape."""
+    from raft_c_spark.operators.window import transition_matrix
+
+    ev = _events(spark, sf_dir)
+    return transition_matrix(
+        ev, "user_id", "timestamp", "event_type", tiebreak_col="event_id"
+    )
+
+
+QUERIES["ev_transition_matrix"] = q_ev_transition_matrix
+
+# lag order (ts, event_id) mirrors the operator; prob is one
+# long/long IEEE division rounded to 8 decimals on both engines.
+ORACLES["ev_transition_matrix"] = """
+    WITH seq AS (
+        SELECT user_id,
+               event_type AS to_state,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS from_state
+        FROM events
+    ),
+    counts AS (
+        SELECT from_state, to_state, COUNT(*) AS n_transitions
+        FROM seq WHERE from_state IS NOT NULL
+        GROUP BY from_state, to_state
+    ),
+    totals AS (
+        SELECT from_state, SUM(n_transitions) AS n_from
+        FROM counts GROUP BY from_state
+    )
+    SELECT counts.from_state, to_state,
+           CAST(n_transitions AS BIGINT) AS n_transitions,
+           CAST(n_from AS BIGINT) AS n_from,
+           round(CAST(n_transitions AS DOUBLE) / n_from, 8) AS prob
+    FROM counts JOIN totals USING (from_state)
+    ORDER BY from_state, to_state
+"""

@@ -187,6 +187,45 @@ def _sliding_sql(slide_ns: int, length_ns: int, where: str) -> str:
     """
 
 
+def q_delta_rate(spark, sf_dir):
+    """Per-bucket delta / per-second rate (1h tumbling buckets) —
+    PromQL delta()/rate()-style derivative extension; see
+    tsdb.delta_rate for the struct-min/max determinism contract and
+    the one-aggregate 100 TB plan shape."""
+    return tsdb.delta_rate(
+        _points(spark, sf_dir, T0, T1).filter(
+            (F.col("timestamp") >= T0) & (F.col("timestamp") <= T1)
+        ),
+        HOUR_NS,
+    )
+
+
+def _delta_rate_sql(interval_ns: int, where: str) -> str:
+    # struct min/max mirror the operator's lexicographic
+    # (timestamp, value) first/last tie-break; the rate expression
+    # replicates the operator's exact IEEE op order
+    # ((delta * 1e9) / span_ns) before the 8-decimal round.
+    return f"""
+        WITH b AS (
+            SELECT series,
+                   timestamp - (timestamp % {interval_ns}) AS bucket_ts,
+                   min(struct_pack(t := timestamp, v := value)) AS first_p,
+                   max(struct_pack(t := timestamp, v := value)) AS last_p,
+                   COUNT(*) AS n_points
+            FROM ({POINTS_SQL}) {where}
+            GROUP BY series, bucket_ts
+        )
+        SELECT series, bucket_ts, n_points,
+               round(last_p.v - first_p.v, 8) AS delta,
+               CASE WHEN last_p.t - first_p.t > 0 THEN
+                   round((last_p.v - first_p.v)
+                         * CAST(1000000000.0 AS DOUBLE)
+                         / (last_p.t - first_p.t), 8)
+               END AS rate_per_s
+        FROM b
+    """
+
+
 def _record_sql(order: str, where: str = "") -> str:
     return f"""
         SELECT series, timestamp, value FROM (
@@ -212,6 +251,7 @@ QUERIES = {
     "ts_sample_1d": q_sample_1d,
     "ts_sample_sliding": q_sample_sliding,
     "ts_latest_k": q_latest_k,
+    "ts_delta_rate": q_delta_rate,
 }
 
 ORACLES = {
@@ -241,4 +281,5 @@ ORACLES = {
         SELECT series, timestamp, value FROM ({POINTS_SQL})
         ORDER BY timestamp DESC, value DESC, series ASC LIMIT 100
     """,
+    "ts_delta_rate": _delta_rate_sql(HOUR_NS, _RANGE),
 }

@@ -417,6 +417,25 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # other in-window slots and the Gumbel-top-k machinery stays
     # pytest-oracled — demotes to re-seat it).
     ("ds_dsir_resample", "text_char_entropy"),
+    # -- round-10 third new-operator batch (never driver-verified →
+    # in-window immediately): ts_delta_rate (PromQL-style derivative,
+    # parity-module insertion) and text_collocations (PMI phrase
+    # mining) land in-window by module position — their insertions
+    # pushed text_bm25_topk (never-green, must stay) and
+    # text_quality_model (r6-vintage re-promotion awaiting its r10
+    # green) out of the tail, so the two demotions below re-seat
+    # those; ev_transition_matrix swaps in directly. The three demoted
+    # slots are the window's only already-r9-green members
+    # (dedup_cut_spans, stream_sliding_rate, lang_retention — fresh
+    # until r13, joining the r13 wave rounds 11/12 already plan to
+    # split): dedup keeps embedding/exact_groups/impact_report
+    # in-window and the spans machinery stays pytest-oracled;
+    # streaming keeps the re-promoted stream_dedup; lang keeps
+    # where_limit + retention's §2.1 machinery stays pinned by
+    # tests/test_catalog.py + the r9 artifact.
+    ("dedup_cut_spans", "text_bm25_topk"),
+    ("stream_sliding_rate", "text_quality_model"),
+    ("lang_retention", "ev_transition_matrix"),
 ]
 
 

@@ -583,6 +583,67 @@ ORACLES["ds_contamination_overlap"] = rf"""
 """
 
 
+#: collocation constants shared query↔oracle so editing either cannot
+#: desync them
+COLLOC_MIN_COUNT = 5
+COLLOC_K = 50
+
+
+def q_text_collocations(spark, sf_dir):
+    """Top-k PMI bigram collocations — see text.collocations for the
+    fixed-IEEE-op-order determinism contract and the two-aggregate /
+    vocab-shaped-join scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.collocations(
+        docs, min_count=COLLOC_MIN_COUNT, k=COLLOC_K
+    )
+
+
+QUERIES["text_collocations"] = q_text_collocations
+
+# the PMI operand chain matches the operator's op order exactly:
+# (c_ab/B) / ((c_a/T) * (c_b/T)) — every divide/multiply one IEEE
+# rounding — then one ln rounded to 8 decimals; totals are computed
+# from the same per-doc token arrays (B counts len-1 per doc with
+# >= 2 tokens).
+ORACLES["text_collocations"] = f"""
+    WITH base AS (
+        SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    stats AS (
+        SELECT SUM(len(toks)) AS t_tokens,
+               SUM(greatest(len(toks) - 1, 0)) AS b_pairs
+        FROM base
+    ),
+    uni AS (
+        SELECT w, COUNT(*) AS c_w
+        FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w
+    ),
+    bi AS (
+        SELECT b.w1, b.w2, COUNT(*) AS c_ab FROM (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+            FROM base WHERE len(toks) >= 2
+        ) GROUP BY b.w1, b.w2
+        HAVING COUNT(*) >= {COLLOC_MIN_COUNT}
+    )
+    SELECT bi.w1, bi.w2,
+           CAST(c_ab AS BIGINT) AS n_pair,
+           CAST(u1.c_w AS BIGINT) AS n_w1,
+           CAST(u2.c_w AS BIGINT) AS n_w2,
+           round(ln((CAST(c_ab AS DOUBLE) / b_pairs)
+                 / ((CAST(u1.c_w AS DOUBLE) / t_tokens)
+                    * (CAST(u2.c_w AS DOUBLE) / t_tokens))), 8) AS pmi
+    FROM bi
+    JOIN uni u1 ON u1.w = bi.w1
+    JOIN uni u2 ON u2.w = bi.w2
+    CROSS JOIN stats
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT {COLLOC_K}
+"""
+
+
 def q_ds_ccnet_buckets(spark, sf_dir):
     """CCNet perplexity bucketing: bigram-LM score per doc, per-lang
     exact-percentile cuts at 0.25/0.75, per (lang, bucket) counts +

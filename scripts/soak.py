@@ -514,6 +514,19 @@ SOAK_QUERIES = [
      "the shared banded pair graph + components, then one unique-key "
      "equi-join and two shrinking aggregates (per-cluster, then "
      "per-size) — the added stages cannot dominate pair generation"),
+    # -- round-10 third batch --
+    ("text_collocations", None,
+     "linear scan + two vocab-shaped count aggregates; the min_count "
+     "filter bounds the joined pair frame; top-k via per-partition "
+     "heaps (the 5k-word soak vocabulary keeps pair cardinality "
+     "~vocab-bounded across decades, as a real corpus's Zipf head "
+     "does)"),
+    ("ev_transition_matrix", None,
+     "linear (one per-user lag window over events; pair counts "
+     "collapse map-side to ≤ |states|² rows; totals join broadcast)"),
+    ("ts_delta_rate", None,
+     "linear scan + ONE map-side-combined (series, bucket) struct "
+     "min/max aggregate; shuffle volume is buckets, not points"),
 ]
 
 

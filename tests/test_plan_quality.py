@@ -719,3 +719,52 @@ def test_cluster_impact_shrinking_aggregates(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_collocations_take_ordered_vocab_joins(spark, sf_dir):
+    """PMI collocations must end in TakeOrderedAndProject (never a
+    vocab-wide sort for a top-k); the min_count-filtered pair frame
+    joins the unigram aggregate as vocab-shaped equi-joins (no
+    cartesian beyond the 1-row stats crossJoin, no window, no
+    Python); both count aggregates map-side combine."""
+    from raft_c_spark.operators.text import collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(collocations(docs, min_count=3, k=20))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_transition_matrix_one_window_broadcast_totals(spark, sf_dir):
+    """The transition matrix shuffles events exactly once (the
+    per-user lag window); the pair counts collapse map-side and the
+    row-total join is a broadcast of the ≤|states| aggregate — the
+    event stream itself never joins."""
+    from raft_c_spark.plans.events_analytics import (
+        q_ev_transition_matrix,
+    )
+
+    plan = plan_of(q_ev_transition_matrix(spark, sf_dir))
+    assert plan.count("Window") >= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_delta_rate_single_aggregate_no_window(spark, sf_dir):
+    """delta/rate is ONE map-side-combined hash aggregate keyed
+    (series, bucket) — no window function (first/last come from
+    struct min/max), no join, no Python; shuffle volume is buckets,
+    not points."""
+    from raft_c_spark.plans.parity import q_delta_rate
+
+    plan = plan_of(q_delta_rate(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "partial_min" in plan, plan
+    assert "partial_max" in plan, plan

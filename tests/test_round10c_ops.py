@@ -1,0 +1,262 @@
+"""Hypothesis + edge-case tests for the round-10 third operator batch
+(PMI collocations, Markov transition matrix, ts delta/rate), each
+checked against a brute-force pure-python replay on random small
+inputs — independent implementation, random inputs, the strongest
+evidence after the DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from raft_c_spark.operators import text, tsdb
+from raft_c_spark.operators.window import transition_matrix
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+WORDS = ["alpha", "bb", "ccc", "dd", "e"]
+
+_texts = st.lists(
+    st.lists(st.sampled_from(WORDS), max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+# --- collocations -----------------------------------------------------------
+
+
+def _brute_collocations(texts, min_count, k):
+    toks = [t.split() for t in texts]
+    t_tokens = sum(len(ts) for ts in toks)
+    b_pairs = sum(max(len(ts) - 1, 0) for ts in toks)
+    uni: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    for ts in toks:
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    out = []
+    for (a, b), c_ab in bi.items():
+        if c_ab < min_count:
+            continue
+        pmi = round(
+            math.log(
+                (c_ab / b_pairs)
+                / ((uni[a] / t_tokens) * (uni[b] / t_tokens))
+            ),
+            8,
+        )
+        out.append((a, b, c_ab, uni[a], uni[b], pmi))
+    out.sort(key=lambda r: (-r[5], r[0], r[1]))
+    return out[:k]
+
+
+@given(texts=_texts, min_count=st.integers(1, 3))
+@settings(**SETTINGS)
+def test_collocations_match_brute(spark, texts, min_count):
+    got = [
+        (r["w1"], r["w2"], r["n_pair"], r["n_w1"], r["n_w2"], r["pmi"])
+        for r in text.collocations(
+            _docs(spark, texts), min_count=min_count, k=100
+        ).collect()
+    ]
+    want = _brute_collocations(texts, min_count, 100)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:5] == w[:5]
+        assert g[5] == pytest.approx(w[5], abs=1e-7)
+
+
+def test_collocations_min_count_validates(spark):
+    with pytest.raises(ValueError):
+        text.collocations(_docs(spark, ["a b"]), min_count=0)
+
+
+def test_collocations_short_docs_no_pairs(spark):
+    # 0- and 1-token docs contribute tokens to T but no pairs to B
+    out = text.collocations(
+        _docs(spark, ["solo", "", "x y x y x y"]), min_count=2, k=10
+    ).collect()
+    pairs = {(r["w1"], r["w2"]): r["n_pair"] for r in out}
+    assert pairs == {("x", "y"): 3, ("y", "x"): 2}
+
+
+# --- transition matrix ------------------------------------------------------
+
+
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.integers(0, 50),  # ts (collisions likely)
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=2,
+    max_size=30,
+)
+
+
+def _brute_transitions(rows):
+    # order per user by (ts, event_id) — event_id is the list index
+    by_user: dict[int, list[tuple[int, int, str]]] = {}
+    for i, (u, ts, s) in enumerate(rows):
+        by_user.setdefault(u, []).append((ts, i, s))
+    counts: dict[tuple[str, str], int] = {}
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    totals: dict[str, int] = {}
+    for (a, _), c in counts.items():
+        totals[a] = totals.get(a, 0) + c
+    return {
+        (a, b): (c, totals[a], round(c / totals[a], 8))
+        for (a, b), c in counts.items()
+    }
+
+
+@given(rows=_events_strategy)
+@settings(**SETTINGS)
+def test_transition_matrix_matches_brute(spark, rows):
+    df = spark.createDataFrame(
+        [(i, u, ts, s) for i, (u, ts, s) in enumerate(rows)],
+        "event_id long, user_id long, timestamp long, state string",
+    )
+    got = {
+        (r["from_state"], r["to_state"]): (
+            r["n_transitions"],
+            r["n_from"],
+            r["prob"],
+        )
+        for r in transition_matrix(
+            df, "user_id", "timestamp", "state", tiebreak_col="event_id"
+        ).collect()
+    }
+    want = _brute_transitions(rows)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == want[k][1]
+        assert got[k][2] == pytest.approx(want[k][2], abs=1e-8)
+
+
+def test_transition_matrix_probs_sum_to_one(spark):
+    df = spark.createDataFrame(
+        [(i, 1, i, s) for i, s in enumerate("aabacbabcc")],
+        "event_id long, user_id long, timestamp long, state string",
+    )
+    rows = transition_matrix(
+        df, "user_id", "timestamp", "state", tiebreak_col="event_id"
+    ).collect()
+    by_from: dict[str, float] = {}
+    for r in rows:
+        by_from[r["from_state"]] = by_from.get(r["from_state"], 0.0) + r["prob"]
+    for s, total in by_from.items():
+        assert total == pytest.approx(1.0, abs=1e-6)
+
+
+# --- delta / rate -----------------------------------------------------------
+
+
+_points_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),
+        st.integers(0, 10_000),
+        st.floats(-100, 100, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _brute_delta_rate(rows, interval):
+    buckets: dict[tuple[str, int], list[tuple[int, float]]] = {}
+    for s, t, v in rows:
+        buckets.setdefault((s, t - t % interval), []).append((t, v))
+    out = {}
+    for key, pts in buckets.items():
+        first = min(pts)
+        last = max(pts)
+        delta = last[1] - first[1]
+        span = last[0] - first[0]
+        rate = (
+            round(delta * 1_000_000_000.0 / span, 8) if span > 0 else None
+        )
+        out[key] = (len(pts), round(delta, 8), rate)
+    return out
+
+
+@given(rows=_points_strategy, interval=st.sampled_from([7, 100, 1000]))
+@settings(**SETTINGS)
+def test_delta_rate_matches_brute(spark, rows, interval):
+    df = spark.createDataFrame(
+        [(s, t, float(v)) for s, t, v in rows],
+        "series string, timestamp long, value double",
+    )
+    got = {
+        (r["series"], r["bucket_ts"]): (
+            r["n_points"],
+            r["delta"],
+            r["rate_per_s"],
+        )
+        for r in tsdb.delta_rate(df, interval).collect()
+    }
+    want = _brute_delta_rate(rows, interval)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-6)
+        if want[k][2] is None:
+            assert got[k][2] is None
+        else:
+            assert got[k][2] == pytest.approx(want[k][2], rel=1e-6)
+
+
+def test_delta_rate_single_point_bucket_null_rate(spark):
+    df = spark.createDataFrame(
+        [("s", 5, 1.5), ("s", 105, 2.0), ("s", 110, 3.5)],
+        "series string, timestamp long, value double",
+    )
+    rows = {
+        r["bucket_ts"]: r for r in tsdb.delta_rate(df, 100).collect()
+    }
+    assert rows[0]["n_points"] == 1
+    assert rows[0]["delta"] == 0.0
+    assert rows[0]["rate_per_s"] is None
+    assert rows[100]["n_points"] == 2
+    assert rows[100]["delta"] == pytest.approx(1.5)
+    assert rows[100]["rate_per_s"] == pytest.approx(1.5 * 1e9 / 5)
+
+
+def test_delta_rate_duplicate_ns_tiebreak_by_value(spark):
+    # identical-ns points (DP_INSERT model): struct(ts, value) min/max
+    # resolves by value — first=(10, 1.0), last=(10, 9.0), span 0
+    df = spark.createDataFrame(
+        [("s", 10, 9.0), ("s", 10, 1.0)],
+        "series string, timestamp long, value double",
+    )
+    r = tsdb.delta_rate(df, 100).collect()[0]
+    assert r["delta"] == pytest.approx(8.0)
+    assert r["rate_per_s"] is None
+
+
+def test_delta_rate_validates_interval(spark):
+    df = spark.createDataFrame(
+        [("s", 1, 1.0)], "series string, timestamp long, value double"
+    )
+    with pytest.raises(ValueError):
+        tsdb.delta_rate(df, 0)
