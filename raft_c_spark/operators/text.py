@@ -959,12 +959,20 @@ def ngram_overlap_contamination(
     Caveat: ``array_distinct`` is quadratic within one row; for
     mega-documents chunk upstream (the 100 TB pipelines do anyway).
 
-    Lifecycle note (advisor r9): construction is EAGER (the
-    measured-cap ``count()`` on the eval key set runs a job at build
-    time) and the eval key set stays persisted for the session; the
-    registry's per-query ``clearCache()`` releases it between driver
-    queries — long-lived library sessions should clear/unpersist
-    between corpora.
+    Lifecycle note (advisor r9, revised r10): the broadcast decision
+    uses a CHEAP upper bound first — distinct eval grams ≤ eval
+    chars (grams ≤ tokens ≤ chars), measured by one map-side
+    ``sum(length(text))`` over the eval slice only. When that bound
+    clears the row cap (the common case: eval sets are small by
+    construction), the whole operator is LAZY — the eval key set is
+    deduped inside the broadcast-exchange build at execution time,
+    nothing persists, and no job runs at construction. Only when the
+    chars bound exceeds the cap does the operator fall back to the
+    r9 behavior: an eager exact ``count()`` on the distinct key set
+    (persisted for the session — the registry's per-query
+    ``clearCache()`` releases it; long-lived library sessions should
+    clear/unpersist between corpora), broadcast under the cap,
+    shuffle equi-join above it.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -999,17 +1007,23 @@ def ngram_overlap_contamination(
             F.col("h.h2").alias("h2"),
         )
 
-    from pyspark.storagelevel import StorageLevel
-
     eval_keys = (
         gram_sets(eval_df, id_col, text_col)
         .select("h1", "h2")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    side = eval_keys
-    if eval_keys.count() <= _BROADCAST_MAX_BANDED_ROWS:
+    chars_bound = eval_df.agg(
+        F.sum(F.length(F.col(text_col)))
+    ).collect()[0][0]
+    if (chars_bound or 0) <= _BROADCAST_MAX_BANDED_ROWS:
         side = F.broadcast(eval_keys)
+    else:
+        from pyspark.storagelevel import StorageLevel
+
+        eval_keys = eval_keys.persist(StorageLevel.MEMORY_AND_DISK)
+        side = eval_keys
+        if eval_keys.count() <= _BROADCAST_MAX_BANDED_ROWS:
+            side = F.broadcast(eval_keys)
     train = gram_sets(df, id_col, text_col)
     hit = side.withColumn("hit", F.lit(1))
     scored = (
