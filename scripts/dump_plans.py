@@ -248,6 +248,25 @@ FLAGSHIPS = [
         "cardinality-shrinking aggregates (per-cluster, per-size) — "
         "integer-only output, no float surface",
     ),
+    (
+        "text_collocations",
+        "PMI collocations: two map-side-combined count aggregates "
+        "(unigram + adjacent-pair), min_count filter BEFORE the "
+        "vocab-shaped unigram joins, 1-row stats broadcast, top-k "
+        "via TakeOrderedAndProject — never a vocab-wide sort",
+    ),
+    (
+        "ev_transition_matrix",
+        "Markov transitions: one per-user lag window ((ts, event_id) "
+        "total order), pair counts collapse map-side to ≤ states² "
+        "rows, totals broadcast back — the event stream never joins",
+    ),
+    (
+        "ts_delta_rate",
+        "TSDB delta/rate: ONE map-side-combined (series, bucket) "
+        "struct min/max aggregate — shuffle volume is buckets, not "
+        "points; no window function, no join",
+    ),
 ]
 
 
