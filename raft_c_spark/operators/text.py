@@ -953,9 +953,10 @@ def ngram_overlap_contamination(
     the final per-doc counts, which partial-aggregate to ~one row per
     doc before the exchange because exploded gram rows stay in their
     parent's partition. The eval key set is deduped the same way then
-    globally distinct'd (small), persisted, and broadcast under the
-    measured row cap (shuffle equi-join fallback above). Heavy gram
-    strings never leave the map side — only 16 B hash pairs travel.
+    globally distinct'd (small) and broadcast under the chars-bound
+    cap (persisted + exact-count fallback above — see the lifecycle
+    note). Heavy gram strings never leave the map side — only 16 B
+    hash pairs travel.
     Caveat: ``array_distinct`` is quadratic within one row; for
     mega-documents chunk upstream (the 100 TB pipelines do anyway).
 
@@ -964,12 +965,15 @@ def ngram_overlap_contamination(
     chars (grams ≤ tokens ≤ chars), measured by one map-side
     ``sum(length(text))`` over the eval slice only. When that bound
     clears the row cap (the common case: eval sets are small by
-    construction), the whole operator is LAZY — the eval key set is
-    deduped inside the broadcast-exchange build at execution time,
-    nothing persists, and no job runs at construction. Only when the
-    chars bound exceeds the cap does the operator fall back to the
-    r9 behavior: an eager exact ``count()`` on the distinct key set
-    (persisted for the session — the registry's per-query
+    construction), the expensive side of the operator is LAZY — the
+    eval key set is deduped inside the broadcast-exchange build at
+    execution time and nothing persists; construction still runs the
+    ONE cheap chars-scan job (map-side sum over the eval slice — no
+    tokenize/hash/distinct), which replaces r9's full gram-pipeline
+    pre-count. Only when the chars bound exceeds the cap does the
+    operator fall back to the r9 behavior, at the price of BOTH
+    probes (chars scan + an eager exact ``count()`` on the distinct
+    key set, persisted for the session — the registry's per-query
     ``clearCache()`` releases it; long-lived library sessions should
     clear/unpersist between corpora), broadcast under the cap,
     shuffle equi-join above it.
@@ -1276,13 +1280,17 @@ def collocations(
 
     Scale shape: tokenize map-side; ONE map-side-combined unigram
     count aggregate and ONE bigram count aggregate (adjacent pairs
-    come from a per-doc array transform — no self-join); the
-    min_count filter shrinks the pair frame BEFORE any join; the two
-    unigram joins are vocab-shaped equi-joins (both sides are
-    aggregates, never token streams — AQE broadcasts the filtered
-    pair side at runtime; deliberately lazy, no eager measured-cap
-    probe); corpus totals are a 1-row broadcast crossJoin; the final
-    top-k is TakeOrderedAndProject — never a vocab-wide sort.
+    come from a per-doc array transform — no self-join); corpus
+    totals T and B from a third, no-explode per-doc length aggregate
+    (measured cheaper than deriving them from the uni/bi aggregates,
+    whose heavy lineage Spark re-executes per consumer — see the
+    in-code note); the min_count filter shrinks the pair frame
+    BEFORE any join; the two unigram joins are vocab-shaped
+    equi-joins (both sides are aggregates, never token streams — AQE
+    broadcasts the filtered pair side at runtime; deliberately lazy,
+    no eager measured-cap probe); the totals are a 1-row broadcast
+    crossJoin; the final top-k is TakeOrderedAndProject — never a
+    vocab-wide sort.
     """
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
@@ -1290,6 +1298,13 @@ def collocations(
         F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
     )
     base = df.select(toks.alias("toks"))
+    # totals come from a SEPARATE per-doc stats aggregate on purpose:
+    # deriving T = Σ c_w / B = Σ c_ab from the uni/bi aggregates reads
+    # as "one less corpus scan" but measured 3× SLOWER at sf0.1
+    # (0.88 → 2.4 s warm) — Spark does not reuse the aggregate
+    # exchanges across the join and stats consumers, so that shape
+    # re-executes the heavy explode+aggregate lineage per consumer,
+    # while this stats pass is a cheap no-explode length aggregate
     stats = base.agg(
         F.sum(F.size("toks")).alias("t_tokens"),
         F.sum(F.greatest(F.size("toks") - 1, F.lit(0))).alias("b_pairs"),

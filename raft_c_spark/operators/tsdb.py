@@ -415,11 +415,7 @@ def sample_by_fill(
     )
 
 
-def delta_rate(
-    df: DataFrame,
-    interval_ns: int,
-    group_by_series: bool = True,
-) -> DataFrame:
+def delta_rate(df: DataFrame, interval_ns: int) -> DataFrame:
     """Per-bucket delta / rate-of-change — the PromQL ``delta()`` /
     ``rate()``-style derivative surface every modern TSDB grows
     (extension; the reference samples averages only,
@@ -449,10 +445,14 @@ def delta_rate(
     """
     if interval_ns <= 0:
         raise ValueError("interval must be positive")
+    # floor-mod, not %: Spark's % follows the dividend's sign, so a
+    # pre-1970 (negative-ns) point would land in the bucket ABOVE its
+    # floor and merge with points up to 2x interval away — pmod keeps
+    # the documented [start, start+interval) contract on all inputs
     bucket = (
-        F.col("timestamp") - F.col("timestamp") % F.lit(interval_ns)
+        F.col("timestamp") - F.pmod(F.col("timestamp"), F.lit(interval_ns))
     ).alias("bucket_ts")
-    keys = ["series", "bucket_ts"] if group_by_series else ["bucket_ts"]
+    keys = ["series", "bucket_ts"]
     agg = (
         df.select(
             "series",

@@ -352,7 +352,6 @@ def transition_matrix(
     )
     w = Window.partitionBy(key_col).orderBy(*order)
     seq = df.select(
-        F.col(key_col).alias("k"),
         F.col(state_col).alias("to_state"),
         F.lag(F.col(state_col)).over(w).alias("from_state"),
     ).filter(F.col("from_state").isNotNull())

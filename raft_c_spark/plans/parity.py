@@ -204,11 +204,15 @@ def _delta_rate_sql(interval_ns: int, where: str) -> str:
     # struct min/max mirror the operator's lexicographic
     # (timestamp, value) first/last tie-break; the rate expression
     # replicates the operator's exact IEEE op order
-    # ((delta * 1e9) / span_ns) before the 8-decimal round.
+    # ((delta * 1e9) / span_ns) before the 8-decimal round; the
+    # double-% is floor-mod (DuckDB % follows the dividend's sign,
+    # like Spark's % — the operator buckets with pmod).
     return f"""
         WITH b AS (
             SELECT series,
-                   timestamp - (timestamp % {interval_ns}) AS bucket_ts,
+                   timestamp - (((timestamp % {interval_ns})
+                                 + {interval_ns}) % {interval_ns})
+                       AS bucket_ts,
                    min(struct_pack(t := timestamp, v := value)) AS first_p,
                    max(struct_pack(t := timestamp, v := value)) AS last_p,
                    COUNT(*) AS n_points

@@ -175,7 +175,9 @@ def test_transition_matrix_probs_sum_to_one(spark):
 _points_strategy = st.lists(
     st.tuples(
         st.sampled_from(["s1", "s2"]),
-        st.integers(0, 10_000),
+        # negative timestamps included: the bucket expression must
+        # floor (pmod), not truncate toward zero (%)
+        st.integers(-10_000, 10_000),
         st.floats(-100, 100, allow_nan=False, width=32),
     ),
     min_size=1,
@@ -184,6 +186,8 @@ _points_strategy = st.lists(
 
 
 def _brute_delta_rate(rows, interval):
+    # Python % IS floor-mod — the reference semantics the operator's
+    # pmod must match on negative timestamps
     buckets: dict[tuple[str, int], list[tuple[int, float]]] = {}
     for s, t, v in rows:
         buckets.setdefault((s, t - t % interval), []).append((t, v))
@@ -252,6 +256,18 @@ def test_delta_rate_duplicate_ns_tiebreak_by_value(spark):
     r = tsdb.delta_rate(df, 100).collect()[0]
     assert r["delta"] == pytest.approx(8.0)
     assert r["rate_per_s"] is None
+
+
+def test_delta_rate_negative_ts_floor_bucket(spark):
+    # -50 and 50 lie in DIFFERENT buckets under the floor contract
+    # (a truncating % would merge both into bucket 0)
+    df = spark.createDataFrame(
+        [("s", -50, 0.0), ("s", 50, 10.0)],
+        "series string, timestamp long, value double",
+    )
+    rows = {r["bucket_ts"]: r for r in tsdb.delta_rate(df, 100).collect()}
+    assert set(rows) == {-100, 0}
+    assert rows[-100]["n_points"] == 1 and rows[0]["n_points"] == 1
 
 
 def test_delta_rate_validates_interval(spark):
