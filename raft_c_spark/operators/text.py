@@ -1253,6 +1253,81 @@ def char_entropy(
     )
 
 
+def lang_unigram_kl(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language unigram-distribution KL divergence from the whole
+    corpus, ``KL(P_lang ‖ P_corpus) = Σ_w p_lw · ln(p_lw / p_w)`` —
+    the mixture diagnostic data-balancing pipelines read before
+    reweighting (a language/domain slice with high KL shifts the
+    corpus distribution most per token; DoReMi-style reweighting and
+    CCNet's per-language handling both start from this quantity).
+    Well-defined without smoothing because every language's support
+    is a subset of the corpus support (p_w > 0 wherever p_lw > 0).
+
+    Determinism contract: token counts are exact ints; p_lw and p_w
+    are single correctly-rounded IEEE divisions; each word's
+    ``p_lw · ln(p_lw / p_w)`` term computes in the fixed op order
+    (divide, divide, divide, ln, multiply), is rounded to 8 decimals
+    and cast to DECIMAL(18,8) BEFORE the per-language sum (the
+    quantized-log rule — exact, order-independent), and the emitted
+    value re-rounds to 8 after the final cast.
+
+    Scale shape: ONE map-side-combined (lang, word) count aggregate
+    and ONE word count aggregate over the token stream (each with a
+    single consumer — the collocations in-code note measured Spark
+    re-executing a heavy aggregate's lineage once PER consumer, so
+    this shape never fans an exploded aggregate out); language and
+    corpus token totals come from cheap no-explode per-doc length
+    aggregates (exact: Σ size(toks) per lang ≡ Σ c_lw); n_types
+    falls out of the final L-row aggregate for free. The V-row word
+    table joins the (lang, word) frame as a vocab-shaped equi-join
+    (both sides aggregates — never token streams), the L-row totals
+    broadcast; the output is L rows. No Python, no window.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    tagged = df.select(F.col(lang_col).alias("lang"), toks.alias("toks"))
+    lw = (
+        tagged.select("lang", F.explode("toks").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c_lw"))
+    )
+    word_tot = (
+        tagged.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    lang_tot = tagged.groupBy("lang").agg(
+        F.sum(F.size("toks")).alias("t_l")
+    )
+    corpus_tot = tagged.agg(F.sum(F.size("toks")).alias("t"))
+    p_lw = F.col("c_lw").cast("double") / F.col("t_l")
+    p_w = F.col("c_w").cast("double") / F.col("t")
+    term = F.round(p_lw * F.log(p_lw / p_w), 8).cast("decimal(18,8)")
+    return (
+        lw.join(word_tot, "w")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(corpus_tot))
+        .select("lang", "t_l", term.alias("term"))
+        .groupBy("lang", "t_l")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.sum("term").cast("double"), 8).alias("kl_nats"),
+        )
+        .select(
+            "lang",
+            F.col("t_l").cast("long").alias("n_tokens"),
+            F.col("n_types").cast("long").alias("n_types"),
+            "kl_nats",
+        )
+        .orderBy("lang")
+    )
+
+
 def collocations(
     df: DataFrame,
     text_col: str = "text",

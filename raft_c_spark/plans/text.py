@@ -644,6 +644,66 @@ ORACLES["text_collocations"] = f"""
 """
 
 
+# --- STAGED FOR ROUND 11 (implemented + oracle-tested, NOT registered) ----
+# The r10 window has no remaining safely-demotable slot (every
+# in-window query is either a never-green newcomer or a stale
+# re-promotion awaiting its r10 green), and the window policy fails
+# the build on a registered never-green query outside the window —
+# so this query ships fully built and pytest-oracle-verified
+# (tests/test_round10c_ops.py::test_lang_kl_oracle_parity) and r11
+# registers it with: QUERIES["ds_lang_kl"] = q_ds_lang_kl;
+# ORACLES["ds_lang_kl"] = LANG_KL_ORACLE_SQL; plus one window swap
+# demoting an r10-green slot.
+
+
+def q_ds_lang_kl(spark, sf_dir):
+    """Per-language unigram KL divergence vs the corpus distribution
+    — see text.lang_unigram_kl for the quantized-log determinism
+    contract and the single-consumer-per-aggregate scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_unigram_kl(docs)
+
+
+# op order mirrors the operator exactly: p_lw = c_lw/t_l and
+# p_w = c_w/t are single IEEE divisions of exact ints, each word's
+# p_lw*ln(p_lw/p_w) term quantizes to DECIMAL(18,8) before the
+# per-language sum; language/corpus totals come from the same
+# no-explode per-doc length sums.
+LANG_KL_ORACLE_SQL = """
+    WITH tagged AS (
+        SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    lw AS (
+        SELECT lang, w, COUNT(*) AS c_lw
+        FROM (SELECT lang, unnest(toks) AS w FROM tagged)
+        GROUP BY lang, w
+    ),
+    word_tot AS (
+        SELECT w, COUNT(*) AS c_w
+        FROM (SELECT unnest(toks) AS w FROM tagged) GROUP BY w
+    ),
+    lang_tot AS (
+        SELECT lang, SUM(len(toks)) AS t_l FROM tagged GROUP BY lang
+    ),
+    corpus_tot AS (SELECT SUM(len(toks)) AS t FROM tagged)
+    SELECT lw.lang,
+           CAST(t_l AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           round(CAST(SUM(CAST(round(
+               (CAST(c_lw AS DOUBLE) / t_l)
+               * ln((CAST(c_lw AS DOUBLE) / t_l)
+                    / (CAST(c_w AS DOUBLE) / t)), 8)
+             AS DECIMAL(18,8))) AS DOUBLE), 8) AS kl_nats
+    FROM lw
+    JOIN word_tot USING (w)
+    JOIN lang_tot ON lang_tot.lang = lw.lang
+    CROSS JOIN corpus_tot
+    GROUP BY lw.lang, t_l
+    ORDER BY lw.lang
+"""
+
+
 def q_ds_ccnet_buckets(spark, sf_dir):
     """CCNet perplexity bucketing: bigram-LM score per doc, per-lang
     exact-percentile cuts at 0.25/0.75, per (lang, bucket) counts +

@@ -385,6 +385,16 @@ def _q_bm25_soak(spark, sf_dir):
     return bm25_topk(docs, terms, k=20)
 
 
+def _q_lang_kl_staged(spark, sf_dir):
+    """The r11-staged per-language KL divergence (implemented +
+    oracle-tested in r10, registered next round — plans/text.py has
+    the staging note)."""
+    from raft_c_spark.operators.text import lang_unigram_kl
+    from raft_c_spark.sources.testdata import load_table
+
+    return lang_unigram_kl(load_table(spark, sf_dir, "documents"))
+
+
 #: (label, registry-name-or-callable, scaling expectation note)
 SOAK_QUERIES = [
     ("dedup_exact_groups", None, "linear (one hash aggregate)"),
@@ -527,6 +537,10 @@ SOAK_QUERIES = [
     ("ts_delta_rate", None,
      "linear scan + ONE map-side-combined (series, bucket) struct "
      "min/max aggregate; shuffle volume is buckets, not points"),
+    ("ds_lang_kl_staged", _q_lang_kl_staged,
+     "linear scan x2 (the (lang,word) and word aggregates each have "
+     "ONE consumer) + two cheap no-explode length aggregates; the "
+     "join is vocab-shaped, output L rows"),
 ]
 
 

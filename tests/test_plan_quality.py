@@ -768,3 +768,20 @@ def test_delta_rate_single_aggregate_no_window(spark, sf_dir):
     assert "Python" not in plan, plan
     assert "partial_min" in plan, plan
     assert "partial_max" in plan, plan
+
+
+def test_lang_kl_single_consumer_aggregates(spark, sf_dir):
+    """The staged lang-KL divergence never fans an exploded aggregate
+    out to multiple consumers (the collocations A/B measured Spark
+    re-executing such lineage per consumer): totals come from cheap
+    no-explode length aggregates, the L-row totals broadcast, and the
+    only non-broadcast join is the vocab-shaped word equi-join — no
+    window, no cartesian, no Python."""
+    from raft_c_spark.plans.text import q_ds_lang_kl
+
+    plan = plan_of(q_ds_lang_kl(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "partial_count" in plan, plan

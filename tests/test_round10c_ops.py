@@ -276,3 +276,96 @@ def test_delta_rate_validates_interval(spark):
     )
     with pytest.raises(ValueError):
         tsdb.delta_rate(df, 0)
+
+
+# --- lang KL (staged for r11 registration) ---------------------------------
+
+
+def _brute_lang_kl(rows):
+    """rows: list of (lang, text). Replays the operator's quantization
+    points: per-word round(p_lw*ln(p_lw/p_w), 8), fsum per lang."""
+    lw: dict[tuple[str, str], int] = {}
+    cw: dict[str, int] = {}
+    tl: dict[str, int] = {}
+    t = 0
+    for lang, text in rows:
+        ws = text.split()
+        tl[lang] = tl.get(lang, 0) + len(ws)
+        t += len(ws)
+        for w in ws:
+            lw[(lang, w)] = lw.get((lang, w), 0) + 1
+            cw[w] = cw.get(w, 0) + 1
+    out: dict[str, tuple[int, int, float]] = {}
+    terms: dict[str, list[float]] = {}
+    types: dict[str, int] = {}
+    for (lang, w), c in lw.items():
+        p_lw = c / tl[lang]
+        p_w = cw[w] / t
+        terms.setdefault(lang, []).append(round(p_lw * math.log(p_lw / p_w), 8))
+        types[lang] = types.get(lang, 0) + 1
+    for lang in terms:
+        out[lang] = (tl[lang], types[lang], round(math.fsum(terms[lang]), 8))
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr", "zh"]),
+            st.lists(st.sampled_from(WORDS), min_size=1, max_size=10).map(
+                " ".join
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_lang_kl_matches_brute(spark, rows):
+    df = spark.createDataFrame(
+        [(i, l, t) for i, (l, t) in enumerate(rows)],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["lang"]: (r["n_tokens"], r["n_types"], r["kl_nats"])
+        for r in text.lang_unigram_kl(df).collect()
+    }
+    want = _brute_lang_kl(rows)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == want[k][1]
+        assert got[k][2] == pytest.approx(want[k][2], abs=1e-7)
+
+
+def test_lang_kl_single_lang_is_zero(spark):
+    # one language == the corpus -> p_lw == p_w for every word -> KL 0
+    df = spark.createDataFrame(
+        [(1, "en", "a b a c"), (2, "en", "b b c")],
+        "doc_id long, lang string, text string",
+    )
+    rows = text.lang_unigram_kl(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["kl_nats"] == pytest.approx(0.0, abs=1e-8)
+    assert rows[0]["n_tokens"] == 7
+    assert rows[0]["n_types"] == 3
+
+
+def test_lang_kl_nonnegative(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "x x x y"), (2, "fr", "y y z z z")],
+        "doc_id long, lang string, text string",
+    )
+    for r in text.lang_unigram_kl(df).collect():
+        assert r["kl_nats"] >= -1e-8  # Gibbs' inequality
+
+
+def test_lang_kl_oracle_parity(spark, duck, sf_dir):
+    """The staged r11 oracle SQL against the real operator — the same
+    normalized-row multiset compare the driver applies."""
+    from raft_c_spark.plans.text import LANG_KL_ORACLE_SQL, q_ds_lang_kl
+    from tests.harness import assert_matches_oracle
+
+    assert_matches_oracle(
+        q_ds_lang_kl(spark, sf_dir), duck, LANG_KL_ORACLE_SQL, "ds_lang_kl"
+    )
