@@ -1354,18 +1354,19 @@ def collocations(
     by the rounded value with (w1, w2) ties.
 
     Scale shape: tokenize map-side; ONE map-side-combined unigram
-    count aggregate and ONE bigram count aggregate (adjacent pairs
-    come from a per-doc array transform — no self-join); corpus
-    totals T and B from a third, no-explode per-doc length aggregate
-    (measured cheaper than deriving them from the uni/bi aggregates,
-    whose heavy lineage Spark re-executes per consumer — see the
-    in-code note); the min_count filter shrinks the pair frame
-    BEFORE any join; the two unigram joins are vocab-shaped
-    equi-joins (both sides are aggregates, never token streams — AQE
-    broadcasts the filtered pair side at runtime; deliberately lazy,
-    no eager measured-cap probe); the totals are a 1-row broadcast
-    crossJoin; the final top-k is TakeOrderedAndProject — never a
-    vocab-wide sort.
+    count aggregate and ONE bigram count aggregate whose key is the
+    FIXED-WIDTH hash pair (xxhash64 of each word — measured 1.3-1.4×
+    cheaper than the string-pair key in a fixed-thread CPU A/B; see
+    the in-code note), with the words and their counts recovered
+    from the vocab-sized unigram table by the two long-keyed
+    equi-joins; adjacent pairs come from a per-doc array transform —
+    no self-join; corpus totals T and B from a third, no-explode
+    per-doc length aggregate (measured cheaper than deriving them
+    from the uni/bi aggregates, whose heavy lineage Spark re-executes
+    per consumer — see the in-code note); the min_count filter
+    shrinks the pair frame BEFORE any join; the totals are a 1-row
+    broadcast crossJoin; the final top-k is TakeOrderedAndProject —
+    never a vocab-wide sort.
     """
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
@@ -1389,24 +1390,56 @@ def collocations(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_w"))
     )
+    # The pair count keys on (xxhash64(w1), xxhash64(w2)) — fixed-width
+    # longs — NOT on the two word strings: a fixed-thread (local[4])
+    # CPU-time A/B at 50k and 150k soak docs measured the hashed key
+    # ~1.3-1.4× cheaper end-to-end than the string-pair key (19.6 vs
+    # 28.0 JVM-CPU-s at 150k; 11.6 vs 15.3 at 50k), and it follows
+    # the engine-wide gram rule: heavy strings die on the map side,
+    # only 16-byte keys reach the exchange, and the words (plus
+    # their counts) come back from the vocab-sized unigram table on
+    # the same two joins that were already there — now long-keyed.
+    # (The 50k→150k wall brackets that first flagged this operator
+    # were a different beast: a local[32] memory-bandwidth convoy on
+    # an oversubscribed host — same query at local[4] reads 4.7 s /
+    # 19.6 CPU-s at 150k, sub-linear vs 50k — documented in
+    # SCALING.md.) Contract: two DISTINCT words colliding on
+    # xxhash64 would merge pair rows (~V²/2⁶⁵ expected collisions —
+    # negligible at any real vocabulary, the 128-bit-gram stance of
+    # the dedup family).
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 1),
         lambda i: F.struct(
-            F.element_at("toks", i).alias("w1"),
-            F.element_at("toks", i + 1).alias("w2"),
+            F.xxhash64(F.element_at("toks", i)).alias("h1"),
+            F.xxhash64(F.element_at("toks", i + 1)).alias("h2"),
         ),
     )
     bi = (
         base.filter(F.size("toks") >= 2)
         .select(F.explode(pairs).alias("p"))
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .groupBy("w1", "w2")
+        .select(F.col("p.h1").alias("h1"), F.col("p.h2").alias("h2"))
+        .groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= min_count)
     )
+    uh = uni.select(F.xxhash64("w").alias("h"), "w", "c_w")
     j = (
-        bi.join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1")), "w1")
-        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2")), "w2")
+        bi.join(
+            uh.select(
+                F.col("h").alias("h1"),
+                F.col("w").alias("w1"),
+                F.col("c_w").alias("c_w1"),
+            ),
+            "h1",
+        )
+        .join(
+            uh.select(
+                F.col("h").alias("h2"),
+                F.col("w").alias("w2"),
+                F.col("c_w").alias("c_w2"),
+            ),
+            "h2",
+        )
         .crossJoin(F.broadcast(stats))
     )
     p_ab = F.col("c_ab").cast("double") / F.col("b_pairs")
