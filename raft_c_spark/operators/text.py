@@ -953,26 +953,31 @@ def ngram_overlap_contamination(
     the final per-doc counts, which partial-aggregate to ~one row per
     doc before the exchange because exploded gram rows stay in their
     parent's partition. The eval key set is deduped the same way then
-    globally distinct'd (small) and broadcast under the chars-bound
+    globally distinct'd (small) and broadcast under the gram-bound
     cap (persisted + exact-count fallback above — see the lifecycle
     note). Heavy gram strings never leave the map side — only 16 B
     hash pairs travel.
     Caveat: ``array_distinct`` is quadratic within one row; for
     mega-documents chunk upstream (the 100 TB pipelines do anyway).
 
-    Lifecycle note (advisor r9, revised r10): the broadcast decision
-    uses a CHEAP upper bound first — distinct eval grams ≤ eval
-    chars (grams ≤ tokens ≤ chars), measured by one map-side
-    ``sum(length(text))`` over the eval slice only. When that bound
-    clears the row cap (the common case: eval sets are small by
-    construction), the expensive side of the operator is LAZY — the
-    eval key set is deduped inside the broadcast-exchange build at
-    execution time and nothing persists; construction still runs the
-    ONE cheap chars-scan job (map-side sum over the eval slice — no
-    tokenize/hash/distinct), which replaces r9's full gram-pipeline
-    pre-count. Only when the chars bound exceeds the cap does the
+    Lifecycle note (advisor r9, revised r10+r11): the broadcast
+    decision uses a CHEAP upper bound first — distinct eval grams ≤
+    total eval grams = Σ_doc max(0, tokens − n + 1), measured by one
+    map-side tokenize-and-count aggregate over the eval slice only
+    (regexp + array size per row; no hash, no explode, no distinct,
+    no shuffle beyond the 1-row agg). The r10 version bounded via
+    ``sum(length(text))`` instead, but compared CHARACTERS against
+    the 4M ROW cap (advisor r10: a unit conflation — any eval slice
+    over ~4 MB of text missed the lazy path even though its distinct
+    gram count was far under the cap); the gram-count probe is in
+    the cap's own unit and ~chars/(2·avg-token-len) tighter, so
+    realistic multi-MB eval suites stay lazy. When the bound clears
+    the cap (the common case: eval sets are small by construction),
+    the expensive side of the operator is LAZY — the eval key set is
+    deduped inside the broadcast-exchange build at execution time and
+    nothing persists. Only when the bound exceeds the cap does the
     operator fall back to the r9 behavior, at the price of BOTH
-    probes (chars scan + an eager exact ``count()`` on the distinct
+    probes (bound scan + an eager exact ``count()`` on the distinct
     key set, persisted for the session — the registry's per-query
     ``clearCache()`` releases it; long-lived library sessions should
     clear/unpersist between corpora), broadcast under the cap,
@@ -1016,10 +1021,15 @@ def ngram_overlap_contamination(
         .select("h1", "h2")
         .distinct()
     )
-    chars_bound = eval_df.agg(
-        F.sum(F.length(F.col(text_col)))
+    eval_toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    gram_bound = eval_df.agg(
+        F.sum(
+            F.greatest(F.size(eval_toks) - F.lit(n - 1), F.lit(0))
+        )
     ).collect()[0][0]
-    if (chars_bound or 0) <= _BROADCAST_MAX_BANDED_ROWS:
+    if (gram_bound or 0) <= _BROADCAST_MAX_BANDED_ROWS:
         side = F.broadcast(eval_keys)
     else:
         from pyspark.storagelevel import StorageLevel
@@ -1267,6 +1277,16 @@ def lang_unigram_kl(
     Well-defined without smoothing because every language's support
     is a subset of the corpus support (p_w > 0 wherever p_lw > 0).
 
+    Tokenizer restriction (advisor r10): tokens are ``[a-z0-9]+``
+    runs of the lowercased text — the engine-wide Latin-alphanumeric
+    tokenizer every text operator shares. A language whose documents
+    contain NO such runs (actual zh/ja/ko text, pure-symbol docs)
+    therefore has zero tokens and no distribution to diverge; it is
+    NOT silently dropped — the output carries its row with
+    ``n_tokens = 0``, ``n_types = 0`` and ``kl_nats = NULL`` (KL of
+    an empty distribution is undefined, and a 0-token language is
+    exactly what a data-balancing pass needs to notice).
+
     Determinism contract: token counts are exact ints; p_lw and p_w
     are single correctly-rounded IEEE divisions; each word's
     ``p_lw · ln(p_lw / p_w)`` term computes in the fixed op order
@@ -1308,20 +1328,30 @@ def lang_unigram_kl(
     p_lw = F.col("c_lw").cast("double") / F.col("t_l")
     p_w = F.col("c_w").cast("double") / F.col("t")
     term = F.round(p_lw * F.log(p_lw / p_w), 8).cast("decimal(18,8)")
-    return (
+    per_lang = (
         lw.join(word_tot, "w")
         .join(F.broadcast(lang_tot), "lang")
         .crossJoin(F.broadcast(corpus_tot))
-        .select("lang", "t_l", term.alias("term"))
-        .groupBy("lang", "t_l")
+        .select("lang", term.alias("term"))
+        .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_types"),
             F.round(F.sum("term").cast("double"), 8).alias("kl_nats"),
         )
+    )
+    # left join from the L-row totals frame so a zero-token language
+    # (nothing for the [a-z0-9]+ tokenizer — see the docstring's
+    # restriction note) surfaces as an n_tokens=0 / kl_nats=NULL row
+    # instead of vanishing through an inner join (advisor r10); both
+    # sides are L-row aggregates, the join is broadcast-trivial.
+    return (
+        lang_tot.join(per_lang, "lang", "left")
         .select(
             "lang",
             F.col("t_l").cast("long").alias("n_tokens"),
-            F.col("n_types").cast("long").alias("n_types"),
+            F.coalesce(F.col("n_types"), F.lit(0))
+            .cast("long")
+            .alias("n_types"),
             "kl_nats",
         )
         .orderBy("lang")
@@ -1406,7 +1436,11 @@ def collocations(
     # SCALING.md.) Contract: two DISTINCT words colliding on
     # xxhash64 would merge pair rows (~V²/2⁶⁵ expected collisions —
     # negligible at any real vocabulary, the 128-bit-gram stance of
-    # the dedup family).
+    # the dedup family). A collision would additionally desync this
+    # plan from the string-keyed DuckDB oracle (merged pair counts +
+    # a fanned-out unigram join), so the failure mode is a DETECTED
+    # driver hash mismatch, never a silently-wrong accepted result
+    # (advisor r10).
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 1),
         lambda i: F.struct(

@@ -425,8 +425,13 @@ def delta_rate(df: DataFrame, interval_ns: int) -> DataFrame:
     exclusive-bound quirk, which is preserved separately in
     sample_by): the first and last point in the bucket, their value
     difference, and the per-second rate over the observed in-bucket
-    time span. Buckets with a single point (or all points on one
-    timestamp) have no measurable span → rate is NULL, delta 0.
+    time span. Single-point buckets have delta 0 and rate NULL. A
+    bucket whose points all share one timestamp also has no
+    measurable span → rate is NULL, but its delta is NOT forced to 0:
+    first/last are the lexicographic struct(timestamp, value) min and
+    max, so same-ns points resolve by value and delta = value-max
+    minus value-min (the advisor-r10-verified contract —
+    test_delta_rate_duplicate_ns_tiebreak_by_value pins it).
 
     Determinism contract: first/last are min/max over
     ``struct(timestamp, value)`` — lexicographic, so duplicate-ns

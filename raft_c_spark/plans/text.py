@@ -686,21 +686,31 @@ LANG_KL_ORACLE_SQL = """
     lang_tot AS (
         SELECT lang, SUM(len(toks)) AS t_l FROM tagged GROUP BY lang
     ),
-    corpus_tot AS (SELECT SUM(len(toks)) AS t FROM tagged)
-    SELECT lw.lang,
+    corpus_tot AS (SELECT SUM(len(toks)) AS t FROM tagged),
+    per_lang AS (
+        SELECT lw.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               round(CAST(SUM(CAST(round(
+                   (CAST(c_lw AS DOUBLE) / t_l)
+                   * ln((CAST(c_lw AS DOUBLE) / t_l)
+                        / (CAST(c_w AS DOUBLE) / t)), 8)
+                 AS DECIMAL(18,8))) AS DOUBLE), 8) AS kl_nats
+        FROM lw
+        JOIN word_tot USING (w)
+        JOIN lang_tot ON lang_tot.lang = lw.lang
+        CROSS JOIN corpus_tot
+        GROUP BY lw.lang, t_l
+    )
+    -- left join from the totals so a zero-token language (nothing
+    -- for the [a-z0-9]+ tokenizer) emits n_tokens=0 / kl_nats=NULL
+    -- instead of vanishing (advisor r10), mirroring the operator
+    SELECT lang_tot.lang,
            CAST(t_l AS BIGINT) AS n_tokens,
-           CAST(COUNT(*) AS BIGINT) AS n_types,
-           round(CAST(SUM(CAST(round(
-               (CAST(c_lw AS DOUBLE) / t_l)
-               * ln((CAST(c_lw AS DOUBLE) / t_l)
-                    / (CAST(c_w AS DOUBLE) / t)), 8)
-             AS DECIMAL(18,8))) AS DOUBLE), 8) AS kl_nats
-    FROM lw
-    JOIN word_tot USING (w)
-    JOIN lang_tot ON lang_tot.lang = lw.lang
-    CROSS JOIN corpus_tot
-    GROUP BY lw.lang, t_l
-    ORDER BY lw.lang
+           CAST(COALESCE(n_types, 0) AS BIGINT) AS n_types,
+           kl_nats
+    FROM lang_tot
+    LEFT JOIN per_lang ON per_lang.lang = lang_tot.lang
+    ORDER BY lang_tot.lang
 """
 
 

@@ -360,6 +360,23 @@ def test_lang_kl_nonnegative(spark):
         assert r["kl_nats"] >= -1e-8  # Gibbs' inequality
 
 
+def test_lang_kl_zero_token_language_surfaces(spark):
+    # advisor r10: a language with nothing for the [a-z0-9]+
+    # tokenizer (actual zh text, symbols) must NOT vanish through an
+    # inner join — it emits n_tokens=0 / n_types=0 / kl_nats=NULL.
+    df = spark.createDataFrame(
+        [(1, "en", "a b a"), (2, "zh", "你好 世界"), (3, "zh", "——！")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["lang"]: r for r in text.lang_unigram_kl(df).collect()}
+    assert set(rows) == {"en", "zh"}
+    assert rows["zh"]["n_tokens"] == 0
+    assert rows["zh"]["n_types"] == 0
+    assert rows["zh"]["kl_nats"] is None
+    assert rows["en"]["n_tokens"] == 3
+    assert rows["en"]["kl_nats"] == pytest.approx(0.0, abs=1e-8)
+
+
 def test_lang_kl_oracle_parity(spark, duck, sf_dir):
     """The staged r11 oracle SQL against the real operator — the same
     normalized-row multiset compare the driver applies."""
