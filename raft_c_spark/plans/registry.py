@@ -436,6 +436,48 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("dedup_cut_spans", "text_bm25_topk"),
     ("stream_sliding_rate", "text_quality_model"),
     ("lang_retention", "ev_transition_matrix"),
+    # -- round-11 registration: ds_lang_kl (staged through r10,
+    # never driver-verified → in-window) lands at slot 42 by module
+    # position; its insertion pushes ds_snapshot_diff (r10-green,
+    # fresh until r14; the two-phase prefix-rank shape stays
+    # pytest-oracled and sampling keeps pack_sequences/source_topk/
+    # token_budget_mix + the incoming bloom_decontaminate/pipeline_e2e
+    # in-window) out of the tail — no swap needed, recorded here so
+    # the roster diff is auditable.
+    # -- round-11 r13-debt first half (judge r10 ask #1): the r13
+    # staleness wave is 36 r8-vintage queries (rotation_debt.py);
+    # this batch rotates 19 back into the window — r12 takes the
+    # remaining 17 (dedup ngram_jaccard/ngram_word/simhash/
+    # minhash_lsh, ds split_leakage_safe/temperature_mixture,
+    # ev cohort_retention/rolling_zscore, lang sample_by/sample_fill,
+    # mm audio_dedup/video_dedup, sim quantize_int8/topk_ivf_full/
+    # topk_lsh, stream_enrich_join, text_clean_corpus). Every demoted
+    # slot below is r10-green in CORRECTNESS_r10 (all 50 in-window
+    # rows were — fresh until r14 by construction) and every family
+    # keeps in-window representatives (per-family roster in the
+    # ROUND11.md notes; verified by tests/test_window_policy.py).
+    # The two watch-item queries (sim_knn_join_lsh, judge #2;
+    # stream_click_attribution, judge #3) rotate in deliberately so
+    # the round's fixed-thread A/B lands alongside fresh driver rows.
+    ("ev_exact_percentiles", "ev_anomaly_mad"),
+    ("ev_rollup_profile", "ev_approx_profile"),
+    ("ev_trailing_window", "dedup_best_survivor"),
+    ("ev_set_ops", "dedup_components"),
+    ("ev_salted_join", "dedup_containment"),
+    ("ev_json_props", "dedup_embedding_lsh"),
+    ("ev_sessionize", "dedup_minhash_incr"),
+    ("text_redact_pii", "text_analyze"),
+    ("text_repetition", "ds_bloom_decontaminate"),
+    ("text_chunks", "ds_pipeline_e2e"),
+    ("text_winnow", "sim_knn_join_lsh"),
+    ("text_heavy_hitters", "sim_topk_exact"),
+    ("text_tfidf_terms", "sim_topk_ivf"),
+    ("tpch_pricing_summary", "tpch_waiting_supplier"),
+    ("ts_sample_1d", "ts_sample_fill"),
+    ("ts_sample_sliding", "lang_multi_agg"),
+    ("mm_real_decode", "mm_image_dedup"),
+    ("ds_shard_manifest", "stream_tumbling_avg"),
+    ("ds_mixture_sample", "stream_click_attribution"),
 ]
 
 

@@ -644,16 +644,10 @@ ORACLES["text_collocations"] = f"""
 """
 
 
-# --- STAGED FOR ROUND 11 (implemented + oracle-tested, NOT registered) ----
-# The r10 window has no remaining safely-demotable slot (every
-# in-window query is either a never-green newcomer or a stale
-# re-promotion awaiting its r10 green), and the window policy fails
-# the build on a registered never-green query outside the window —
-# so this query ships fully built and pytest-oracle-verified
-# (tests/test_round10c_ops.py::test_lang_kl_oracle_parity) and r11
-# registers it with: QUERIES["ds_lang_kl"] = q_ds_lang_kl;
-# ORACLES["ds_lang_kl"] = LANG_KL_ORACLE_SQL; plus one window swap
-# demoting an r10-green slot.
+# --- registered in round 11 (staged through r10: implemented +
+# oracle-tested that round, but the r10 window had no safely-demotable
+# slot left — tests/test_round10c_ops.py::test_lang_kl_oracle_parity
+# carried the oracle check until the driver could) -------------------
 
 
 def q_ds_lang_kl(spark, sf_dir):
@@ -662,6 +656,9 @@ def q_ds_lang_kl(spark, sf_dir):
     contract and the single-consumer-per-aggregate scale shape."""
     docs = load_table(spark, sf_dir, "documents")
     return text.lang_unigram_kl(docs)
+
+
+QUERIES["ds_lang_kl"] = q_ds_lang_kl
 
 
 # op order mirrors the operator exactly: p_lw = c_lw/t_l and
@@ -712,6 +709,8 @@ LANG_KL_ORACLE_SQL = """
     LEFT JOIN per_lang ON per_lang.lang = lang_tot.lang
     ORDER BY lang_tot.lang
 """
+
+ORACLES["ds_lang_kl"] = LANG_KL_ORACLE_SQL
 
 
 def q_ds_ccnet_buckets(spark, sf_dir):
