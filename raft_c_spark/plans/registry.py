@@ -459,6 +459,14 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # The two watch-item queries (sim_knn_join_lsh, judge #2;
     # stream_click_attribution, judge #3) rotate in deliberately so
     # the round's fixed-thread A/B lands alongside fresh driver rows.
+    # -- round-11 new operator: ds_ccnet_buckets_approx (the
+    # rank-certified percentile_approx path, judge r10 ask #7; never
+    # driver-verified → in-window) lands at slot 44 by module
+    # position; its insertion pushes stream_dedup (r10-green, fresh
+    # until r14; streaming keeps tumbling_avg + click_attribution
+    # in-window and the exactly-once dedup machinery stays pinned by
+    # tests/test_streaming.py) out of the tail — recorded here so the
+    # roster diff is auditable.
     ("ev_exact_percentiles", "ev_anomaly_mad"),
     ("ev_rollup_profile", "ev_approx_profile"),
     ("ev_trailing_window", "dedup_best_survivor"),

@@ -377,6 +377,70 @@ def test_lang_kl_zero_token_language_surfaces(spark):
     assert rows["en"]["kl_nats"] == pytest.approx(0.0, abs=1e-8)
 
 
+# --- ccnet percentile_approx certification (r11, judge r10 ask #7) --------
+
+
+def test_ccnet_approx_certify_bands_hold(spark):
+    # skewed + tied + tiny-group data: the GK sketch must stay inside
+    # its own rank contract, so every certification boolean is TRUE
+    rows = (
+        [(i, "en", float(i)) for i in range(200)]
+        + [(1000 + i, "fr", float(i % 7)) for i in range(97)]  # ties
+        + [(2000, "zh", 3.25), (2001, "zh", 3.25)]  # 2-doc group
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, xent double"
+    )
+    # replicate the operator's two certification passes on a frame
+    # with a KNOWN score column (the public function derives xent
+    # from text, which can't be steered to these distributions); the
+    # full operator is certified over real documents in the next test
+    from pyspark.sql import functions as F
+
+    cuts = df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile_approx(xent, array(0.25d, 0.75d), 1000)").alias(
+            "ap"
+        ),
+    )
+    j = df.join(F.broadcast(cuts), "lang")
+    got = (
+        j.groupBy("lang", "n")
+        .agg(
+            F.sum((F.col("xent") <= F.col("ap")[0]).cast("long")).alias("le"),
+            F.sum((F.col("xent") < F.col("ap")[0]).cast("long")).alias("lt"),
+        )
+        .collect()
+    )
+    for r in got:
+        eps = 1.0 / 1000 + 2.0 / r["n"]
+        assert r["le"] >= (0.25 - eps) * r["n"], r
+        assert r["lt"] + 1 <= (0.25 + eps) * r["n"] + 1e-9, r
+
+
+def test_ccnet_approx_certify_all_true(spark, sf_dir):
+    from raft_c_spark.plans.text import q_ds_ccnet_buckets_approx
+
+    rows = q_ds_ccnet_buckets_approx(spark, sf_dir).collect()
+    assert rows, "must emit one row per language"
+    for r in rows:
+        assert r["cut_lo_in_band"] is True, tuple(r)
+        assert r["cut_hi_in_band"] is True, tuple(r)
+        assert r["n_docs"] > 0
+
+
+def test_ccnet_approx_oracle_parity(spark, duck, sf_dir):
+    from raft_c_spark.plans.text import ORACLES, q_ds_ccnet_buckets_approx
+    from tests.harness import assert_matches_oracle
+
+    assert_matches_oracle(
+        q_ds_ccnet_buckets_approx(spark, sf_dir),
+        duck,
+        ORACLES["ds_ccnet_buckets_approx"],
+        "ds_ccnet_buckets_approx",
+    )
+
+
 def test_lang_kl_oracle_parity(spark, duck, sf_dir):
     """The staged r11 oracle SQL against the real operator — the same
     normalized-row multiset compare the driver applies."""
