@@ -1573,3 +1573,154 @@ def collocations(
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group type-token audit with the Heaps'-law exponent
+    estimate ``beta = ln(V) / ln(N)`` (Heaps 1978; V distinct word
+    types over N tokens — sub-linear vocabulary growth is the
+    signature of natural language, and a source whose beta sits far
+    off the corpus band is template spam, boilerplate, or
+    machine-generated filler — the per-source triage data-curation
+    pipelines run before mixing).
+
+    Determinism contract: N and V are exact ints; ttr = V/N is ONE
+    correctly-rounded IEEE division, rounded to 8; beta quantizes
+    EACH ln to 8 decimals before the division (the engine's
+    quantized-log rule), then rounds the quotient to 8. Groups with
+    zero tokens emit NULL ttr/beta (nothing to divide); a group of
+    exactly one token emits NULL beta (ln N = 0).
+
+    Scale shape: ONE map-side-combined (group, word) count aggregate
+    collapses the token stream to the per-group vocabulary (bounded
+    by Zipf saturation, the collocations soak evidence), a second
+    ~vocab-sized aggregate reduces it to one row per group, and the
+    no-explode token totals come from per-doc array lengths — single
+    consumer per aggregate (the collocations lineage rule). Output is
+    G rows; no window, no join wider than the G-row totals broadcast.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    base = df.select(F.col(group_col).alias("grp"), toks.alias("toks"))
+    types = (
+        base.select("grp", F.explode("toks").alias("w"))
+        .groupBy("grp", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+    )
+    totals = base.groupBy("grp").agg(
+        F.sum(F.size("toks")).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    ln_v = F.round(F.log(F.col("n_types").cast("double")), 8)
+    ln_n = F.round(F.log(F.col("n_tokens").cast("double")), 8)
+    return (
+        totals.join(types, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.col("n_types").cast("double") / F.col("n_tokens"), 8
+                ),
+            ).alias("ttr"),
+            F.when(F.col("n_tokens") > 1, F.round(ln_v / ln_n, 8)).alias(
+                "heaps_beta"
+            ),
+        )
+        .orderBy(group_col)
+    )
+
+
+def novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of the document's DISTINCT
+    word n-grams whose corpus-wide FIRST occurrence (minimum doc id)
+    is this document — the marginal-contribution score curation
+    pipelines rank by when trimming a corpus (a doc whose grams all
+    appeared earlier adds nothing; the dedup-impact complement at
+    gram rather than document granularity).
+
+    Determinism contract: counts are exact ints over 128-bit gram
+    hashes (the family's 2^-128 collision stance — a cross-gram
+    collision would desync from the string-keyed oracle and surface
+    as a detected driver mismatch); novelty = ONE correctly-rounded
+    IEEE division, rounded to 8 decimals. Docs with fewer than ``n``
+    tokens have no grams and emit 0/0 with NULL novelty.
+
+    Scale shape: per-doc distinct grams are computed MAP-SIDE
+    (``array_distinct`` inside the projection — the overlap
+    decontamination shape), so the (doc, gram) stream partial-
+    aggregates nothing it doesn't need; the first-occurrence table is
+    ONE map-side-combined min(doc) aggregate on the 16 B hash pair
+    (a hot boilerplate gram collapses per map task — never a window);
+    the join back is a natural-key shuffle equi-join of two
+    hash-keyed frames (both corpus-vocabulary-sized; heavy strings
+    died at the map side) followed by a per-doc count aggregate that
+    partial-combines. No driver materialization, no broadcast cap to
+    fall off.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
+    g = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+    )
+    hs = F.array_distinct(
+        F.transform(
+            g,
+            lambda s: F.struct(
+                F.xxhash64(s).alias("h1"),
+                F.xxhash64(s, F.lit(1)).alias("h2"),
+            ),
+        )
+    )
+    grams = (
+        base.filter(F.size("toks") >= n)
+        .select("doc", F.explode(hs).alias("h"))
+        .select("doc", F.col("h.h1").alias("h1"), F.col("h.h2").alias("h2"))
+    )
+    first = grams.groupBy("h1", "h2").agg(F.min("doc").alias("first_doc"))
+    scored = (
+        grams.join(first, ["h1", "h2"])
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc")).cast("long")
+            ).alias("n_first"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(scored, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.col("n_first").cast("double") / F.col("n_grams"), 8
+                ),
+            ).alias("novelty"),
+        )
+        .orderBy(id_col)
+    )

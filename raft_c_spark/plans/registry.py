@@ -486,6 +486,19 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("mm_real_decode", "mm_image_dedup"),
     ("ds_shard_manifest", "stream_tumbling_avg"),
     ("ds_mixture_sample", "stream_click_attribution"),
+    # -- round-11 second new-operator batch: text_vocab_growth
+    # (Heaps'-law type-token audit) and text_novelty (per-doc
+    # first-seen-gram fraction) land in-window by module position
+    # (slots 47/48); their insertions pushed ds_token_budget_mix
+    # (r10-green, fresh until r14 — ds keeps eight in-window slots
+    # incl. the pack/mix machinery's pack_bpe + pack_sequences) and
+    # stream_click_attribution out of the tail. The latter is this
+    # round's re-promoted watch item and MUST stay in-window, so it
+    # swaps back in against ev_salted_agg (r10-green; ev keeps
+    # anomaly_mad/approx_profile/transition_matrix/funnel/asof
+    # in-window and the salted==direct equality suite pins the skew
+    # machinery every pytest run).
+    ("ev_salted_agg", "stream_click_attribution"),
 ]
 
 

@@ -893,3 +893,99 @@ ORACLES["text_char_entropy"] = """
     FROM counts GROUP BY doc, n
     ORDER BY doc
 """
+
+
+# --- round-11 operators: vocabulary growth + per-doc novelty ---------------
+
+NOVELTY_N = 3
+
+
+def q_text_vocab_growth(spark, sf_dir):
+    """Per-source type-token audit with the Heaps'-law exponent — see
+    text.vocab_growth for the quantized-log determinism contract and
+    the two-aggregate vocab-bounded scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_growth(docs)
+
+
+QUERIES["text_vocab_growth"] = q_text_vocab_growth
+
+# op order mirrors the operator: ttr is one IEEE division rounded to
+# 8; heaps_beta quantizes EACH ln to 8 decimals before dividing
+ORACLES["text_vocab_growth"] = """
+    WITH base AS (
+        SELECT source AS grp,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    tot AS (
+        SELECT grp, SUM(len(toks)) AS n_tokens, COUNT(*) AS n_docs
+        FROM base GROUP BY grp
+    ),
+    ty AS (
+        SELECT grp, COUNT(DISTINCT w) AS n_types
+        FROM (SELECT grp, unnest(toks) AS w FROM base) GROUP BY grp
+    )
+    SELECT tot.grp AS source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(n_types, 0) AS BIGINT) AS n_types,
+           CASE WHEN n_tokens > 0
+                THEN round(CAST(n_types AS DOUBLE) / n_tokens, 8)
+           END AS ttr,
+           CASE WHEN n_tokens > 1
+                THEN round(round(ln(CAST(n_types AS DOUBLE)), 8)
+                           / round(ln(CAST(n_tokens AS DOUBLE)), 8), 8)
+           END AS heaps_beta
+    FROM tot LEFT JOIN ty ON ty.grp = tot.grp
+    ORDER BY source
+"""
+
+
+def q_text_novelty(spark, sf_dir):
+    """Per-document first-seen-gram fraction (marginal contribution)
+    — see text.novelty for the map-side-distinct + min-doc aggregate
+    scale shape and the 128-bit gram-hash collision stance."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.novelty(docs, n=NOVELTY_N)
+
+
+QUERIES["text_novelty"] = q_text_novelty
+
+# string grams in the oracle vs 128-bit hashes in the engine —
+# identical counts up to hash collisions (detected as a driver
+# mismatch, the dedup-family stance)
+ORACLES["text_novelty"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, unnest(list_transform(
+                list_filter(
+                    generate_series(1, greatest(len(toks) - {NOVELTY_N - 1}, 1)),
+                    i -> i + {NOVELTY_N - 1} <= len(toks)),
+                i -> array_to_string(
+                    list_slice(toks, i, i + {NOVELTY_N - 1}), ' ')
+            )) AS g
+            FROM base WHERE len(toks) >= {NOVELTY_N}
+        )
+    ),
+    first AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+    sc AS (
+        SELECT grams.doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN first_doc = grams.doc_id THEN 1 ELSE 0 END)
+                   AS n_first
+        FROM grams JOIN first USING (g) GROUP BY grams.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_first, 0) AS BIGINT) AS n_first,
+           CASE WHEN n_grams > 0
+                THEN round(CAST(n_first AS DOUBLE) / n_grams, 8)
+           END AS novelty
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""

@@ -1,0 +1,155 @@
+"""Round-11 operators: vocab_growth (Heaps'-law type-token audit) and
+novelty (per-doc first-seen-gram fraction)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from raft_c_spark.operators import text
+
+
+def test_vocab_growth_brute(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x y x z"),
+            (2, "a", "x w"),
+            (3, "b", "q"),
+            (4, "c", "——"),  # zero tokens under [a-z0-9]+
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["source"]: r for r in text.vocab_growth(df).collect()}
+    assert set(rows) == {"a", "b", "c"}
+    a = rows["a"]
+    assert (a["n_docs"], a["n_tokens"], a["n_types"]) == (2, 6, 4)
+    assert a["ttr"] == pytest.approx(round(4 / 6, 8))
+    assert a["heaps_beta"] == pytest.approx(
+        round(round(math.log(4), 8) / round(math.log(6), 8), 8)
+    )
+    b = rows["b"]  # single token: ttr defined, beta NULL (ln N = 0)
+    assert (b["n_tokens"], b["n_types"], b["ttr"]) == (1, 1, 1.0)
+    assert b["heaps_beta"] is None
+    c = rows["c"]  # zero tokens: NULL ttr and beta, counts zero
+    assert (c["n_tokens"], c["n_types"]) == (0, 0)
+    assert c["ttr"] is None and c["heaps_beta"] is None
+
+
+def test_vocab_growth_sublinear_on_zipf(spark):
+    # natural-ish (Zipf) text has beta < 1; a same-word spam source
+    # sits near 0 — the triage signal the operator exists for
+    rows = [(i, "nat", " ".join(f"w{j % (1 + j // 3)}" for j in range(50)))
+            for i in range(20)]
+    rows += [(100 + i, "spam", "buy " * 50) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r["heaps_beta"] for r in text.vocab_growth(df).collect()}
+    assert got["spam"] < 0.2
+    assert got["spam"] < got["nat"] < 1.0
+
+
+def test_novelty_brute(spark):
+    # doc 1 introduces all its grams; doc 2 repeats doc 1 exactly
+    # (novelty 0); doc 3 shares a prefix gram but adds new ones;
+    # doc 4 is too short for a trigram
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # grams: abc, bcd
+            (2, "a b c d"),      # both first seen in doc 1 -> 0.0
+            (3, "a b c e f"),    # abc old; bce, cef new -> 2/3
+            (4, "a b"),          # no trigram
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.novelty(df, n=3).collect()}
+    assert rows[1]["n_grams"] == 2 and rows[1]["novelty"] == 1.0
+    assert rows[2]["n_grams"] == 2 and rows[2]["novelty"] == 0.0
+    assert rows[3]["n_grams"] == 3
+    assert rows[3]["n_first"] == 2
+    assert rows[3]["novelty"] == pytest.approx(round(2 / 3, 8))
+    assert rows[4]["n_grams"] == 0 and rows[4]["novelty"] is None
+
+
+def test_novelty_within_doc_duplicates_count_once(spark):
+    # repeated grams inside one doc are DISTINCT-ed map-side: the doc
+    # introduces the gram once, and it still counts as first-seen
+    df = spark.createDataFrame(
+        [(7, "a b a b a b")],  # trigrams: aba, bab (each twice)
+        "doc_id long, text string",
+    )
+    r = text.novelty(df, n=3).collect()[0]
+    assert r["n_grams"] == 2 and r["n_first"] == 2 and r["novelty"] == 1.0
+
+
+def test_novelty_total_first_equals_distinct_grams(spark, sf_dir):
+    # conservation: every distinct corpus gram is first-seen exactly
+    # once, so sum(n_first) == |distinct grams|
+    from raft_c_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    out = text.novelty(docs, n=3)
+    total_first = out.agg(F.sum("n_first")).collect()[0][0]
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    g = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 2),
+        lambda i: F.concat_ws(" ", F.slice("t", i, 3)),
+    )
+    distinct_grams = (
+        docs.select(toks.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(F.explode(g).alias("g"))
+        .distinct()
+        .count()
+    )
+    assert total_first == distinct_grams
+
+
+def test_vocab_growth_oracle_parity(spark, duck, sf_dir):
+    from raft_c_spark.plans.text import ORACLES, q_text_vocab_growth
+    from tests.harness import assert_matches_oracle
+
+    assert_matches_oracle(
+        q_text_vocab_growth(spark, sf_dir),
+        duck,
+        ORACLES["text_vocab_growth"],
+        "text_vocab_growth",
+    )
+
+
+def test_novelty_oracle_parity(spark, duck, sf_dir):
+    from raft_c_spark.plans.text import ORACLES, q_text_novelty
+    from tests.harness import assert_matches_oracle
+
+    assert_matches_oracle(
+        q_text_novelty(spark, sf_dir),
+        duck,
+        ORACLES["text_novelty"],
+        "text_novelty",
+    )
+
+
+def test_novelty_plan_quality(spark, sf_dir):
+    """Map-side distinct + min-doc aggregate + natural-key equi-join:
+    no window over gram keys, no cartesian, no Python in the plan."""
+    from raft_c_spark.plans.text import q_text_novelty
+
+    plan = q_text_novelty(
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_vocab_growth_plan_quality(spark, sf_dir):
+    from raft_c_spark.plans.text import q_text_vocab_growth
+
+    plan = q_text_vocab_growth(
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Python" not in plan, plan
