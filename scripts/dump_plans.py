@@ -267,6 +267,24 @@ FLAGSHIPS = [
         "struct min/max aggregate — shuffle volume is buckets, not "
         "points; no window function, no join",
     ),
+    (
+        "ds_lang_kl",
+        "Per-language unigram KL divergence: one (lang, word) + one "
+        "word aggregate (each single-consumer), no-explode length "
+        "totals, vocab-shaped equi-join, L-row broadcast totals",
+    ),
+    (
+        "ds_ccnet_buckets_approx",
+        "GK-sketch percentile cuts + rank-contract certification: "
+        "bounded sketch memory per language, no sort of the score "
+        "distribution, L-row cut table broadcast for the counts",
+    ),
+    (
+        "text_novelty",
+        "Per-doc first-seen-gram fraction: map-side array_distinct, "
+        "one min(doc) aggregate on 16 B gram hashes, natural-key "
+        "join-back, per-doc combine — no window, no Python",
+    ),
 ]
 
 

@@ -385,14 +385,8 @@ def _q_bm25_soak(spark, sf_dir):
     return bm25_topk(docs, terms, k=20)
 
 
-def _q_lang_kl_staged(spark, sf_dir):
-    """The r11-staged per-language KL divergence (implemented +
-    oracle-tested in r10, registered next round — plans/text.py has
-    the staging note)."""
-    from raft_c_spark.operators.text import lang_unigram_kl
-    from raft_c_spark.sources.testdata import load_table
-
-    return lang_unigram_kl(load_table(spark, sf_dir, "documents"))
+# (the r10 ds_lang_kl_staged soak callable is gone: round 11
+# registered the query, so the registry resolves it by name)
 
 
 #: (label, registry-name-or-callable, scaling expectation note)
@@ -537,10 +531,22 @@ SOAK_QUERIES = [
     ("ts_delta_rate", None,
      "linear scan + ONE map-side-combined (series, bucket) struct "
      "min/max aggregate; shuffle volume is buckets, not points"),
-    ("ds_lang_kl_staged", _q_lang_kl_staged,
+    ("ds_lang_kl", None,
      "linear scan x2 (the (lang,word) and word aggregates each have "
      "ONE consumer) + two cheap no-explode length aggregates; the "
      "join is vocab-shaped, output L rows"),
+    # -- round-11 batch --
+    ("ds_ccnet_buckets_approx", None,
+     "the shared lm-score plan + one GK-sketch aggregate (bounded "
+     "memory per lang) + the L-row broadcast certification counts"),
+    ("text_vocab_growth", None,
+     "linear scan + one (group, word) aggregate collapsing to the "
+     "per-group vocabulary (Zipf-bounded) + no-explode totals; "
+     "output G rows"),
+    ("text_novelty", None,
+     "linear scan; per-doc distinct grams die map-side; ONE min-doc "
+     "aggregate on 16 B hashes + a natural-key join-back + per-doc "
+     "combine — corpus-vocabulary-sized frames, no broadcast cap"),
 ]
 
 
