@@ -1667,11 +1667,13 @@ def novelty(
     aggregates nothing it doesn't need; the first-occurrence table is
     ONE map-side-combined min(doc) aggregate on the 16 B hash pair
     (a hot boilerplate gram collapses per map task — never a window);
-    the join back is a natural-key shuffle equi-join of two
+    the join back is a natural-key shuffle-hash equi-join of two
     hash-keyed frames (both corpus-vocabulary-sized; heavy strings
-    died at the map side) followed by a per-doc count aggregate that
-    partial-combines. No driver materialization, no broadcast cap to
-    fall off.
+    died at the map side — the join is HINTED because Catalyst's
+    Generate-stats estimate otherwise broadcasts the unbounded vocab
+    frame, see the in-code note) followed by a per-doc count
+    aggregate that partial-combines. No driver materialization, no
+    broadcast cap to fall off.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -1697,7 +1699,22 @@ def novelty(
         .select("doc", F.explode(hs).alias("h"))
         .select("doc", F.col("h.h1").alias("h1"), F.col("h.h2").alias("h2"))
     )
-    first = grams.groupBy("h1", "h2").agg(F.min("doc").alias("first_doc"))
+    # the first-occurrence table is corpus-VOCABULARY-sized — an
+    # unbounded frame that must never broadcast. Left to itself,
+    # Catalyst's size estimate under the gram Generate is garbage and
+    # it DID pick a broadcast build of the 2.4M-row aggregate at the
+    # 50k soak corpus (fast on a healthy heap, and the r11 batch soak
+    # recorded one 250 s detonation of exactly that plan under
+    # accumulated-broadcast heap pressure — SCALING.md round-11);
+    # at real scale the same mis-estimate would OOM the driver. The
+    # hint pins the bounded plan: a co-partitioned shuffle-hash join
+    # on the 16 B keys, per-executor memory ~one partition of the
+    # vocab, no driver materialization at any scale.
+    first = (
+        grams.groupBy("h1", "h2")
+        .agg(F.min("doc").alias("first_doc"))
+        .hint("shuffle_hash")
+    )
     scored = (
         grams.join(first, ["h1", "h2"])
         .groupBy("doc")

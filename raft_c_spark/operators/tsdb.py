@@ -490,3 +490,104 @@ def ts_limit(df: DataFrame, n: int) -> DataFrame:
     (src/statement_parse.c:1116-1128, no QF_LIMT handling); implemented
     per SURVEY §2.7. Deterministic: callers pass an ordered frame."""
     return df.limit(n)
+
+
+def lttb_downsample(df: DataFrame, interval_ns: int) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013,
+    the standard TSDB visualization reducer) — one representative
+    point per series per tumbling ``interval_ns`` bucket, chosen to
+    preserve the series' visual shape (extension; the reference's
+    SAMPLE BY averages away extrema, src/timeseries.c:1265-1308).
+
+    Deterministic parallel variant: classic LTTB anchors each
+    bucket's triangle on the PREVIOUSLY SELECTED point — a sequential
+    chain a distributed engine should not replay. This variant
+    anchors on EXACT neighbor points instead: the previous non-empty
+    bucket's last point and the next non-empty bucket's first point
+    (lexicographic struct(ts, value) max/min — duplicate-ns safe).
+    Each interior bucket emits its max-triangle-area point; the
+    series' first and last non-empty buckets emit their first (resp.
+    last) point, preserving LTTB's keep-the-endpoints property.
+
+    Determinism contract: anchor coordinates are exact longs/values,
+    never averages (an averaged anchor needs a double sum — partition-
+    order-dependent); the doubled triangle area
+    ``|(x0−x2)·(y1−y0) − (x0−x1)·(y2−y0)|`` computes on exact long
+    ts DIFFERENCES (≤ ~2 intervals + in-bucket offsets — cast to
+    double exactly) in a fixed IEEE op order, rounds to 6 decimals,
+    and ties break (area desc, ts asc, value asc) via one
+    lexicographic struct max. Engine-identical by the same argument
+    as delta_rate.
+
+    Spark shape: ONE map-side-combined (series, bucket) aggregate
+    builds the boundary frame (first/last struct points — ~buckets
+    rows, the delta_rate exchange class); lag/lead anchors come from
+    a window over THAT bucket-sized frame (bounded: buckets per
+    series = time-range / interval, never points); the anchor table
+    broadcasts back onto the point stream and the selection is ONE
+    more map-side-combined argmax aggregate. The point stream is
+    never windowed and never shuffles beyond its bucket aggregate.
+    """
+    if interval_ns <= 0:
+        raise ValueError("interval must be positive")
+    from pyspark.sql import Window
+
+    bucket = (
+        F.col("timestamp") - F.pmod(F.col("timestamp"), F.lit(interval_ns))
+    ).alias("bucket_ts")
+    pts = df.select("series", bucket, "timestamp", "value")
+    bounds = pts.groupBy("series", "bucket_ts").agg(
+        F.min(F.struct("timestamp", "value")).alias("first_pt"),
+        F.max(F.struct("timestamp", "value")).alias("last_pt"),
+    )
+    w = Window.partitionBy("series").orderBy("bucket_ts")
+    anchors = bounds.select(
+        "series",
+        "bucket_ts",
+        "first_pt",
+        "last_pt",
+        F.lag("last_pt").over(w).alias("prev_pt"),
+        F.lead("first_pt").over(w).alias("next_pt"),
+    )
+    j = pts.join(F.broadcast(anchors), ["series", "bucket_ts"])
+    # exact long differences first, then ONE cast to double each
+    dx02 = (F.col("prev_pt.timestamp") - F.col("next_pt.timestamp")).cast(
+        "double"
+    )
+    dx01 = (F.col("prev_pt.timestamp") - F.col("timestamp")).cast("double")
+    dy01 = F.col("value") - F.col("prev_pt.value")
+    dy02 = F.col("next_pt.value") - F.col("prev_pt.value")
+    area2 = F.round(F.abs(dx02 * dy01 - dx01 * dy02), 6)
+    pick = F.when(
+        F.col("prev_pt").isNull(), F.struct("first_pt.timestamp", "first_pt.value")
+    ).when(
+        F.col("next_pt").isNull(), F.struct("last_pt.timestamp", "last_pt.value")
+    )
+    ranked = j.select(
+        "series",
+        "bucket_ts",
+        pick.alias("forced"),
+        F.struct(
+            area2.alias("a"),
+            (-F.col("timestamp")).alias("nt"),
+            (-F.col("value")).alias("nv"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("v"),
+        ).alias("cand"),
+    )
+    return (
+        ranked.groupBy("series", "bucket_ts")
+        .agg(
+            F.max("cand").alias("best"),
+            F.first("forced", ignorenulls=False).alias("forced"),
+        )
+        .select(
+            "series",
+            "bucket_ts",
+            F.coalesce(F.col("forced.timestamp"), F.col("best.ts")).alias(
+                "timestamp"
+            ),
+            F.coalesce(F.col("forced.value"), F.col("best.v")).alias("value"),
+        )
+        .orderBy("series", "bucket_ts")
+    )

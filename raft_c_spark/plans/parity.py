@@ -230,6 +230,75 @@ def _delta_rate_sql(interval_ns: int, where: str) -> str:
     """
 
 
+def q_ts_lttb(spark, sf_dir):
+    """LTTB visualization downsampling (6h buckets over the fixed
+    window) — one shape-preserving point per series per bucket; see
+    tsdb.lttb_downsample for the exact-anchor deterministic variant
+    and the bucket-sized-window scale shape."""
+    return tsdb.lttb_downsample(
+        _points(spark, sf_dir, T0, T1).filter(
+            (F.col("timestamp") >= T0) & (F.col("timestamp") <= T1)
+        ),
+        6 * HOUR_NS,
+    )
+
+
+def _lttb_sql(interval_ns: int, where: str) -> str:
+    # replays the operator exactly: exact-long anchor differences cast
+    # to double, the fixed IEEE op-order doubled-triangle-area, the
+    # 6-decimal round, the (area desc, ts asc, value asc) tie-break,
+    # and the forced first/last points on the series' boundary buckets
+    return f"""
+        WITH p AS (
+            SELECT series,
+                   timestamp - (((timestamp % {interval_ns})
+                                 + {interval_ns}) % {interval_ns})
+                       AS bucket_ts,
+                   timestamp, value
+            FROM ({POINTS_SQL}) {where}
+        ),
+        b AS (
+            SELECT series, bucket_ts,
+                   min(struct_pack(t := timestamp, v := value)) AS first_pt,
+                   max(struct_pack(t := timestamp, v := value)) AS last_pt
+            FROM p GROUP BY series, bucket_ts
+        ),
+        a AS (
+            SELECT series, bucket_ts, first_pt, last_pt,
+                   lag(last_pt) OVER (PARTITION BY series
+                                      ORDER BY bucket_ts) AS prev_pt,
+                   lead(first_pt) OVER (PARTITION BY series
+                                        ORDER BY bucket_ts) AS next_pt
+            FROM b
+        ),
+        c AS (
+            SELECT p.series, p.bucket_ts, p.timestamp, p.value,
+                   a.first_pt, a.last_pt, a.prev_pt, a.next_pt,
+                   round(abs(
+                       CAST(a.prev_pt.t - a.next_pt.t AS DOUBLE)
+                           * (p.value - a.prev_pt.v)
+                       - CAST(a.prev_pt.t - p.timestamp AS DOUBLE)
+                           * (a.next_pt.v - a.prev_pt.v)), 6) AS area2
+            FROM p JOIN a USING (series, bucket_ts)
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY series, bucket_ts
+                ORDER BY area2 DESC, timestamp ASC, value ASC) AS rn
+            FROM c
+        )
+        SELECT series, bucket_ts,
+               CASE WHEN prev_pt IS NULL THEN first_pt.t
+                    WHEN next_pt IS NULL THEN last_pt.t
+                    ELSE timestamp END AS timestamp,
+               CASE WHEN prev_pt IS NULL THEN first_pt.v
+                    WHEN next_pt IS NULL THEN last_pt.v
+                    ELSE value END AS value
+        FROM r WHERE rn = 1
+        ORDER BY series, bucket_ts
+    """
+
+
 def _record_sql(order: str, where: str = "") -> str:
     return f"""
         SELECT series, timestamp, value FROM (
@@ -256,6 +325,7 @@ QUERIES = {
     "ts_sample_sliding": q_sample_sliding,
     "ts_latest_k": q_latest_k,
     "ts_delta_rate": q_delta_rate,
+    "ts_lttb": q_ts_lttb,
 }
 
 ORACLES = {
@@ -286,4 +356,5 @@ ORACLES = {
         ORDER BY timestamp DESC, value DESC, series ASC LIMIT 100
     """,
     "ts_delta_rate": _delta_rate_sql(HOUR_NS, _RANGE),
+    "ts_lttb": _lttb_sql(6 * HOUR_NS, _RANGE),
 }

@@ -499,6 +499,14 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # in-window and the salted==direct equality suite pins the skew
     # machinery every pytest run).
     ("ev_salted_agg", "stream_click_attribution"),
+    # -- round-11 third new operator: ts_lttb (LTTB visualization
+    # downsampling, parity-module insertion → in-window at slot 13 by
+    # module position); the tail displacement lands on
+    # sim_knn_recall_tuned (r10-green, fresh until r14 — sim keeps
+    # knn_join/knn_join_lsh/topk_exact/topk_ivf in-window and the
+    # recall-certification machinery stays pytest-oracled by
+    # tests/test_round10b + the sim_knn_recall pins). Recorded here
+    # so the roster diff is auditable.
 ]
 
 

@@ -133,7 +133,11 @@ def test_novelty_oracle_parity(spark, duck, sf_dir):
 
 def test_novelty_plan_quality(spark, sf_dir):
     """Map-side distinct + min-doc aggregate + natural-key equi-join:
-    no window over gram keys, no cartesian, no Python in the plan."""
+    no window over gram keys, no cartesian, no Python — and the
+    first-occurrence table (corpus-vocabulary-sized, unbounded at
+    scale) joins via the HINTED shuffle-hash join, never a broadcast
+    build off Catalyst's garbage Generate-stats estimate (the r11
+    soak recorded that plan detonating under heap pressure)."""
     from raft_c_spark.plans.text import q_text_novelty
 
     plan = q_text_novelty(
@@ -142,6 +146,7 @@ def test_novelty_plan_quality(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
     assert "Python" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
 
 
 def test_vocab_growth_plan_quality(spark, sf_dir):
@@ -153,3 +158,88 @@ def test_vocab_growth_plan_quality(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
     assert "Python" not in plan, plan
+
+
+# --- ts_lttb (LTTB downsampling, round 11) ---------------------------------
+
+
+def _lttb(spark, rows, interval):
+    from raft_c_spark.operators import tsdb
+
+    df = spark.createDataFrame(
+        rows, "series string, timestamp long, value double"
+    )
+    return {
+        (r["series"], r["bucket_ts"]): (r["timestamp"], r["value"])
+        for r in tsdb.lttb_downsample(df, interval).collect()
+    }
+
+
+def test_lttb_keeps_endpoints_and_max_area(spark):
+    # series s: buckets [0,10), [10,20), [20,30); the middle bucket
+    # holds a spike at ts=15 that plain averaging would erase
+    rows = [
+        ("s", 1, 1.0), ("s", 5, 1.0),          # first bucket
+        ("s", 11, 1.0), ("s", 15, 9.0), ("s", 18, 1.0),  # spike
+        ("s", 22, 1.0), ("s", 29, 2.0),        # last bucket
+    ]
+    got = _lttb(spark, rows, 10)
+    assert got[("s", 0)] == (1, 1.0)     # first bucket -> first point
+    assert got[("s", 20)] == (29, 2.0)   # last bucket -> last point
+    assert got[("s", 10)] == (15, 9.0)   # interior -> the spike
+
+
+def test_lttb_flat_series_tiebreak_earliest(spark):
+    # all-equal values: every interior area is 0 -> earliest ts wins
+    rows = [("s", t, 5.0) for t in (1, 3, 11, 14, 17, 21, 25)]
+    got = _lttb(spark, rows, 10)
+    assert got[("s", 10)] == (11, 5.0)
+
+
+def test_lttb_sparse_buckets_use_nonempty_neighbors(spark):
+    # bucket 20 is empty; bucket 30's prev anchor must be bucket
+    # 10's LAST point (not a phantom bucket-20 anchor), and bucket 10
+    # is interior between 0 and 30
+    rows = [
+        ("s", 1, 0.0), ("s", 12, 4.0), ("s", 15, 0.0),
+        ("s", 31, 0.0), ("s", 35, 7.0), ("s", 41, 0.0),
+    ]
+    got = _lttb(spark, rows, 10)
+    assert set(got) == {("s", 0), ("s", 10), ("s", 30), ("s", 40)}
+    assert got[("s", 10)] == (12, 4.0)   # the bump survives
+    assert got[("s", 40)] == (41, 0.0)   # last bucket -> last point
+
+
+def test_lttb_single_bucket_series(spark):
+    rows = [("a", 3, 1.0), ("a", 7, 2.0)]
+    got = _lttb(spark, rows, 10)
+    assert got == {("a", 0): (3, 1.0)}  # boundary rule: first point
+
+
+def test_lttb_oracle_parity(spark, duck, sf_dir):
+    from raft_c_spark.plans.parity import ORACLES, q_ts_lttb
+    from tests.harness import assert_matches_oracle
+
+    assert_matches_oracle(
+        q_ts_lttb(spark, sf_dir), duck, ORACLES["ts_lttb"], "ts_lttb"
+    )
+
+
+def test_lttb_plan_quality(spark, sf_dir):
+    """The point stream must never be windowed — the only Window runs
+    over the bucket-sized boundary frame, the anchor table broadcasts
+    back, and selection is a hash aggregate."""
+    from raft_c_spark.plans.parity import q_ts_lttb
+
+    plan = q_ts_lttb(
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+    # the one Window must consume the bucket aggregate, not raw points:
+    # its child plan segment carries the partial-aggregated bounds
+    import re
+
+    wins = plan.count("Window")
+    assert wins >= 1, plan
