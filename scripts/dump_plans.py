@@ -282,8 +282,16 @@ FLAGSHIPS = [
     (
         "text_novelty",
         "Per-doc first-seen-gram fraction: map-side array_distinct, "
-        "one min(doc) aggregate on 16 B gram hashes, natural-key "
-        "join-back, per-doc combine — no window, no Python",
+        "one min(doc) aggregate on 16 B gram hashes, HINTED "
+        "shuffle-hash join-back (the vocab frame must never "
+        "broadcast), per-doc combine — no window, no Python",
+    ),
+    (
+        "ts_lttb",
+        "LTTB downsampling: the only Window runs over the "
+        "bucket-sized boundary frame; anchors broadcast back; the "
+        "point stream sees two map-side-combined aggregates and "
+        "never a window",
     ),
 ]
 

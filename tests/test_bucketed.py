@@ -1,0 +1,96 @@
+"""Bucketed-table layout: the write-once / join-shuffle-free contract
+(sources/bucketed.py). The pins assert the EXCHANGE structure of the
+plans — the whole point of bucketing is which shuffles disappear."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from raft_c_spark.sources.bucketed import read_bucketed, write_bucketed
+
+
+@pytest.fixture()
+def bucketed_pair(spark, sf_dir, tmp_path_factory):
+    """orders + lineitem bucketed on the join key into 8 buckets."""
+    name_o, name_l = "bkt_orders", "bkt_lineitem"
+    if not spark.catalog.tableExists(name_o):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        )
+        write_bucketed(orders, name_o, ["o_orderkey"], 8,
+                       sort_keys=["o_orderkey"])
+        write_bucketed(li, name_l, ["l_orderkey"], 8,
+                       sort_keys=["l_orderkey"])
+    return name_o, name_l
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_pair):
+    name_o, name_l = bucketed_pair
+    o = read_bucketed(spark, name_o)
+    li = read_bucketed(spark, name_l)
+    joined = o.hint("merge").join(
+        li, o.o_orderkey == li.l_orderkey
+    ).select("o_orderkey", "l_quantity", "o_totalprice")
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan  # the write-time shuffle paid it
+    assert "Bucketed: true" in plan, plan
+    # note: partition-LOCAL sorts (global=false) may remain — Spark
+    # only trusts write-time sortBy when each bucket holds exactly
+    # one file, and a multi-task writer emits one file per (task,
+    # bucket). The exchange elimination is the contract; the local
+    # sort is cheap and shrinks with bucket width.
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_pair):
+    name_o, name_l = bucketed_pair
+    o = read_bucketed(spark, name_o)
+    li = read_bucketed(spark, name_l)
+    n = o.join(li, o.o_orderkey == li.l_orderkey).count()
+    po = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pl = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert n == po.join(pl, po.o_orderkey == pl.l_orderkey).count()
+
+
+def test_bucketed_aggregate_has_no_exchange(spark, bucketed_pair):
+    _, name_l = bucketed_pair
+    li = read_bucketed(spark, name_l)
+    agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    plan = _plan(agg)
+    assert "Exchange" not in plan, plan
+
+
+def test_unbucketed_join_pays_the_exchanges(spark, sf_dir):
+    # the baseline the bucketed layout removes: the same join on raw
+    # parquet shuffles BOTH sides
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = _plan(
+        o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    )
+    assert plan.count("Exchange hashpartitioning") >= 2, plan
+
+
+def test_mismatched_bucket_counts_reshuffle_one_side(spark, sf_dir,
+                                                     bucketed_pair):
+    # a 4-bucket copy joined to the 8-bucket table must re-shuffle —
+    # the caveat the module docstring documents
+    name4 = "bkt_orders4"
+    if not spark.catalog.tableExists(name4):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        write_bucketed(orders, name4, ["o_orderkey"], 4)
+    _, name_l = bucketed_pair
+    o4 = read_bucketed(spark, name4)
+    li = read_bucketed(spark, name_l)
+    plan = _plan(o4.hint("merge").join(li, o4.o_orderkey == li.l_orderkey))
+    assert "Exchange" in plan, plan
