@@ -507,6 +507,44 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # recall-certification machinery stays pytest-oracled by
     # tests/test_round10b + the sim_knn_recall pins). Recorded here
     # so the roster diff is auditable.
+    # -- round-11 r12-debt prepayment (the ROUND10 pattern the r10
+    # verdict endorsed): the r13 staleness wave's SECOND half — the
+    # 17 queries rounds 11/12 planned to split — rotates in now, so a
+    # green r11 artifact leaves ZERO rotation debt at the r12 AND r13
+    # cutoffs (rotation_debt.py re-confirms; DRIVER_SIM_r11.json
+    # pre-validates the full registry 141/141 at sf0.01). Every
+    # demoted slot below is r10-green (fresh until r14) and every
+    # family keeps in-window representatives: ts keeps range_scan/
+    # delta_rate/lttb/sample_fill + point_lookup; text keeps analyze/
+    # bpe_tokens/char_entropy/collocations/vocab_growth/novelty + the
+    # incoming clean_corpus; ev keeps transition_matrix/anomaly_mad/
+    # approx_profile + the incoming cohort_retention/rolling_zscore;
+    # mm keeps image_dedup + the incoming audio/video dedup pair;
+    # dedup keeps the five r11-wave re-promotions + the four incoming
+    # (the exact-groups/impact-report machinery stays pytest-oracled
+    # every run); ds keeps lang_kl/ccnet_approx/pack_sequences/
+    # pack_bpe/bloom_decontaminate/pipeline_e2e + the two incoming;
+    # tpch keeps waiting_supplier; lang keeps multi_agg + the two
+    # incoming; sim keeps knn_join_lsh/topk_exact/topk_ivf + the
+    # three incoming; streaming keeps tumbling_avg/click_attribution
+    # + the incoming enrich_join.
+    ("text_lang_profile", "dedup_ngram_jaccard"),
+    ("text_bpe_compression", "dedup_ngram_word"),
+    ("text_quality_model", "dedup_simhash"),
+    ("text_bm25_topk", "dedup_minhash_lsh"),
+    ("ts_where_chain", "ds_split_leakage_safe"),
+    ("ev_funnel", "ds_temperature_mixture"),
+    ("ev_asof_purchase_click", "ev_cohort_retention"),
+    ("mm_real_frames", "ev_rolling_zscore"),
+    ("mm_real_resize", "lang_sample_by"),
+    ("dedup_embedding", "lang_sample_fill"),
+    ("dedup_impact_report", "mm_audio_dedup"),
+    ("dedup_exact_groups", "mm_video_dedup"),
+    ("ds_decontaminate", "sim_quantize_int8"),
+    ("ds_source_topk", "sim_topk_ivf_full"),
+    ("tpch_shipping_priority", "sim_topk_lsh"),
+    ("lang_where_limit", "stream_enrich_join"),
+    ("sim_knn_join", "text_clean_corpus"),
 ]
 
 
