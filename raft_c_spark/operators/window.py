@@ -375,3 +375,115 @@ def transition_matrix(
         )
         .orderBy("from_state", "to_state")
     )
+
+
+def attribution_credit(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "timestamp",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conversion: str = "purchase",
+) -> DataFrame:
+    """Multi-touch attribution: split each user's event stream into
+    conversion JOURNEYS (the touches since the previous conversion,
+    ending at a ``conversion`` event), credit every touch under the
+    four standard marketing models, and aggregate credit per
+    (model, touch type):
+
+    - ``last_touch``  — 1.0 to the final touch before conversion
+    - ``first_touch`` — 1.0 to the journey's first touch
+    - ``linear``      — 1/n to each of the n touches
+    - ``position_based`` (U-shaped) — 0.4 first + 0.4 last +
+      0.2/(n−2) to each middle touch (n=1 → 1.0, n=2 → 0.5 each)
+
+    Journeys that never convert (trailing touches after the user's
+    last conversion) and conversions with zero prior touches earn no
+    credit — both documented drops, standard for these models.
+
+    Determinism contract: journeys and positions order by
+    ``(timestamp, event_id)`` — a total order, duplicate-ts safe; the
+    fractional credits (1/n, 0.2/(n−2)) are single correctly-rounded
+    IEEE divisions rounded to 8 decimals and cast to DECIMAL(18,8)
+    BEFORE the per-(model, type) sum (the quantized-log rule's
+    arithmetic cousin — exact, order-independent), with the emitted
+    total re-rounded to 8 after one final double cast. Invariant
+    (pinned by pytest): every model's credit sums to the number of
+    converted journeys with ≥ 1 touch, up to the quantization
+    residue (round(1/n, 8)·n misses 1.0 by ≤ n·5e-9 per journey).
+
+    Scale shape: two window passes, BOTH keyed by user (the
+    sessionize class — per-user state is bounded; never a window
+    over an unbounded key): journey index = running count of PRIOR
+    conversions, then position/size/converted-flag over
+    (user, journey). The credit expansion is a map-side 4-row stack
+    and the final aggregate partial-combines to ≤ 4·|types| rows.
+    """
+    w_user = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    is_conv = (F.col(type_col) == conversion).cast("long")
+    journeyed = df.select(
+        user_col, ts_col, type_col, id_col
+    ).withColumn(
+        "_journey",
+        F.coalesce(
+            F.sum(is_conv).over(
+                w_user.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    w_j = Window.partitionBy(user_col, "_journey")
+    w_j_ord = w_j.orderBy(ts_col, id_col)
+    flagged = journeyed.withColumn(
+        "_converted",
+        F.max(is_conv).over(
+            w_j.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    touches = (
+        flagged.filter(
+            (F.col("_converted") == 1) & (F.col(type_col) != conversion)
+        )
+        .withColumn("_pos", F.row_number().over(w_j_ord))
+        .withColumn(
+            "_n",
+            F.count(F.lit(1)).over(
+                w_j.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    n, pos = F.col("_n"), F.col("_pos")
+    q = lambda c: F.round(c, 8).cast("decimal(18,8)")  # noqa: E731
+    c_last = q(F.when(pos == n, F.lit(1.0)).otherwise(F.lit(0.0)))
+    c_first = q(F.when(pos == 1, F.lit(1.0)).otherwise(F.lit(0.0)))
+    c_linear = q(F.lit(1.0) / n.cast("double"))
+    c_position = q(
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((pos == 1) | (pos == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2).cast("double"))
+    )
+    stacked = (
+        touches.withColumn("_c1", c_last)
+        .withColumn("_c2", c_first)
+        .withColumn("_c3", c_linear)
+        .withColumn("_c4", c_position)
+        .selectExpr(
+            f"{type_col} AS touch_type",
+            "stack(4, 'last_touch', _c1, 'first_touch', _c2, "
+            "'linear', _c3, 'position_based', _c4) AS (model, credit)",
+        )
+    )
+    return (
+        stacked.groupBy("model", "touch_type")
+        .agg(
+            F.round(F.sum("credit").cast("double"), 8).alias("credit"),
+            # each touch contributes exactly one stacked row per model
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+        )
+        .orderBy("model", "touch_type")
+    )

@@ -565,3 +565,78 @@ ORACLES["ev_transition_matrix"] = """
     FROM counts JOIN totals USING (from_state)
     ORDER BY from_state, to_state
 """
+
+
+# --- round-11 operator: multi-touch attribution models ---------------------
+
+
+def q_ev_attribution_models(spark, sf_dir):
+    """Per-(model, touch type) credit under the four standard
+    multi-touch attribution models over purchase-conversion journeys
+    — see operators.window.attribution_credit for the quantized
+    fractional-credit determinism contract and the two-user-keyed-
+    window scale shape."""
+    from raft_c_spark.operators.window import attribution_credit
+
+    return attribution_credit(_events(spark, sf_dir))
+
+
+QUERIES["ev_attribution_models"] = q_ev_attribution_models
+
+# replays the operator exactly: (timestamp, event_id) total order,
+# journey = running count of PRIOR purchases, credits quantized to
+# DECIMAL(18,8) before the per-(model, type) sum
+ORACLES["ev_attribution_models"] = f"""
+    WITH ev AS ({_EV}),
+    j AS (
+        SELECT *,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY timestamp, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS journey
+        FROM ev
+    ),
+    f AS (
+        SELECT *,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id, journey) AS converted
+        FROM j
+    ),
+    t AS (
+        SELECT user_id, journey, event_type, timestamp, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, journey
+                   ORDER BY timestamp, event_id) AS pos,
+               COUNT(*) OVER (PARTITION BY user_id, journey) AS n
+        FROM f WHERE converted = 1 AND event_type <> 'purchase'
+    ),
+    c AS (
+        SELECT event_type AS touch_type,
+               CAST(round(CASE WHEN pos = n THEN 1.0 ELSE 0.0 END, 8)
+                    AS DECIMAL(18,8)) AS c_last,
+               CAST(round(CASE WHEN pos = 1 THEN 1.0 ELSE 0.0 END, 8)
+                    AS DECIMAL(18,8)) AS c_first,
+               CAST(round(1.0 / n, 8) AS DECIMAL(18,8)) AS c_linear,
+               CAST(round(CASE WHEN n = 1 THEN 1.0
+                               WHEN n = 2 THEN 0.5
+                               WHEN pos = 1 OR pos = n THEN 0.4
+                               ELSE 0.2 / (n - 2) END, 8)
+                    AS DECIMAL(18,8)) AS c_position
+        FROM t
+    ),
+    s AS (
+        SELECT touch_type, 'last_touch' AS model, c_last AS credit FROM c
+        UNION ALL
+        SELECT touch_type, 'first_touch', c_first FROM c
+        UNION ALL
+        SELECT touch_type, 'linear', c_linear FROM c
+        UNION ALL
+        SELECT touch_type, 'position_based', c_position FROM c
+    )
+    SELECT model, touch_type,
+           round(CAST(SUM(credit) AS DOUBLE), 8) AS credit,
+           CAST(COUNT(*) AS BIGINT) AS n_touches
+    FROM s GROUP BY model, touch_type
+    ORDER BY model, touch_type
+"""

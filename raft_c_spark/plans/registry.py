@@ -545,6 +545,14 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("tpch_shipping_priority", "sim_topk_lsh"),
     ("lang_where_limit", "stream_enrich_join"),
     ("sim_knn_join", "text_clean_corpus"),
+    # -- round-11 fourth new operator: ev_attribution_models
+    # (multi-touch attribution credit, never driver-verified →
+    # in-window). Within-family swap: ev_transition_matrix demoted —
+    # r10-green (fresh until r14), its pair-aggregate machinery stays
+    # hash-checked by the pytest oracle every run, and ev keeps
+    # anomaly_mad/approx_profile/cohort_retention/rolling_zscore plus
+    # the incoming attribution query in-window.
+    ("ev_transition_matrix", "ev_attribution_models"),
 ]
 
 

@@ -547,6 +547,10 @@ SOAK_QUERIES = [
      "linear scan; per-doc distinct grams die map-side; ONE min-doc "
      "aggregate on 16 B hashes + a natural-key join-back + per-doc "
      "combine — corpus-vocabulary-sized frames, no broadcast cap"),
+    ("ev_attribution_models", None,
+     "two user-keyed windows (bounded per-key state — the sessionize "
+     "class) + a map-side 4-row credit stack collapsing to ≤ "
+     "4·|types| rows"),
 ]
 
 

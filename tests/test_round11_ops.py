@@ -243,3 +243,131 @@ def test_lttb_plan_quality(spark, sf_dir):
 
     wins = plan.count("Window")
     assert wins >= 1, plan
+
+
+# --- ev_attribution_models (multi-touch attribution, round 11) -------------
+
+
+def _attr(spark, rows):
+    from raft_c_spark.operators.window import attribution_credit
+
+    df = spark.createDataFrame(
+        rows, "user_id long, timestamp long, event_type string, event_id long"
+    )
+    out = attribution_credit(df)
+    return {(r["model"], r["touch_type"]): (r["credit"], r["n_touches"])
+            for r in out.collect()}
+
+
+def test_attribution_hand_case(spark):
+    # user 1: view -> click -> view -> purchase (n=3 touches)
+    # user 2: click -> purchase (n=1), then a trailing view (no credit)
+    rows = [
+        (1, 10, "view", 1), (1, 20, "click", 2), (1, 30, "view", 3),
+        (1, 40, "purchase", 4),
+        (2, 10, "click", 5), (2, 20, "purchase", 6), (2, 30, "view", 7),
+    ]
+    got = _attr(spark, rows)
+    # view touches: u1 pos1 + u1 pos3 (u2's trailing view never
+    # converts); click touches: u1 pos2 + u2's single touch
+    assert got[("last_touch", "view")] == (1.0, 2)   # u1 pos3
+    assert got[("last_touch", "click")] == (1.0, 2)  # u2 n=1
+    assert got[("first_touch", "view")] == (1.0, 2)
+    assert got[("first_touch", "click")] == (1.0, 2)
+    # linear: u1 views 2/3, u1 click 1/3; u2 click 1
+    assert got[("linear", "view")][0] == pytest.approx(
+        round(round(1 / 3, 8) * 2, 8)
+    )
+    assert got[("linear", "click")][0] == pytest.approx(
+        round(round(1 / 3, 8) + 1.0, 8)
+    )
+    # position (n=3): first 0.4 + last 0.4 -> views; middle 0.2 -> click
+    assert got[("position_based", "view")][0] == pytest.approx(0.8)
+    assert got[("position_based", "click")][0] == pytest.approx(
+        0.2 + 1.0
+    )
+
+
+def test_attribution_two_touch_journey(spark):
+    rows = [(1, 10, "view", 1), (1, 20, "click", 2), (1, 30, "purchase", 3)]
+    got = _attr(spark, rows)
+    assert got[("position_based", "view")][0] == 0.5
+    assert got[("position_based", "click")][0] == 0.5
+    assert got[("linear", "view")][0] == 0.5
+
+
+def test_attribution_multiple_journeys_per_user(spark):
+    # the second purchase starts a NEW journey — its touch is the
+    # view at ts=40, not anything before the first purchase
+    rows = [
+        (1, 10, "click", 1), (1, 20, "purchase", 2),
+        (1, 40, "view", 3), (1, 50, "purchase", 4),
+    ]
+    got = _attr(spark, rows)
+    assert got[("last_touch", "click")] == (1.0, 1)
+    assert got[("last_touch", "view")] == (1.0, 1)
+
+
+def test_attribution_conversions_without_touches_earn_nothing(spark):
+    # back-to-back purchases: the second journey has zero touches
+    rows = [
+        (1, 10, "view", 1), (1, 20, "purchase", 2), (1, 30, "purchase", 3),
+    ]
+    got = _attr(spark, rows)
+    assert sum(c for (m, t), (c, n) in got.items() if m == "linear") == 1.0
+
+
+def test_attribution_model_totals_equal_converted_journeys(spark, sf_dir):
+    """Invariant: every model distributes 1.0 per converted journey
+    with >= 1 touch — up to the documented 8-decimal quantization of
+    the fractional credits (round(1/n)·n misses 1.0 by ≤ n·5e-9), so
+    the four model totals agree within that accumulated residue."""
+    from raft_c_spark.plans.events_analytics import q_ev_attribution_models
+
+    rows = q_ev_attribution_models(spark, sf_dir).collect()
+    totals = {}
+    for r in rows:
+        totals[r["model"]] = totals.get(r["model"], 0.0) + r["credit"]
+    ref = totals["last_touch"]  # integer credits — exact
+    assert ref == int(ref)
+    for m, v in totals.items():
+        assert v == pytest.approx(ref, abs=1e-3), totals
+    # and n_touches is model-independent
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["touch_type"], set()).add(r["n_touches"])
+    assert all(len(v) == 1 for v in by_type.values()), by_type
+
+
+def test_attribution_oracle_parity(spark, duck, sf_dir):
+    from raft_c_spark.plans.events_analytics import (
+        ORACLES,
+        q_ev_attribution_models,
+    )
+    from tests.harness import assert_matches_oracle
+
+    assert_matches_oracle(
+        q_ev_attribution_models(spark, sf_dir),
+        duck,
+        ORACLES["ev_attribution_models"],
+        "ev_attribution_models",
+    )
+
+
+def test_attribution_plan_quality(spark, sf_dir):
+    """Both windows key on user (bounded per-key state — the
+    sessionize class); no cartesian, no Python, and the only
+    exchanges are the user hash partitioning + the final tiny sort."""
+    from raft_c_spark.plans.events_analytics import q_ev_attribution_models
+
+    plan = q_ev_attribution_models(
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+    import re
+
+    parts = re.findall(r"windowpartition.*?=\[([^\]]*)\]", plan)
+    # every Window partition spec must include user_id
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]+)\]", plan):
+        assert "user_id" in spec, (spec, plan)
