@@ -1741,3 +1741,62 @@ def novelty(
         )
         .orderBy(id_col)
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compressibility — the classic cheap quality
+    signal (Gopher's repetition family / RedPajama-class pipelines
+    drop documents whose bytes compress too well: boilerplate,
+    templates and generated filler sit far below natural text's
+    ~0.3-0.6 DEFLATE ratio, and incompressible blobs sit near 1.0).
+    Emits (id, n_bytes, n_compressed, ratio) with NULL ratio for
+    empty documents.
+
+    Determinism contract: zlib with a FIXED level is deterministic
+    for a given zlib build; the repo's oracle treatment is therefore
+    the pure-python-replay ground-truth parquet (the IVF pattern) —
+    the replay runs the same interpreter's zlib, so the comparison is
+    bit-exact within the container and a library-version change
+    surfaces as a loud ground-truth mismatch, never silent drift.
+    ratio is ONE IEEE division rounded to 8 decimals.
+
+    Scale shape: one narrow Arrow kernel (mapInPandas) over the scan
+    — per-row work is C-speed DEFLATE on the document bytes, no
+    shuffle, no join, no state; output is id + three ints/doubles, so
+    the text dies inside the kernel's input batch. The multimodal
+    decode cost class: linear in corpus bytes at scan parallelism.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+    )
+    src = df.select(F.col(id_col), F.col(text_col))
+
+    def kernel(batches):
+        import zlib
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf[text_col]]
+            n = [len(b) for b in raw]
+            comp = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n,
+                    "n_compressed": comp,
+                    "ratio": [
+                        round(c / b, 8) if b else None
+                        for b, c in zip(n, comp)
+                    ],
+                }
+            )
+
+    return src.mapInPandas(kernel, out_schema).orderBy(id_col)

@@ -989,3 +989,123 @@ ORACLES["text_novelty"] = f"""
     FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
     ORDER BY d.doc_id
 """
+
+
+# --- STAGED FOR ROUND 12 (implemented + oracle-tested, NOT registered) -----
+# The r11 window carries 42 rotation/newcomer slots that all need their
+# first (or refreshed) driver green; registering another never-green
+# query this late would demote one of the few remaining r10-green
+# slots after the round's bench artifact was cut. So this operator
+# ships fully built and pytest-oracle-verified
+# (tests/test_round11_ops.py::test_compression_oracle_parity runs the
+# staged SQL through the driver's own compare) and r12 registers it
+# with: QUERIES["text_compression"] = q_text_compression;
+# ORACLES["text_compression"] = compression_oracle_sql(); plus one
+# window swap demoting an r11-green slot.
+
+#: documents-corpus fingerprint — a cheap exact-integer aggregate both
+#: engines compute identically, keying the ground-truth parquet rows
+#: the way the IVF oracle keys its corpora. (Bound note: the i64 sum
+#: is safe to ~10^12 corpus rows at these id/length magnitudes.)
+DOCS_FP_SQL = (
+    "SELECT CAST(SUM(doc_id * 1000003 + length(text)) AS BIGINT) "
+    "FROM documents"
+)
+
+COMPRESSION_LEVEL = 6
+COMPRESSION_GT_VERSION = 1
+
+
+def _docs_corpus_paths() -> list[str]:
+    import os
+
+    roots = [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ]
+    return [
+        os.path.join(r, "documents.parquet")
+        for r in roots
+        if os.path.exists(os.path.join(r, "documents.parquet"))
+    ]
+
+
+def _compression_expected_rows() -> list[dict]:
+    """Pure-python replay (pyarrow + zlib — no Spark) of the operator
+    over every registered documents corpus, tagged by fingerprint."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    rows: list[dict] = []
+    for path in _docs_corpus_paths():
+        t = pq.read_table(path, columns=["doc_id", "text"])
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        fp = sum(
+            i * 1000003 + len((x or "").encode("utf-8"))
+            for i, x in zip(ids, texts)
+        )
+        # NB: DuckDB length(text) counts CHARACTERS; the synthetic
+        # corpora are ASCII so chars == utf-8 bytes — asserted here so
+        # a non-ASCII regeneration fails loudly instead of desyncing
+        # the fingerprint
+        assert all((x or "").isascii() for x in texts), path
+        for i, x in zip(ids, texts):
+            b = (x or "").encode("utf-8")
+            c = len(zlib.compress(b, COMPRESSION_LEVEL))
+            rows.append(
+                {
+                    "corpus_fp": fp,
+                    "doc_id": i,
+                    "n_bytes": len(b),
+                    "n_compressed": c,
+                    "ratio": round(c / len(b), 8) if b else None,
+                }
+            )
+    return rows
+
+
+def compression_expected_parquet_path() -> str:
+    import pyarrow as pa
+
+    from raft_c_spark.plans.multimodal import _ground_truth_parquet
+
+    return _ground_truth_parquet(
+        f"compression_expected_v{COMPRESSION_GT_VERSION}"
+        f"_l{COMPRESSION_LEVEL}.parquet",
+        _compression_expected_rows,
+        [
+            ("corpus_fp", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("n_bytes", pa.int64()),
+            ("n_compressed", pa.int64()),
+            ("ratio", pa.float64()),
+        ],
+    )
+
+
+def q_text_compression(spark, sf_dir):
+    """Per-doc zlib compressibility quality signal — see
+    text.compression_ratio for the pure-python-replay oracle
+    treatment and the Arrow-kernel scan-cost-class scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.compression_ratio(docs, level=COMPRESSION_LEVEL)
+
+
+def compression_oracle_sql() -> str:
+    gt = f"read_parquet('{compression_expected_parquet_path()}')"
+    return f"""
+        SELECT doc_id, n_bytes, n_compressed, ratio
+        FROM {gt} WHERE corpus_fp = ({DOCS_FP_SQL})
+        UNION ALL
+        SELECT CAST(error('no compression ground truth for this '
+                          'documents corpus; add its sf dir to '
+                          'plans/text._docs_corpus_paths') AS BIGINT),
+               NULL, NULL, NULL
+        WHERE NOT EXISTS (
+            SELECT 1 FROM {gt} WHERE corpus_fp = ({DOCS_FP_SQL})
+        )
+        ORDER BY doc_id
+    """

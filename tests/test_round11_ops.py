@@ -371,3 +371,70 @@ def test_attribution_plan_quality(spark, sf_dir):
     # every Window partition spec must include user_id
     for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]+)\]", plan):
         assert "user_id" in spec, (spec, plan)
+
+
+# --- text_compression (zlib compressibility, STAGED for r12) ---------------
+
+
+def test_compression_matches_zlib_direct(spark):
+    import zlib
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "spam spam spam spam spam spam spam spam"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.compression_ratio(df).collect()}
+    for i, t in rows:
+        b = t.encode()
+        assert got[i]["n_bytes"] == len(b)
+        assert got[i]["n_compressed"] == len(zlib.compress(b, 6))
+        if b:
+            assert got[i]["ratio"] == pytest.approx(
+                round(len(zlib.compress(b, 6)) / len(b), 8)
+            )
+        else:
+            assert got[i]["ratio"] is None
+    # the signal separates: template spam compresses far better
+    assert got[2]["ratio"] < got[1]["ratio"]
+
+
+def test_compression_oracle_parity(spark, duck, sf_dir):
+    """The staged r12 oracle (pure-python-replay ground truth keyed
+    by corpus fingerprint) against the real operator — the same
+    compare the driver applies."""
+    from raft_c_spark.plans.text import (
+        compression_oracle_sql,
+        q_text_compression,
+    )
+    from tests.harness import assert_matches_oracle
+
+    assert_matches_oracle(
+        q_text_compression(spark, sf_dir),
+        duck,
+        compression_oracle_sql(),
+        "text_compression",
+    )
+
+
+def test_compression_unknown_corpus_errors_loudly(duck, tmp_path):
+    """A corpus outside the ground-truth roots must raise DuckDB's
+    error() branch, never hash-mismatch on an empty result."""
+    import duckdb as _dd
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raft_c_spark.plans.text import compression_oracle_sql
+
+    p = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table({"doc_id": [999_999_999], "text": ["zzz unknown zzz"]}), p
+    )
+    con = _dd.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')"
+    )
+    with pytest.raises(_dd.Error, match="no compression ground truth"):
+        con.execute(compression_oracle_sql()).fetchall()
