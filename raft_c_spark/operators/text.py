@@ -1773,8 +1773,14 @@ def compression_ratio(
     """
     import pandas as pd
 
+    # derive the id field's type from the input schema (advisor r11:
+    # a hardcoded 'long' breaks non-long ids), and below the id Series
+    # converts to a positional array before assembly — mixing an
+    # arbitrarily-indexed pandas Series with plain lists would align
+    # by index and silently misalign rows
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+        f"{id_col} {id_type}, n_bytes long, n_compressed long, ratio double"
     )
     src = df.select(F.col(id_col), F.col(text_col))
 
@@ -1789,7 +1795,7 @@ def compression_ratio(
             comp = [len(zlib.compress(b, level)) for b in raw]
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col],
+                    id_col: pdf[id_col].to_numpy(),
                     "n_bytes": n,
                     "n_compressed": comp,
                     "ratio": [

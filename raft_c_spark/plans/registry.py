@@ -553,6 +553,65 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # anomaly_mad/approx_profile/cohort_retention/rolling_zscore plus
     # the incoming attribution query in-window.
     ("ev_transition_matrix", "ev_attribution_models"),
+    # -- round-12 newcomers (judge r11 asks #2/#3; never
+    # driver-verified → in-window immediately): the zlib
+    # compression-ratio quality gate (staged through r11) and the
+    # bucketed-layout zero-Exchange orders⋈lineitem query. Demotions
+    # are r11-green (fresh until r15): lang keeps multi_agg + the two
+    # incoming r9 re-promotions; the sample_fill/sample_by SAMPLE BY
+    # machinery stays pinned by the parity pytest goldens + ts_lttb/
+    # ts_delta_rate in-window. sim_knn_recall_tuned re-enters
+    # DELIBERATELY (the r11 watch item #3 — this round's fixed-thread
+    # CPU bracket should land alongside a fresh driver row; it is
+    # r10-green and would otherwise stale at r15); stream_enrich_join
+    # demotes for it (r11-green; streaming keeps tumbling_avg +
+    # click_attribution + the incoming session_window).
+    ("lang_sample_fill", "text_compression"),
+    ("lang_sample_by", "tpch_bucketed_order_revenue"),
+    ("stream_enrich_join", "sim_knn_recall_tuned"),
+    # -- round-12 r14-rotation first half (judge r11 ask #4): the r14
+    # staleness wave is the 50-query r9-green cohort; this batch
+    # rotates 25 back in so r13 takes the other 25 (the established
+    # split pattern; rotation_debt.py shows ≤25 stale at r14 after a
+    # green r12 artifact). Every demoted slot is r11-green in
+    # CORRECTNESS_r11 (fresh until r15 by construction) and every
+    # family keeps in-window representatives: dedup keeps
+    # minhash_lsh/embedding_lsh/best_survivor/components + the two
+    # incoming span queries; sim keeps knn_join_lsh/topk_exact + the
+    # incoming knn_recall (+ the tuned watch item above); text keeps
+    # analyze/bpe_tokens/novelty + the incoming gopher_rules +
+    # compression; ds keeps bloom_decontaminate/pipeline_e2e/lang_kl/
+    # ccnet_buckets_approx + the three incoming; ev keeps anomaly_mad/
+    # attribution_models + the three incoming; ts keeps delta_rate +
+    # lttb (lttb stays DELIBERATELY — the ask #1 measured-cap fix
+    # needs its fresh driver green with the new plan pin) + the four
+    # incoming record-aggregates; mm keeps image_dedup + the incoming
+    # features; lang/stream/tpch per the notes above.
+    ("dedup_ngram_jaccard", "tpch_brand_part_stats"),
+    ("dedup_minhash_incr", "tpch_customer_order_distribution"),
+    ("dedup_containment", "tpch_disjunctive_revenue"),
+    ("dedup_ngram_word", "tpch_forecast_revenue"),
+    ("dedup_simhash", "tpch_inactive_high_balance"),
+    ("sim_topk_lsh", "tpch_large_volume_orders"),
+    ("sim_topk_ivf", "tpch_local_supplier_volume"),
+    ("sim_topk_ivf_full", "ts_avg"),
+    ("sim_quantize_int8", "ts_earliest"),
+    ("text_clean_corpus", "ts_latest"),
+    ("text_char_entropy", "ts_latest_k"),
+    ("text_collocations", "ev_distinct_users"),
+    ("text_vocab_growth", "ev_running_value"),
+    ("ds_split_leakage_safe", "ev_session_attribution"),
+    ("ds_temperature_mixture", "dedup_cut_spans"),
+    ("ds_pack_sequences", "dedup_repeated_spans"),
+    ("ds_pack_bpe", "ds_ccnet_buckets"),
+    ("ev_approx_profile", "ds_contamination_overlap"),
+    ("ev_rolling_zscore", "ds_dataset_card"),
+    ("ev_cohort_retention", "lang_at_lookup"),
+    ("ts_point_lookup", "lang_earliest_k"),
+    ("ts_range_scan", "mm_features"),
+    ("ts_sample_fill", "sim_knn_recall"),
+    ("mm_audio_dedup", "stream_session_window"),
+    ("mm_video_dedup", "text_gopher_rules"),
 ]
 
 

