@@ -533,15 +533,25 @@ def lttb_downsample(df: DataFrame, interval_ns: int) -> DataFrame:
     downsample's OUTPUT cardinality, which scales with series count ×
     time-range/interval and is unbounded at 100 TB (millions of
     series × hundreds of buckets → multi-GB broadcast build → driver
-    OOM). So the broadcast is MEASURED, never assumed: the bucket
-    aggregate persists, its row count decides the tier — under
-    ``_BROADCAST_MAX_BANDED_ROWS`` the anchors broadcast (zero
-    point-stream exchange); above it the join is a
-    ``shuffle_hash``-hinted equi-join on (series, bucket_ts) — never
-    a Catalyst size guess, never sort-merge (the anchor side is far
-    smaller than the point stream, so hash-building it beats sorting
-    both). Both tiers are bit-identical (the forced-fallback pytest
-    pins it); the plan pin accepts exactly the active tier's join.
+    OOM). So the broadcast is MEASURED, never assumed, in two steps:
+
+    - anchor rows ≤ point rows by construction, so a POINT count is
+      an exact upper bound that costs a metadata-only count on a bare
+      parquet scan (vs executing the bucket aggregate twice) — under
+      ``_BROADCAST_MAX_BANDED_ROWS`` the anchors broadcast with no
+      extra job at all;
+    - only when the point bound exceeds the cap does the bucket
+      aggregate persist and get counted exactly; under the cap the
+      anchors broadcast (zero point-stream exchange), above it the
+      join is a ``shuffle_hash``-hinted equi-join on
+      (series, bucket_ts) — never a Catalyst size guess, never
+      sort-merge (the anchor side is far smaller than the point
+      stream, so hash-building it beats sorting both; in the
+      series-heavy regime the shuffle tier also measured ~2× FASTER
+      than the broadcast it replaces — SCALING.md round-12 row).
+
+    Both tiers are bit-identical (the forced-fallback pytest pins it);
+    the plan pin accepts exactly the active tier's join.
     """
     if interval_ns <= 0:
         raise ValueError("interval must be positive")
@@ -554,15 +564,14 @@ def lttb_downsample(df: DataFrame, interval_ns: int) -> DataFrame:
         F.col("timestamp") - F.pmod(F.col("timestamp"), F.lit(interval_ns))
     ).alias("bucket_ts")
     pts = df.select("series", bucket, "timestamp", "value")
-    bounds = (
-        pts.groupBy("series", "bucket_ts")
-        .agg(
-            F.min(F.struct("timestamp", "value")).alias("first_pt"),
-            F.max(F.struct("timestamp", "value")).alias("last_pt"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    bounds = pts.groupBy("series", "bucket_ts").agg(
+        F.min(F.struct("timestamp", "value")).alias("first_pt"),
+        F.max(F.struct("timestamp", "value")).alias("last_pt"),
     )
-    n_anchor = bounds.count()
+    broadcast_ok = df.count() <= _BROADCAST_MAX_BANDED_ROWS
+    if not broadcast_ok:
+        bounds = bounds.persist(StorageLevel.MEMORY_AND_DISK)
+        broadcast_ok = bounds.count() <= _BROADCAST_MAX_BANDED_ROWS
     w = Window.partitionBy("series").orderBy("bucket_ts")
     anchors = bounds.select(
         "series",
@@ -572,7 +581,7 @@ def lttb_downsample(df: DataFrame, interval_ns: int) -> DataFrame:
         F.lag("last_pt").over(w).alias("prev_pt"),
         F.lead("first_pt").over(w).alias("next_pt"),
     )
-    if n_anchor <= _BROADCAST_MAX_BANDED_ROWS:
+    if broadcast_ok:
         j = pts.join(F.broadcast(anchors), ["series", "bucket_ts"])
     else:
         j = pts.join(anchors.hint("shuffle_hash"), ["series", "bucket_ts"])

@@ -289,9 +289,26 @@ FLAGSHIPS = [
     (
         "ts_lttb",
         "LTTB downsampling: the only Window runs over the "
-        "bucket-sized boundary frame; anchors broadcast back; the "
-        "point stream sees two map-side-combined aggregates and "
+        "bucket-sized boundary frame; the anchor join-back is a "
+        "MEASURED-cap decision (point-count upper bound, then exact "
+        "anchor count; broadcast under the cap, shuffle_hash above); "
+        "the point stream sees two map-side-combined aggregates and "
         "never a window",
+    ),
+    (
+        "text_compression",
+        "zlib compressibility gate (r12 registration): one narrow "
+        "Arrow kernel over the scan — C-speed DEFLATE per batch, "
+        "text dies inside the kernel, no shuffle/join/state",
+    ),
+    (
+        "tpch_bucketed_order_revenue",
+        "Bucketed fact-pair join (r12): both scans carry the "
+        "write-time bucket distribution, so the merge join, the "
+        "(orderkey, totalprice) aggregate, and the "
+        "TakeOrderedAndProject top-100 all run with ZERO Exchange — "
+        "the pay-the-shuffle-once 100 TB layout, externally "
+        "hash-verified",
     ),
 ]
 
