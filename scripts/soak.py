@@ -551,6 +551,11 @@ SOAK_QUERIES = [
      "two user-keyed windows (bounded per-key state — the sessionize "
      "class) + a map-side 4-row credit stack collapsing to ≤ "
      "4·|types| rows"),
+    # -- round-12 batch --
+    ("text_compression", None,
+     "linear in corpus bytes (one narrow Arrow DEFLATE kernel at "
+     "scan parallelism; text dies inside the kernel batch — no "
+     "shuffle, no join, no state)"),
 ]
 
 
