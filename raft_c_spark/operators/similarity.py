@@ -386,8 +386,15 @@ def semantic_dedup_pairs(
         .select("a", "b")
     )
     dim = vec_dim(df, vec_col)
+    from raft_c_spark.functions.metabound import rows_upper_bound
+
+    # the count only gates the verify kernel's broadcast cap — the
+    # free footer bound proves it for scan-shaped corpora (r13)
+    n_rows = rows_upper_bound(df)
+    if n_rows is None or n_rows * dim * 8 > _VERIFY_BROADCAST_BYTES:
+        n_rows = df.count()
     pairs = verify_pairs_cosine(
-        cand, df, id_col, vec_col, threshold, dim, df.count()
+        cand, df, id_col, vec_col, threshold, dim, n_rows
     )
     return pairs.join(a, "a").select("a", "b", "cluster", "cosine")
 
@@ -436,11 +443,13 @@ def knn_join(
                 f"is {t} — add a surrogate key (e.g. "
                 "monotonically_increasing_id) or hash the id to long"
             )
-    n_q = queries_df.count()
-    if n_q * dim * 8 > _VERIFY_BROADCAST_BYTES:
+    from raft_c_spark.functions.metabound import rows_within_cap
+
+    cap_rows = _VERIFY_BROADCAST_BYTES // (dim * 8)
+    if not rows_within_cap(queries_df, cap_rows):
         raise ValueError(
-            f"query batch too large to broadcast ({n_q} × {dim}); "
-            "shard the queries and run knn_join per shard"
+            f"query batch too large to broadcast (> {cap_rows} rows at "
+            f"dim={dim}); shard the queries and run knn_join per shard"
         )
     qids, qm, qn = _corpus_pack(queries_df, id_col, vec_col)
     bc = queries_df.sparkSession.sparkContext.broadcast((qids, qm, qn))
@@ -514,10 +523,10 @@ def knn_join_lsh(
     defaults); the rerank is the same fold-ordered cosine as the
     exact path, so whatever candidates surface rank identically."""
     dim = vec_dim(corpus_df, vec_col)
-    idx = lsh_index(corpus_df, id_col, vec_col, bits, tables, cache_key)
-    qsig = pair_signatures(queries_df, id_col, vec_col, bits, tables).select(
-        F.col("doc").alias("q"), "table", "sig"
-    )
+    idx = lsh_index(corpus_df, id_col, vec_col, bits, tables, cache_key, dim=dim)
+    qsig = pair_signatures(
+        queries_df, id_col, vec_col, bits, tables, dim=dim
+    ).select(F.col("doc").alias("q"), "table", "sig")
     cand = (
         F.broadcast(qsig)
         .join(idx, ["table", "sig"])
@@ -839,17 +848,21 @@ def pair_signatures(
     bits: int = 10,
     tables: int = 8,
     table_offset: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """(doc, table, sig) rows — one hyperplane signature per table per
     vector, computed in the same vectorized numpy kernel shape as
     lsh_candidates (one matrix multiply per Arrow batch). Output is the
     tiny banded frame that feeds the bucket self-join; the vectors
     themselves never leave the scan. At 100 TB these are precomputed
-    stored columns bucketed by (table, sig)."""
+    stored columns bucketed by (table, sig). Callers that already know
+    the dimension pass ``dim`` so the probe job is paid once per
+    corpus, not once per signature frame (guide §1.2)."""
     import numpy as np
     import pandas as pd
 
-    dim = vec_dim(df, vec_col)
+    if dim is None:
+        dim = vec_dim(df, vec_col)
     planes = _plane_matrix(dim, bits, tables, table_offset)  # (T, B, dim)
     flat = planes.reshape(tables * bits, dim).T  # (dim, T*B)
     weights = (1 << np.arange(bits)).astype(np.int64)
@@ -1050,6 +1063,7 @@ def lsh_index(
     bits: int = 8,
     tables: int = 16,
     cache_key: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Precomputed multi-table signature index: (doc, table, sig),
     persisted when ``cache_key`` is given — the stored/bucketed layout
@@ -1063,9 +1077,8 @@ def lsh_index(
     row-group min/max stats prune the rest. One directory per exact
     sig would prune no better while multiplying directory count by
     2^bits/16, making the build write-bound (measured 8x slower)."""
-    sigs = pair_signatures(df, id_col, vec_col, bits, tables)
     if cache_key is None:
-        return sigs
+        return pair_signatures(df, id_col, vec_col, bits, tables, dim=dim)
     import os
 
     from raft_c_spark.functions import diskcache
@@ -1075,6 +1088,10 @@ def lsh_index(
         # had 8x bucket skew) — old indexes must not be reused
         f"lshidx_{cache_key}_b{bits}_t{tables}_v2")
     if not os.path.isdir(final):
+        # the signature frame (and its dim probe job) is only built on
+        # an index MISS — the warm probe path previously paid a
+        # vec_dim first() job for a frame it then discarded (r13)
+        sigs = pair_signatures(df, id_col, vec_col, bits, tables, dim=dim)
         os.makedirs(diskcache.cache_root(), exist_ok=True)
         staging = f"{final}.tmp.{os.getpid()}"
         (
@@ -1110,7 +1127,9 @@ def lsh_bucketed_topk(
     (the at-scale shape). Without: signatures are computed inline in
     one kernel pass over the corpus (index-less fallback)."""
     if cache_key is not None:
-        idx = lsh_index(df, id_col, vec_col, bits, tables, cache_key)
+        idx = lsh_index(
+            df, id_col, vec_col, bits, tables, cache_key, dim=len(query_vec)
+        )
         hi_div = max(1, (1 << bits) // 16)
         qsigs = [
             (t, query_signature(query_vec, bits, seed=1000 + t))
@@ -1247,25 +1266,149 @@ def certify_lsh_recall(
     n_corpus = corpus_df.count()
     budget = int(n_queries * n_corpus * budget_frac)
 
-    queries = planted_queries(corpus_df, id_col, vec_col, n_queries, amp)
-    qv = with_norm(queries, id_col, vec_col, dim).select(
-        F.col("doc").alias("q"),
-        F.col("vec").alias("qvec"),
-        F.col("norm").alias("qnorm"),
+    # Driver-side planted-query pack (r13): ONE bounded collect of the
+    # n_queries base vectors (the same gated scalar-probe class as the
+    # topk query vector), noise and norms replayed with the identical
+    # IEEE op sequence as the codegen/kernel path. Each rung's query
+    # signatures and rerank vectors then enter the plan as
+    # LocalRelations — the r12 shape paid a Python mapInPandas stage
+    # plus a second broadcast-exchange subtree PER RUNG to recompute
+    # 20 rows it could carry as literals (guide §4: the Python
+    # boundary is for volume, not for 20 rows; §5: tiny driver
+    # transfers are fine — unbounded ones are not).
+    qids, qm, qnorms = _planted_pack(
+        corpus_df, id_col, vec_col, n_queries, amp
+    )
+    qv = spark.createDataFrame(
+        [
+            (int(q), [float(x) for x in qm[a]], float(qnorms[a]))
+            for a, q in enumerate(qids)
+        ],
+        "q long, qvec array<double>, qnorm double",
     )
     cv = with_norm(corpus_df, id_col, vec_col, dim).select(
         "doc", F.col("vec").alias("cvec"), F.col("norm").alias("cnorm")
     )
 
     rows = []
+    _certify_walk(
+        rows, ladder, corpus_df, qids, qm, cv, qv,
+        id_col, vec_col, cache_key, dim,
+        n_queries, budget, target,
+    )
+
+    return spark.createDataFrame(
+        rows,
+        "rung int, bits int, tables int, n_queries long, n_hits long, "
+        "recall double, n_candidates long, within_budget boolean, "
+        "meets_target boolean, chosen boolean",
+    )
+
+
+def _planted_pack(
+    corpus_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_queries: int,
+    amp: float,
+):
+    """Driver-side replay of :func:`planted_queries`: collect the
+    ``n_queries`` base vectors (bounded — same scalar-probe class as
+    the topk query vector) and apply the md5 noise with the IDENTICAL
+    IEEE op sequence as :func:`planted_noise_expr` (hex→long, /2^59,
+    −1.0, ×amp, one add onto the double-cast component), then the same
+    sequential-fold norms as ``with_norm``. Returns (ids, matrix,
+    norms) — bit-identical to what the codegen path computed, so every
+    downstream signature and cosine is unchanged (pinned by the hash
+    oracle)."""
+    import hashlib
+
+    import numpy as np
+
+    rows = (
+        corpus_df.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r["i"])
+    qids = np.array([r["i"] for r in rows], dtype=np.int64)
+    qm = np.array(
+        [[float(x) for x in r["v"]] for r in rows], dtype=np.float64
+    )
+    denom = float(1 << 59)
+    for a in range(len(qids)):
+        qid = int(qids[a])
+        for j in range(qm.shape[1]):
+            h = int(
+                hashlib.md5(f"plant,{qid},{j}".encode()).hexdigest()[:15], 16
+            )
+            qm[a, j] = qm[a, j] + ((h / denom) - 1.0) * amp
+    return qids, qm, _seq_norms(qm)
+
+
+def _local_signatures(
+    qids, qm, bits: int, tables: int, table_offset: int = 0
+) -> list[tuple[int, int, int]]:
+    """(q, table, sig) rows for a small driver-side query matrix — the
+    same numpy ops as the :func:`pair_signatures` kernel (one matmul
+    against the shared plane matrix), so signatures are bit-identical
+    to the distributed path's."""
+    import numpy as np
+
+    planes = _plane_matrix(qm.shape[1], bits, tables, table_offset)
+    flat = planes.reshape(tables * bits, qm.shape[1]).T
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    bits_m = (qm @ flat > 0).astype(np.int64)
+    sigs = bits_m.reshape(len(qids), tables, bits) @ weights
+    return [
+        (int(q), int(table_offset + t), int(sigs[a, t]))
+        for a, q in enumerate(qids)
+        for t in range(tables)
+    ]
+
+
+def _certify_walk(
+    rows: list,
+    ladder,
+    corpus_df: DataFrame,
+    qids,
+    qm,
+    cv: DataFrame,
+    qv: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cache_key: str | None,
+    dim: int,
+    n_queries: int,
+    budget: int,
+    target: float,
+) -> None:
+    """The sequential ladder walk of :func:`certify_lsh_recall` —
+    appends one metrics tuple per tried rung to ``rows`` and stops at
+    the first acceptable rung. Per rung the plan is ONE job: index
+    scan (sig_hi partition-pruned) ⋈ local query-signature relation →
+    distinct → rerank ⋈ local query-vector relation → two-column
+    aggregate → ≤n_queries-row collect."""
+    spark = corpus_df.sparkSession
     for rung, (bits, tables) in enumerate(ladder):
-        idx = lsh_index(corpus_df, id_col, vec_col, bits, tables, cache_key)
-        qsig = pair_signatures(
-            queries, id_col, vec_col, bits, tables
-        ).select(F.col("doc").alias("q"), "table", "sig")
+        idx = lsh_index(
+            corpus_df, id_col, vec_col, bits, tables, cache_key, dim=dim
+        )
+        sig_rows = _local_signatures(qids, qm, bits, tables)
+        qsig = spark.createDataFrame(
+            sig_rows, "q long, table int, sig long"
+        )
+        probe = idx
+        if "sig_hi" in idx.columns:
+            # redundant with the equi-join (sig equality implies
+            # sig_hi equality) but prunes the persisted index's
+            # partition directories at the scan
+            hi_div = max(1, (1 << bits) // 16)
+            his = sorted({s // hi_div for _, _, s in sig_rows})
+            probe = idx.filter(F.col("sig_hi").isin(his))
         cand = (
-            F.broadcast(qsig)
-            .join(idx.select("doc", "table", "sig"), ["table", "sig"])
+            probe.select("doc", "table", "sig")
+            .join(F.broadcast(qsig), ["table", "sig"])
             .select("q", "doc")
             .distinct()
         )
@@ -1312,10 +1455,3 @@ def certify_lsh_recall(
         )
         if within and meets:
             break
-
-    return spark.createDataFrame(
-        rows,
-        "rung int, bits int, tables int, n_queries long, n_hits long, "
-        "recall double, n_candidates long, within_budget boolean, "
-        "meets_target boolean, chosen boolean",
-    )

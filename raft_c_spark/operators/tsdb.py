@@ -535,13 +535,16 @@ def lttb_downsample(df: DataFrame, interval_ns: int) -> DataFrame:
     series × hundreds of buckets → multi-GB broadcast build → driver
     OOM). So the broadcast is MEASURED, never assumed, in two steps:
 
-    - anchor rows ≤ point rows by construction, so a POINT count is
-      an exact upper bound that costs a metadata-only count on a bare
-      parquet scan (vs executing the bucket aggregate twice) — under
-      ``_BROADCAST_MAX_BANDED_ROWS`` the anchors broadcast with no
-      extra job at all;
-    - only when the point bound exceeds the cap does the bucket
-      aggregate persist and get counted exactly; under the cap the
+    - anchor rows ≤ point rows by construction, so the POINT-count
+      upper bound is read straight off the input's parquet footers —
+      driver-side metadata, NO job at all (``metabound.rows_upper_bound``;
+      the r12 ``df.count()`` here was a full filtered scan per
+      invocation, and it fired even for plan-only consumers — advisor
+      r12) — under ``_BROADCAST_MAX_BANDED_ROWS`` the anchors
+      broadcast with no extra job;
+    - when no sound footer bound exists (row-multiplying lineage,
+      non-parquet source) or it exceeds the cap, the bucket
+      aggregate persists and is counted exactly; under the cap the
       anchors broadcast (zero point-stream exchange), above it the
       join is a ``shuffle_hash``-hinted equi-join on
       (series, bucket_ts) — never a Catalyst size guess, never
@@ -568,7 +571,12 @@ def lttb_downsample(df: DataFrame, interval_ns: int) -> DataFrame:
         F.min(F.struct("timestamp", "value")).alias("first_pt"),
         F.max(F.struct("timestamp", "value")).alias("last_pt"),
     )
-    broadcast_ok = df.count() <= _BROADCAST_MAX_BANDED_ROWS
+    from raft_c_spark.functions.metabound import rows_upper_bound
+
+    point_bound = rows_upper_bound(df)
+    broadcast_ok = (
+        point_bound is not None and point_bound <= _BROADCAST_MAX_BANDED_ROWS
+    )
     if not broadcast_ok:
         bounds = bounds.persist(StorageLevel.MEMORY_AND_DISK)
         broadcast_ok = bounds.count() <= _BROADCAST_MAX_BANDED_ROWS

@@ -49,10 +49,13 @@ def write_bucketed(
     # containing '/' or '..' would delete outside the warehouse)
     import re
 
-    if not re.fullmatch(r"[A-Za-z0-9_]+", table):
+    # leading digit excluded too (advisor r12): '1tbl' is not a valid
+    # unquoted identifier in the DROP TABLE path and would otherwise
+    # surface later as a confusing SQL parse error
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
         raise ValueError(
-            f"table name must be a simple identifier ([A-Za-z0-9_]+), "
-            f"got {table!r}"
+            f"table name must be a simple identifier "
+            f"([A-Za-z_][A-Za-z0-9_]*), got {table!r}"
         )
     if mode == "overwrite":
         # a fresh (in-memory-metastore) session may not know the
