@@ -527,6 +527,38 @@ def _widen(df: DataFrame) -> DataFrame:
 #: lineage) from re-reading footers on each call (advisor r6)
 _ROW_GROUP_CACHE: dict[tuple[str, int, int], int] = {}
 
+#: Logical-plan nodes that mean the frame is NOT a bare projection /
+#: filter over a file scan. Downstream of any of these the frame's
+#: parallelism is already set by an exchange / generator / local data
+#: (widening would be a no-op at best), and — the real hazard —
+#: touching ``df.rdd`` on such a frame under AQE FINALIZES the plan,
+#: executing every upstream shuffle stage as real jobs at
+#: plan-construction time (the r13 profile caught ds_pipeline_e2e
+#: paying 5 extra build jobs for exactly this probe). Substring match
+#: against the analyzed plan; a false positive merely skips a widen
+#: that post-exchange parallelism already provides.
+_NON_SCAN_NODES = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Repartition",
+    "Generate",
+    "Union",
+    "Expand",
+    "Deduplicate",
+    "GlobalLimit",
+    "Sample",
+    "CoGroup",
+    "FlatMap",
+    "MapInPandas",
+    "MapInArrow",
+    "Range",
+    "LocalRelation",
+    "OneRowRelation",
+    "LogicalRDD",
+)
+
 
 def _effective_splits(df: DataFrame) -> int:
     """Achievable no-shuffle scan parallelism: min(splits, total row
@@ -534,7 +566,15 @@ def _effective_splits(df: DataFrame) -> int:
     plain split count otherwise (footer reads over thousands of
     files, or non-file sources, are not worth it — many files imply
     enough parallelism anyway). Footer row-group counts are memoized
-    per (path, mtime, size)."""
+    per (path, mtime, size). Non-scan-shaped frames short-circuit to
+    "wide enough" WITHOUT the ``df.rdd`` partition probe — see
+    ``_NON_SCAN_NODES``."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(tok in plan for tok in _NON_SCAN_NODES):
+            return 1 << 30
+    except Exception:
+        pass
     parts = df.rdd.getNumPartitions()
     try:
         files = df.inputFiles()

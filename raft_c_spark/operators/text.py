@@ -28,6 +28,30 @@ STOPWORDS: dict[str, list[str]] = {
 TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"  # BPE-ish: words + punct marks
 
 
+def _scan_wide(df: DataFrame) -> DataFrame:
+    """Corpus-scan parallelism guard for the per-row-heavy text
+    operators: a small local file set reads as ONE task (a parquet row
+    group is the indivisible split unit), serializing the whole
+    regex/gram/kernel pipeline on one core while the session's other
+    cores idle. Repartition up to the session parallelism in exactly
+    that case — delegated to ``dedup._widen``, which is a no-op at
+    many-file (cluster) scale, so nothing extra shuffles at 100 TB.
+    Round-robin repartition only changes row placement, never values:
+    every consumer is a per-row projection or a key-grouped aggregate
+    (the family's DECIMAL-quantization rule makes every sum
+    order-independent), so results are identical either way.
+
+    ``RAFT_C_SPARK_SCAN_WIDE=0`` disables the guard (A/B measurement
+    and clusters whose scans always split well)."""
+    import os as _os
+
+    if _os.environ.get("RAFT_C_SPARK_SCAN_WIDE", "1") == "0":
+        return df
+    from raft_c_spark.operators.dedup import _widen
+
+    return _widen(df)
+
+
 def whitespace_token_count(col: Column) -> Column:
     """Whitespace-delimited token count; 0 for empty/blank text."""
     return F.regexp_count(col, F.lit(r"\S+"))
@@ -118,7 +142,7 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     shuffle, no UDF); patterns applied email → url → phone so counts
     refer to the original text and replacements cannot cascade."""
     c = F.col(text_col)
-    out = df
+    out = _scan_wide(df)
     for kind, pat in PII_PATTERNS.items():
         out = out.withColumn(
             f"n_{kind}s", F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
@@ -131,7 +155,9 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass enrichment with every text metric — single projection,
-    no shuffle."""
+    no shuffle (``_scan_wide`` adds one only where the local scan
+    cannot parallelize at all)."""
+    df = _scan_wide(df)
     c = F.col(text_col)
     return df.select(
         "*",
@@ -167,7 +193,7 @@ def heavy_hitter_ngrams(
     fix lands everywhere at once (reviewer r8: this body previously
     duplicated it verbatim).
     """
-    grams = _word_ngrams(df, id_col, text_col, n).withColumnRenamed(
+    grams = _word_ngrams(_scan_wide(df), id_col, text_col, n).withColumnRenamed(
         "gram", "ngram"
     )
     per_doc = grams.groupBy("doc", "ngram").agg(F.count(F.lit(1)).alias("n"))
@@ -205,6 +231,9 @@ def chunk_documents(
     if not 0 < stride <= chunk:
         raise ValueError("require 0 < stride <= chunk")
     toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+    # NOT _scan_wide: chunking is emit-heavy, not expression-heavy —
+    # the r13 interleaved A/B read the widen exchange as a wash (1.06×)
+    # and reverting keeps the operator's zero-Exchange plan pin.
     base = df.select(F.col(id_col).alias("_id"), toks.alias("toks"))
     n_starts_m1 = F.greatest(
         F.floor((F.size("toks") - chunk + (stride - 1)) / stride).cast("int"),
@@ -252,6 +281,10 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
+    # NOT _scan_wide: the r13 interleaved A/B measured the widen
+    # exchange 1.89× SLOWER here — the cost sits in the window/join
+    # stages after the tf aggregate, not the tokenize, and the extra
+    # round-robin exchange of raw text only added overhead.
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -355,7 +388,7 @@ def decontaminate(
     if _estimated_bytes(eval_df) <= broadcast_max_eval_bytes:
         right = F.broadcast(eval_grams)
     return (
-        _word_ngrams(train, id_col, text_col, n)
+        _word_ngrams(_scan_wide(train), id_col, text_col, n)
         .join(right, "gram")
         .groupBy("doc")
         .agg(F.count_distinct(F.col("gram")).alias("overlap_grams"))
@@ -380,7 +413,7 @@ def repetition_metrics(
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
     )
-    base = df.select(F.col(id_col), toks.alias("toks"))
+    base = _scan_wide(df).select(F.col(id_col), toks.alias("toks"))
 
     def grams(n: int) -> F.Column:
         if n == 1:
@@ -639,7 +672,7 @@ def bloom_decontaminate(
     bc = train.sparkSession.sparkContext.broadcast(bits)
 
     h1, h2 = _bloom_hashes(F.col("gram"))
-    grams = _word_ngrams(train, id_col, text_col, n).select(
+    grams = _word_ngrams(_scan_wide(train), id_col, text_col, n).select(
         "doc", h1.alias("h1"), h2.alias("h2")
     )
 
@@ -696,7 +729,7 @@ def quality_classifier(
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
     )
-    base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
+    base = _scan_wide(df).select(F.col(id_col).alias("doc"), toks.alias("toks"))
     bigram_idx = F.filter(
         F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))),
         lambda i: (i + 1) <= F.size("toks"),
@@ -797,6 +830,11 @@ def ngram_lm_score(
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
     )
+    # NOT _scan_wide: occ has two heavy consumers (the c12 aggregate
+    # and the scoring join) — the multi-consumer shape the r13
+    # interleaved A/B measured the widen LOSING on every time (tfidf
+    # 1.89×, collocations 1.31×, lang_kl 2.07×, vocab_growth 1.91×);
+    # the registered query's warm path is disk-cached anyway.
     base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
     idxs = F.filter(
         F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))),
@@ -902,6 +940,7 @@ def gopher_rules(
     )
     gopher_sw = r"\b(the|be|to|of|and|that|have|with)\b"
     sw_hits = F.regexp_count(F.lower(F.col(text_col)), F.lit(gopher_sw))
+    df = _scan_wide(df)
     r_words = (words >= min_words) & (words <= max_words)
     r_wordlen = (mean_wl >= min_mean_word_len) & (
         mean_wl <= max_mean_word_len
@@ -1240,6 +1279,9 @@ def bm25_topk(
         F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
     )
     terms_arr = F.array(*[F.lit(t) for t in terms])
+    # NOT _scan_wide: two consumers (matched + the corpus-stats agg)
+    # re-execute the lineage; the r13 interleaved A/B read the widen
+    # 2.2× slower (epoch-noisy reps, but both clean samples agreed).
     base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
     matched = base.select(
         "doc",
@@ -1318,6 +1360,10 @@ def char_entropy(
     projection (functionally dependent on doc) — no join, no window,
     no Python.
     """
+    # NOT _scan_wide: the char explode multiplies rows ~300× before
+    # the (doc, char) aggregate, so the exchange already parallelizes
+    # the heavy phase; the r13 interleaved A/B read the widen at
+    # 1.09× (slower).
     base = df.select(
         F.col(id_col).alias("doc"),
         F.length(F.col(text_col)).cast("long").alias("n"),
@@ -1391,6 +1437,9 @@ def lang_unigram_kl(
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
     )
+    # NOT _scan_wide: four aggregate consumers re-execute the lineage
+    # (the collocations single-consumer rule) and the r13 interleaved
+    # A/B measured the widen exchange 2.07× SLOWER end-to-end.
     tagged = df.select(F.col(lang_col).alias("lang"), toks.alias("toks"))
     lw = (
         tagged.select("lang", F.explode("toks").alias("w"))
@@ -1484,6 +1533,9 @@ def collocations(
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
     )
+    # NOT _scan_wide: three consumers each re-execute the lineage (see
+    # the stats note below), and the r13 interleaved A/B measured the
+    # widen exchange 1.31× SLOWER end-to-end.
     base = df.select(toks.alias("toks"))
     # totals come from a SEPARATE per-doc stats aggregate on purpose:
     # deriving T = Σ c_w / B = Σ c_ab from the uni/bi aggregates reads
@@ -1606,6 +1658,9 @@ def vocab_growth(
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
     )
+    # NOT _scan_wide: two aggregate consumers re-execute the lineage
+    # and the (grp, word) exchange already parallelizes the heavy
+    # phase; the r13 interleaved A/B measured the widen 1.91× SLOWER.
     base = df.select(F.col(group_col).alias("grp"), toks.alias("toks"))
     types = (
         base.select("grp", F.explode("toks").alias("w"))
@@ -1680,7 +1735,7 @@ def novelty(
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
     )
-    base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
+    base = _scan_wide(df).select(F.col(id_col).alias("doc"), toks.alias("toks"))
     g = F.transform(
         F.sequence(F.lit(1), F.size("toks") - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice("toks", i, n)),

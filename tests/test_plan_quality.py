@@ -141,16 +141,51 @@ def test_tpch_q6_filter_pushdown(spark, sf_dir):
     assert "l_shipdate" in pushed and "l_discount" in pushed, pushed
 
 
-def test_whole_stage_codegen_covers_text_analysis(spark, sf_dir):
+def test_whole_stage_codegen_covers_text_analysis(spark, sf_dir, monkeypatch):
     """Text analysis must stay inside whole-stage codegen (no Python
-    UDF stages in the plan)."""
+    UDF stages in the plan). Pinned with the _scan_wide parallelism
+    guard disabled — the guard's round-robin exchange (a local
+    single-file-scan no-op at scale) is pinned separately by
+    test_scan_wide_exchange_is_round_robin_only."""
     from raft_c_spark.operators import text
 
+    monkeypatch.setenv("RAFT_C_SPARK_SCAN_WIDE", "0")
     docs = load_table(spark, sf_dir, "documents")
     plan = plan_of(text.analyze(docs))
     # formatted mode marks codegen'd operators with a '*' prefix
     assert "* Project" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scan_wide_exchange_is_round_robin_only(spark, sf_dir):
+    """With the guard ON (the default), the ONLY Exchange the widened
+    map-only text operators gain is the guard's round-robin
+    repartition — never a hash/range shuffle (values and results are
+    placement-independent; the guard is a no-op on many-file scans)."""
+    import re
+
+    from raft_c_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    for frame in (text.analyze(docs), text.gopher_rules(docs, min_words=10)):
+        plan = plan_of(frame)
+        exchanges = re.findall(r"Arguments: (\w+)partitioning", plan)
+        assert all(kind == "roundrobin" for kind in exchanges), plan
+
+
+def test_widen_skips_rdd_probe_on_non_scan_frames(spark, sf_dir):
+    """_effective_splits must short-circuit on frames that are not
+    bare scan projections: touching df.rdd on an AQE plan finalizes
+    it, executing every upstream shuffle stage as real jobs at
+    plan-construction time (the r13 profile caught ds_pipeline_e2e
+    paying 5 extra build jobs for exactly this)."""
+    from raft_c_spark.operators.dedup import _effective_splits, _widen
+
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").count()
+    assert _effective_splits(agg) >= (1 << 30)
+    # and _widen leaves such frames untouched (no Repartition node)
+    assert _widen(agg) is agg
 
 def test_events_adapter_range_pushdown(spark, sf_dir):
     """Range-bounded adapter loads push the window to the raw physical
@@ -267,14 +302,19 @@ def test_stream_query_restores_shuffle_conf(spark, sf_dir):
     assert spark.conf.get(key) == prev
 
 
-def test_decontaminate_broadcast_filter_no_train_preshuffle(spark, sf_dir):
+def test_decontaminate_broadcast_filter_no_train_preshuffle(
+    spark, sf_dir, monkeypatch
+):
     """The training gram stream must reach the eval-gram join WITHOUT
     a shuffle of its own (the join is a broadcast map-side filter;
     only hit rows shuffle into the count). A distinct/exchange on the
     train side before the join would shuffle the whole corpus's grams
-    at scale."""
+    at scale. Guard disabled: the _scan_wide round-robin exchange is a
+    local scan-parallelism fix, not a gram shuffle (pinned
+    round-robin-only elsewhere)."""
     from raft_c_spark.plans.sampling import q_ds_decontaminate
 
+    monkeypatch.setenv("RAFT_C_SPARK_SCAN_WIDE", "0")
     plan = plan_of(q_ds_decontaminate(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     # In the formatted tree, the join's stream side is the ":-" branch
@@ -291,11 +331,13 @@ def test_decontaminate_broadcast_filter_no_train_preshuffle(spark, sf_dir):
     assert not any("Exchange" in l for l in stream_branch), plan
 
 
-def test_repetition_metrics_shuffle_free(spark, sf_dir):
+def test_repetition_metrics_shuffle_free(spark, sf_dir, monkeypatch):
     """Repetition fractions are pure per-row expressions: no Exchange
-    anywhere in the plan."""
+    anywhere in the plan (guard disabled — its round-robin exchange is
+    pinned round-robin-only elsewhere)."""
     from raft_c_spark.plans.text import q_text_repetition
 
+    monkeypatch.setenv("RAFT_C_SPARK_SCAN_WIDE", "0")
     plan = plan_of(q_text_repetition(spark, sf_dir))
     assert "Exchange" not in plan, plan
 
@@ -351,13 +393,17 @@ def test_minhash_incr_banded_join_broadcasts_small_side(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_bloom_decontaminate_no_join_no_train_preshuffle(spark, sf_dir):
+def test_bloom_decontaminate_no_join_no_train_preshuffle(
+    spark, sf_dir, monkeypatch
+):
     """The bloom path must contain NO join at all (the filter is a
     broadcast variable probed in a kernel), and the only Exchange is
     the final per-doc aggregation of surviving hits — the training
-    gram stream itself never shuffles."""
+    gram stream itself never shuffles. Guard disabled (see
+    test_scan_wide_exchange_is_round_robin_only)."""
     from raft_c_spark.plans.extras import q_ds_bloom_decontaminate
 
+    monkeypatch.setenv("RAFT_C_SPARK_SCAN_WIDE", "0")
     plan = plan_of(q_ds_bloom_decontaminate(spark, sf_dir))
     assert "Join" not in plan, plan
     # the kernel (MapInPandas) runs at scan parallelism: no Exchange
@@ -372,12 +418,14 @@ def test_bloom_decontaminate_no_join_no_train_preshuffle(spark, sf_dir):
     assert len(exchange_idxs) <= 2, plan
 
 
-def test_quality_model_single_shuffle_no_python(spark, sf_dir):
+def test_quality_model_single_shuffle_no_python(spark, sf_dir, monkeypatch):
     """The scorer is tokenize→explode→hash-weight→aggregate: one
     shuffle (the doc aggregation), partial aggregation before it, and
-    zero Python evaluation nodes."""
+    zero Python evaluation nodes. Guard disabled (see
+    test_scan_wide_exchange_is_round_robin_only)."""
     from raft_c_spark.plans.extras import q_text_quality_model
 
+    monkeypatch.setenv("RAFT_C_SPARK_SCAN_WIDE", "0")
     plan = plan_of(q_text_quality_model(spark, sf_dir))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
     assert "partial" in plan.lower(), plan
@@ -594,11 +642,13 @@ def test_segment_dedup_aggregate_no_hot_key_window(spark, sf_dir):
     assert len(join_nodes) == 1, (join_nodes, plan)
 
 
-def test_gopher_rules_map_only(spark, sf_dir):
+def test_gopher_rules_map_only(spark, sf_dir, monkeypatch):
     """The Gopher gate is pure codegen column arithmetic: one scan,
-    zero Exchange, zero Python nodes."""
+    zero Exchange, zero Python nodes. Guard disabled (see
+    test_scan_wide_exchange_is_round_robin_only)."""
     from raft_c_spark.operators.text import gopher_rules
 
+    monkeypatch.setenv("RAFT_C_SPARK_SCAN_WIDE", "0")
     docs = load_table(spark, sf_dir, "documents")
     plan = plan_of(gopher_rules(docs, min_words=10))
     assert "Exchange" not in plan, plan
