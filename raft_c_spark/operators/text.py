@@ -1716,19 +1716,24 @@ def novelty(
     IEEE division, rounded to 8 decimals. Docs with fewer than ``n``
     tokens have no grams and emit 0/0 with NULL novelty.
 
-    Scale shape: per-doc distinct grams are computed MAP-SIDE
-    (``array_distinct`` inside the projection — the overlap
-    decontamination shape), so the (doc, gram) stream partial-
-    aggregates nothing it doesn't need; the first-occurrence table is
-    ONE map-side-combined min(doc) aggregate on the 16 B hash pair
-    (a hot boilerplate gram collapses per map task — never a window);
-    the join back is a natural-key shuffle-hash equi-join of two
-    hash-keyed frames (both corpus-vocabulary-sized; heavy strings
-    died at the map side — the join is HINTED because Catalyst's
-    Generate-stats estimate otherwise broadcasts the unbounded vocab
-    frame, see the in-code note) followed by a per-doc count
-    aggregate that partial-combines. No driver materialization, no
-    broadcast cap to fall off.
+    Scale shape (r13 rewrite): per-doc distinct grams are computed
+    MAP-SIDE (``array_distinct`` inside the projection — the overlap
+    decontamination shape); the first-occurrence table is ONE
+    map-side-combined min(doc) aggregate on the 16 B hash pair (a hot
+    boilerplate gram collapses per map task — never a window). The
+    two per-doc counts then come WITHOUT any vocab-sized join:
+    ``n_grams`` is a direct per-doc count of the gram stream (partial
+    combine collapses each doc's grams map-side — ~one row per doc
+    crosses the exchange), and ``n_first`` is a per-``first_doc``
+    count over the first-occurrence AGGREGATE itself —
+    ``first_doc = d`` already means "a gram of d whose first corpus
+    occurrence is d", so re-joining the vocab frame against the full
+    gram stream (the r9-r12 shape: a shuffle-hash equi-join pushing
+    the whole corpus-vocabulary-sized stream through a second
+    exchange) only re-derived information the aggregate already
+    held. The two doc-sized count frames meet in a doc-keyed join.
+    No driver materialization, no broadcast cap to fall off, and the
+    heaviest exchange of the old plan (the vocab join probe) is gone.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -1754,31 +1759,27 @@ def novelty(
         .select("doc", F.explode(hs).alias("h"))
         .select("doc", F.col("h.h1").alias("h1"), F.col("h.h2").alias("h2"))
     )
-    # the first-occurrence table is corpus-VOCABULARY-sized — an
-    # unbounded frame that must never broadcast. Left to itself,
-    # Catalyst's size estimate under the gram Generate is garbage and
-    # it DID pick a broadcast build of the 2.4M-row aggregate at the
-    # 50k soak corpus (fast on a healthy heap, and the r11 batch soak
-    # recorded one 250 s detonation of exactly that plan under
-    # accumulated-broadcast heap pressure — SCALING.md round-11);
-    # at real scale the same mis-estimate would OOM the driver. The
-    # hint pins the bounded plan: a co-partitioned shuffle-hash join
-    # on the 16 B keys, per-executor memory ~one partition of the
-    # vocab, no driver materialization at any scale.
-    first = (
+    # n_first per doc = |{grams whose corpus-wide min(doc) is doc}| —
+    # countable DIRECTLY from the first-occurrence aggregate (each of
+    # its rows is one distinct gram; first_doc names the doc it is
+    # novel for). The r9-r12 shape instead equi-joined this
+    # corpus-VOCABULARY-sized frame back against the full gram stream
+    # (shuffle_hash-hinted because Catalyst's Generate-stats estimate
+    # once broadcast the 2.4M-row aggregate — one 250 s heap
+    # detonation in the r11 soak, SCALING.md round-11); dropping the
+    # join removes that entire exchange AND the mis-estimate hazard.
+    firsts = (
         grams.groupBy("h1", "h2")
         .agg(F.min("doc").alias("first_doc"))
-        .hint("shuffle_hash")
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_first"))
+        .withColumnRenamed("first_doc", "doc")
     )
-    scored = (
-        grams.join(first, ["h1", "h2"])
-        .groupBy("doc")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                (F.col("first_doc") == F.col("doc")).cast("long")
-            ).alias("n_first"),
-        )
+    per_doc = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
+    scored = per_doc.join(firsts, "doc", "left").select(
+        "doc",
+        "n_grams",
+        F.coalesce("n_first", F.lit(0)).alias("n_first"),
     )
     return (
         df.select(F.col(id_col).alias("doc"))

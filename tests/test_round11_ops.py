@@ -132,12 +132,15 @@ def test_novelty_oracle_parity(spark, duck, sf_dir):
 
 
 def test_novelty_plan_quality(spark, sf_dir):
-    """Map-side distinct + min-doc aggregate + natural-key equi-join:
-    no window over gram keys, no cartesian, no Python — and the
-    first-occurrence table (corpus-vocabulary-sized, unbounded at
-    scale) joins via the HINTED shuffle-hash join, never a broadcast
-    build off Catalyst's garbage Generate-stats estimate (the r11
-    soak recorded that plan detonating under heap pressure)."""
+    """Map-side distinct + min-doc aggregate, per-doc counts derived
+    WITHOUT any vocab-keyed join (r13 rewrite): no window over gram
+    keys, no cartesian, no Python — and no join keyed on the gram
+    hash pair at all (the r9-r12 shape equi-joined the unbounded
+    corpus-vocabulary first-occurrence table back against the full
+    gram stream; n_first now comes from a per-first_doc count of the
+    aggregate itself, so the only joins left are doc-keyed between
+    doc-sized frames). This also retires the r11 broadcast-detonation
+    hazard that join's garbage Generate-stats estimate carried."""
     from raft_c_spark.plans.text import q_text_novelty
 
     plan = q_text_novelty(
@@ -146,7 +149,11 @@ def test_novelty_plan_quality(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
     assert "Python" not in plan, plan
-    assert "ShuffledHashJoin" in plan, plan
+    # no join may key on the gram hash pair (vocab-sized stream)
+    import re
+
+    for m in re.finditer(r"(\w+Join) \[([^\]]*)\]", plan):
+        assert "h1" not in m.group(2), (m.group(0), plan)
 
 
 def test_vocab_growth_plan_quality(spark, sf_dir):
