@@ -22,8 +22,43 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: session-lifetime memo of embedding dimensionality per source-file
+#: set: (sorted input files + (size, mtime_ns) stats, vec_col) → dim.
+#: vec_dim is a schema-class property (every well-formed corpus has
+#: one dim — with_norm's guard rejects ragged columns), but Spark
+#: cannot answer it from the parquet schema (array<float> carries no
+#: length), so each caller paid a first() probe JOB per invocation —
+#: five sim/dedup queries × 0.2-0.8 s of pure job overhead at bench
+#: scale (guide §5: driver actions in the query path). The stat pair
+#: in the key invalidates the memo if a path is rewritten mid-session;
+#: frames with no resolvable input files (in-memory relations, joins)
+#: always probe.
+_DIM_MEMO: dict[tuple, int] = {}
+
+
 def vec_dim(df: DataFrame, vec_col: str) -> int:
-    return df.select(F.size(vec_col)).first()[0]
+    key = None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        stats = []
+        for f in sorted(files):
+            p = f[7:] if f.startswith("file://") else f
+            try:
+                st = os.stat(p)
+                stats.append((f, st.st_size, st.st_mtime_ns))
+            except OSError:
+                stats.append((f, -1, -1))
+        key = (tuple(stats), vec_col)
+        hit = _DIM_MEMO.get(key)
+        if hit is not None:
+            return hit
+    d = df.select(F.size(vec_col)).first()[0]
+    if key is not None:
+        _DIM_MEMO[key] = d
+    return d
 
 
 def dot_fold(va, vb) -> Column:
@@ -42,16 +77,16 @@ def dot_fold(va, vb) -> Column:
     )
 
 
-def with_norm(
-    df: DataFrame, id_col: str, vec_col: str, dim: int | None = None
-) -> DataFrame:
-    """Project to (doc, vec: array<double>, norm). Casting float→double
-    once up front keeps later arithmetic deterministic. When ``dim``
-    is given, every vector's length is validated against it (fail
-    fast with the offending doc id — reviewer r8: the parameter was
-    previously accepted by every caller and silently ignored, so a
-    ragged embedding column surfaced as a wrong dot product or a deep
-    numpy shape error instead of this message)."""
+def _vec_norm_exprs(
+    vec_col: str, id_col: str, dim: int | None
+) -> tuple[Column, Column]:
+    """The (vec, norm) column expressions of :func:`with_norm` —
+    float→double cast transform, optional length guard, and the
+    sequential-fold norm — factored out so rerank paths can apply the
+    IDENTICAL arithmetic to a raw vector column fetched by a
+    candidate join (norm computed on matches only, not the whole
+    corpus; per-row values are bit-identical: same cast, same guard,
+    same fold order)."""
     vec = F.expr(f"transform({vec_col}, x -> cast(x as double))")
     if dim is not None:
         # the guard is folded INTO the vec expression (a dropped
@@ -64,8 +99,23 @@ def with_norm(
         vec = F.when(F.size(vec) == F.lit(dim), vec).otherwise(
             F.array(F.raise_error(msg).cast("double"))
         )
-    out = df.select(F.col(id_col).alias("doc"), vec.alias("vec"))
-    return out.withColumn("norm", F.sqrt(dot_fold("vec", "vec")))
+    return vec, F.sqrt(dot_fold(vec, vec))
+
+
+def with_norm(
+    df: DataFrame, id_col: str, vec_col: str, dim: int | None = None
+) -> DataFrame:
+    """Project to (doc, vec: array<double>, norm). Casting float→double
+    once up front keeps later arithmetic deterministic. When ``dim``
+    is given, every vector's length is validated against it (fail
+    fast with the offending doc id — reviewer r8: the parameter was
+    previously accepted by every caller and silently ignored, so a
+    ragged embedding column surfaced as a wrong dot product or a deep
+    numpy shape error instead of this message)."""
+    vec, norm = _vec_norm_exprs(vec_col, id_col, dim)
+    return df.select(
+        F.col(id_col).alias("doc"), vec.alias("vec"), norm.alias("norm")
+    )
 
 
 def quantize_int8(
@@ -535,16 +585,26 @@ def knn_join_lsh(
     )
     if exclude_self:
         cand = cand.filter(F.col("q") != F.col("doc"))
-    cv = with_norm(corpus_df, id_col, vec_col, dim).select(
-        F.col("doc"), F.col("vec").alias("cvec"), F.col("norm").alias("cnorm")
+    # rerank: fetch raw candidate vectors FIRST, compute the cast +
+    # norm fold on matches only (r13, guide §1.2: the previous shape
+    # projected with_norm over the WHOLE corpus below the join, so
+    # every corpus row paid the 2·dim-op fold to feed a candidate set
+    # that is |Q|·tables·bucket-sized — at 100 TB that is a full-corpus
+    # compute pass for a sample-sized rerank). _vec_norm_exprs keeps
+    # the per-row arithmetic bit-identical to with_norm's.
+    craw = corpus_df.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("_craw")
     )
+    cvec, cnorm = _vec_norm_exprs("_craw", "doc", dim)
     qv = with_norm(queries_df, id_col, vec_col, dim).select(
         F.col("doc").alias("q"),
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
     )
     scored = (
-        cand.join(cv, "doc")
+        cand.join(craw, "doc")
+        .withColumn("cvec", cvec)
+        .withColumn("cnorm", cnorm)
         .join(F.broadcast(qv), "q")
         .withColumn(
             "cosine", dot_fold("cvec", "qvec") / (F.col("cnorm") * F.col("qnorm"))
@@ -1286,13 +1346,17 @@ def certify_lsh_recall(
         ],
         "q long, qvec array<double>, qnorm double",
     )
-    cv = with_norm(corpus_df, id_col, vec_col, dim).select(
-        "doc", F.col("vec").alias("cvec"), F.col("norm").alias("cnorm")
+    # raw corpus projection for the rerank fetch: the cast + norm fold
+    # is applied AFTER the candidate join (matches only), not over the
+    # whole corpus per rung (r13 — same reorder as knn_join_lsh; the
+    # arithmetic is _vec_norm_exprs, bit-identical to with_norm)
+    craw = corpus_df.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("_craw")
     )
 
     rows = []
     _certify_walk(
-        rows, ladder, corpus_df, qids, qm, cv, qv,
+        rows, ladder, corpus_df, qids, qm, craw, qv,
         id_col, vec_col, cache_key, dim,
         n_queries, budget, target,
     )
@@ -1373,7 +1437,7 @@ def _certify_walk(
     corpus_df: DataFrame,
     qids,
     qm,
-    cv: DataFrame,
+    craw: DataFrame,
     qv: DataFrame,
     id_col: str,
     vec_col: str,
@@ -1383,12 +1447,25 @@ def _certify_walk(
     budget: int,
     target: float,
 ) -> None:
-    """The sequential ladder walk of :func:`certify_lsh_recall` —
-    appends one metrics tuple per tried rung to ``rows`` and stops at
-    the first acceptable rung. Per rung the plan is ONE job: index
-    scan (sig_hi partition-pruned) ⋈ local query-signature relation →
-    distinct → rerank ⋈ local query-vector relation → two-column
-    aggregate → ≤n_queries-row collect."""
+    """The ladder walk of :func:`certify_lsh_recall` — appends one
+    metrics tuple per tried rung to ``rows`` and stops at the first
+    acceptable rung. Per rung the plan is ONE job chain: index scan
+    (sig_hi partition-pruned) ⋈ local query-signature relation →
+    distinct → candidate-join vector fetch → rerank ⋈ local
+    query-vector relation → two-column aggregate → ≤n_queries-row
+    collect.
+
+    A depth-1 speculative lookahead (rung r+1's probe launched in a
+    sibling thread while rung r is measured, canceled via its job
+    group on acceptance, gated on the rung's index being already
+    persisted) was built and MEASURED this round and REJECTED:
+    interleaved same-session A/B at sf0.1 read min wall 4.38 → 4.06 s
+    (inside this box's noise band) at +16-18 process-tree CPU seconds
+    per run — the canceled successor probe (the ladder's most
+    expensive rung) ran near-to-completion before the accept decision
+    landed. A latency/throughput trade that loses CPU at every scale
+    and wins nothing measurable on wall, so the walk stays
+    sequential."""
     spark = corpus_df.sparkSession
     for rung, (bits, tables) in enumerate(ladder):
         idx = lsh_index(
@@ -1418,9 +1495,14 @@ def _certify_walk(
         # formulation used, without a persist or a second action;
         # n_candidates = Σ per-q counts (every candidate pair has a q),
         # hit = winner.doc == q. The ≤n_queries-row collect is a
-        # scalar probe.
+        # scalar probe. The cast + norm fold runs on FETCHED
+        # candidates only (_vec_norm_exprs — bit-identical to
+        # with_norm), not over the whole corpus per rung (r13).
+        cvec, cnorm = _vec_norm_exprs("_craw", "doc", dim)
         per_q = (
-            cand.join(cv, "doc")
+            cand.join(craw, "doc")
+            .withColumn("cvec", cvec)
+            .withColumn("cnorm", cnorm)
             .join(F.broadcast(qv), "q")
             .withColumn(
                 "cosine",
@@ -1429,7 +1511,11 @@ def _certify_walk(
             .groupBy("q")
             .agg(
                 F.count(F.lit(1)).alias("n_cand"),
-                F.max(F.struct(F.col("cosine"), (-F.col("doc")).alias("negdoc"))).alias("best"),
+                F.max(
+                    F.struct(
+                        F.col("cosine"), (-F.col("doc")).alias("negdoc")
+                    )
+                ).alias("best"),
             )
             .select("q", "n_cand", (-F.col("best.negdoc")).alias("bestdoc"))
             .collect()
