@@ -78,6 +78,32 @@ def hash_fraction_sample(
     return df.filter(hash_hex(id_col, digits) < thr)
 
 
+#: analyzed-plan nodes whose presence means the frame is EXPENSIVE to
+#: execute twice (joins, aggregates, Python kernels, explodes...) —
+#: the gate for pack_sequences' input pre-materialization. Bare
+#: scans/filters/projections are cheap to re-run and skip it.
+_EXPENSIVE_NODES = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Generate",
+    "Expand",
+    "Deduplicate",
+    "MapInPandas",
+    "MapInArrow",
+    "FlatMap",
+    "CoGroup",
+)
+
+
+def _expensive_lineage(df: DataFrame) -> bool:
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return any(tok in plan for tok in _EXPENSIVE_NODES)
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -104,11 +130,23 @@ def pack_sequences(
     against a plain windowed cumsum."""
     key = order_col or id_col
     n_part = df.sparkSession.sparkContext.defaultParallelism
+    # repartitionByRange SAMPLES its child to draw the range bounds,
+    # so the input lineage executes TWICE (sampling pass + the real
+    # shuffle). For a bare scan that is cheap; for a join/aggregate/
+    # Python-kernel upstream (ds_pipeline_e2e's 4-stage pipeline,
+    # ds_pack_bpe's tokenizer) it doubles the most expensive part of
+    # the query — so such inputs are materialized ONCE to executor-
+    # local blocks first and both passes read the blocks (r13, guide
+    # §1.2/§5: don't compute things twice; localCheckpoint as the
+    # cheap lineage cut). Output is identical either way: the blocks
+    # hold exactly df's rows, and the prefix-sum result is
+    # partitioning-independent.
+    src = df.localCheckpoint(eager=True) if _expensive_lineage(df) else df
     # range-partition by the order key, then PIN the partitioning
     # (localCheckpoint): spark_partition_id() must refer to one
     # materialized layout across the totals job and the final job
     parted = (
-        df.repartitionByRange(n_part, F.col(key))
+        src.repartitionByRange(n_part, F.col(key))
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -663,8 +701,16 @@ def training_order(
     exists at any scale and the layout replays bit-identically
     (oracle: plain ROW_NUMBER over the same md5 key)."""
     key = F.md5(F.col(id_col).cast("string").cast("binary"))
+    # project to the id before the pack: the prefix-sum machinery
+    # materializes its input twice (range shuffle + pinned checkpoint),
+    # and this operator only ever returns (id, shuffle_key, shard) —
+    # carrying the corpus's payload columns through both
+    # materializations was pure waste (guide §2.3: project before the
+    # exchange)
     out = shard_assignments(
-        df.withColumn("shuffle_key", key), "shuffle_key", rows_per_shard
+        df.select(F.col(id_col)).withColumn("shuffle_key", key),
+        "shuffle_key",
+        rows_per_shard,
     )
     return out.select(
         F.col(id_col),

@@ -155,7 +155,12 @@ def q_ds_shard_manifest(spark, sf_dir):
     from raft_c_spark.sources.testdata import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = sampling.shard_assignments(docs, "doc_id", SHARD_ROWS)
+    # pre-project: the manifest only needs (doc_id, n_chars), and the
+    # shard machinery materializes its input twice (range shuffle +
+    # pinned checkpoint) — don't carry text through either pass
+    sh = sampling.shard_assignments(
+        docs.select("doc_id", "n_chars"), "doc_id", SHARD_ROWS
+    )
     return sh.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_id"),
@@ -305,8 +310,16 @@ def q_ds_pipeline_e2e(spark, sf_dir):
             lang: PIPE_MIX_FRAC for lang in ("en", "de", "es", "fr", "zh")
         },
     )
+    # pre-project to the two columns the pack (and the query's output)
+    # needs: the pack's materializations (range shuffle + pinned
+    # checkpoint, plus the expensive-lineage pre-checkpoint this
+    # pipeline triggers) otherwise carry the full text column through
+    # every pass (guide §2.3: project before the exchange)
     packed = sampling.pack_sequences(
-        mixed, "doc_id", "n_chars", PIPE_PACK_BUDGET
+        mixed.select("doc_id", "n_chars"),
+        "doc_id",
+        "n_chars",
+        PIPE_PACK_BUDGET,
     )
     return packed.select(
         "doc_id", "n_chars", "seq_start", "bin", "bin_offset"

@@ -42,8 +42,11 @@ def q_ds_pack_sequences(spark, sf_dir):
     order, n_chars as the length) into 4096-char training bins —
     exact distributed prefix sums, partitioning-independent."""
     docs = load_table(spark, sf_dir, "documents")
+    # pre-project: the pack's range shuffle + pinned checkpoint
+    # materialize full rows (column pruning cannot cross a
+    # checkpoint), and this query only returns the id/length columns
     return sampling.pack_sequences(
-        docs, "doc_id", "n_chars", PACK_BUDGET
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", PACK_BUDGET
     ).select("doc_id", "n_chars", "seq_start", "bin", "bin_offset")
 
 
