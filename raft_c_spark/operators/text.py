@@ -285,6 +285,12 @@ def tfidf_top_terms(
     # exchange 1.89× SLOWER here — the cost sits in the window/join
     # stages after the tf aggregate, not the tokenize, and the extra
     # round-robin exchange of raw text only added overhead.
+    # ALSO measured and rejected (r13): tf.persist() + eager count so
+    # dfreq's derivation stops re-running the tokenize — interleaved
+    # A/B read min 2.15 → 3.52 s, CPU 2.9 → 6.8: materializing the
+    # (doc, term) frame costs more than the second tokenize pass at
+    # bench scale (and at 100 TB tf is ~token-stream-sized, so the
+    # persist is no bargain there either).
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -1440,6 +1446,14 @@ def lang_unigram_kl(
     # NOT _scan_wide: four aggregate consumers re-execute the lineage
     # (the collocations single-consumer rule) and the r13 interleaved
     # A/B measured the widen exchange 2.07× SLOWER end-to-end.
+    # ALSO measured and rejected (r13): persisting the (lang, word)
+    # aggregate and DERIVING word/lang/corpus totals from it by exact
+    # integer sums (tokenize once instead of 4×) — interleaved A/B
+    # read min 1.66 → 3.58 s, CPU 4.3 → 8.6: at bench scale the
+    # eager persist + extra join cost more than three cheap
+    # re-tokenizations. At true corpus scale the derived shape wins
+    # (one text pass); revisit if the driver's scaling run shows the
+    # tokenize passes binding.
     tagged = df.select(F.col(lang_col).alias("lang"), toks.alias("toks"))
     lw = (
         tagged.select("lang", F.explode("toks").alias("w"))
