@@ -23,17 +23,39 @@ from pyspark.sql import functions as F
 
 
 #: session-lifetime memo of embedding dimensionality per source-file
-#: set: (sorted input files + (size, mtime_ns) stats, vec_col) → dim.
-#: vec_dim is a schema-class property (every well-formed corpus has
-#: one dim — with_norm's guard rejects ragged columns), but Spark
-#: cannot answer it from the parquet schema (array<float> carries no
-#: length), so each caller paid a first() probe JOB per invocation —
-#: five sim/dedup queries × 0.2-0.8 s of pure job overhead at bench
-#: scale (guide §5: driver actions in the query path). The stat pair
-#: in the key invalidates the memo if a path is rewritten mid-session;
-#: frames with no resolvable input files (in-memory relations, joins)
-#: always probe.
+#: set: (sorted input files + (size, mtime_ns) stats, vec_col,
+#: exprId-normalized analyzed-plan fingerprint) → dim. vec_dim is a
+#: schema-class property (every well-formed corpus has one dim —
+#: with_norm's guard rejects ragged columns), but Spark cannot answer
+#: it from the parquet schema (array<float> carries no length), so
+#: each caller paid a first() probe JOB per invocation — five
+#: sim/dedup queries × 0.2-0.8 s of pure job overhead at bench scale
+#: (guide §5: driver actions in the query path). Two advisor-r13
+#: hardenings: (1) memoization is SKIPPED unless every input file's
+#: os.stat succeeds — a URI form the strip cannot resolve (s3://,
+#: hdfs://) would otherwise stat as a constant (-1,-1) and a path
+#: overwritten mid-session could keep returning a stale dim; (2) the
+#: key carries a plan fingerprint (analyzed plan with `#<exprId>`
+#: tokens stripped — exprIds differ across invocations of the same
+#: query), so a frame DERIVING a same-named vector column of a
+#: different length over the same files (slice/pad/transform) can
+#: never hit another derivation's entry.
 _DIM_MEMO: dict[tuple, int] = {}
+
+_EXPR_ID_RE = None  # compiled lazily; module avoids import-time re cost
+
+
+def _plan_fingerprint(df: DataFrame) -> str | None:
+    global _EXPR_ID_RE
+    if _EXPR_ID_RE is None:
+        import re
+
+        _EXPR_ID_RE = re.compile(r"#\d+")
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    return _EXPR_ID_RE.sub("", plan)
 
 
 def vec_dim(df: DataFrame, vec_col: str) -> int:
@@ -45,16 +67,25 @@ def vec_dim(df: DataFrame, vec_col: str) -> int:
     if files:
         stats = []
         for f in sorted(files):
-            p = f[7:] if f.startswith("file://") else f
+            p = f
+            for pre in ("file://", "file:"):
+                if p.startswith(pre):
+                    p = p[len(pre):]
+                    break
             try:
                 st = os.stat(p)
-                stats.append((f, st.st_size, st.st_mtime_ns))
             except OSError:
-                stats.append((f, -1, -1))
-        key = (tuple(stats), vec_col)
-        hit = _DIM_MEMO.get(key)
-        if hit is not None:
-            return hit
+                # unresolvable stat → no invalidation signal → never
+                # memoize (advisor r13 item 1); probe as before
+                stats = None
+                break
+            stats.append((f, st.st_size, st.st_mtime_ns))
+        fp = _plan_fingerprint(df)
+        if stats is not None and fp is not None:
+            key = (tuple(stats), vec_col, fp)
+            hit = _DIM_MEMO.get(key)
+            if hit is not None:
+                return hit
     d = df.select(F.size(vec_col)).first()[0]
     if key is not None:
         _DIM_MEMO[key] = d
@@ -86,7 +117,10 @@ def _vec_norm_exprs(
     IDENTICAL arithmetic to a raw vector column fetched by a
     candidate join (norm computed on matches only, not the whole
     corpus; per-row values are bit-identical: same cast, same guard,
-    same fold order)."""
+    same fold order). Guard scope on those rerank paths is therefore
+    NARROWER than with_norm over the full corpus: only rows fetched
+    as candidates are length-validated (advisor r13 — see the note in
+    knn_join_lsh)."""
     vec = F.expr(f"transform({vec_col}, x -> cast(x as double))")
     if dim is not None:
         # the guard is folded INTO the vec expression (a dropped
@@ -592,6 +626,12 @@ def knn_join_lsh(
     # that is |Q|·tables·bucket-sized — at 100 TB that is a full-corpus
     # compute pass for a sample-sized rerank). _vec_norm_exprs keeps
     # the per-row arithmetic bit-identical to with_norm's.
+    # NOTE (advisor r13): this narrows with_norm's r8 fail-fast
+    # contract — corpus rows that never surface as candidates are no
+    # longer length-validated on this path, and a ragged row now
+    # first hits the numpy signature kernel's shape error (an opaque
+    # message) rather than the per-doc raise_error. Every row that
+    # CAN reach a result (a candidate) still passes the exact guard.
     craw = corpus_df.select(
         F.col(id_col).alias("doc"), F.col(vec_col).alias("_craw")
     )

