@@ -42,8 +42,17 @@ def _fact_wide(df):
     interleaved A/B (scripts/ab_tpch_wide.py) can flip arms in one
     session. Results are unchanged either way: every consumer is an
     exact-decimal or countDistinct aggregate (order-independent).
-    Default reflects the measured decision — see the A/B table in
-    OPTIMIZATION_r14.md."""
+
+    MEASURED (r14, interleaved same-session, min per arm):
+    pricing_summary on/off 0.75 (4 reps) then 0.96 (8 reps, medians
+    disagreeing) — a wash; returned_item_customers 1.14 — loses;
+    waiting_supplier 1.64 — loses (the widen exchange feeds a join
+    that already shuffles, so it only adds a pass). Default therefore
+    stays OFF — same decision pattern as the r13 text-family A/B:
+    widening loses on narrow-numeric multi-consumer/join-heavy
+    pipelines. The hook stays wired so the A/B remains reproducible;
+    at default-off the three queries' plans are byte-identical to
+    r13 (plan pins intact)."""
     import os as _os
 
     if _os.environ.get("RAFT_C_SPARK_TPCH_WIDE", "0") != "1":
